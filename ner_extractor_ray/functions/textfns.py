@@ -1,0 +1,251 @@
+"""Deterministic text primitives: HTML extraction, sentence split, word and
+subword tokenization, language-ID, quality scoring, fingerprinting.
+
+All functions are pure per-row functions of their inputs — no cross-row state,
+locale, or time dependence — the contract that makes byte-identical extraction
+under any parallelism possible (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+import numpy as np
+
+from .hashing import stable_hash64
+
+# ---------------------------------------------------------------- extraction
+
+_BLOCK_STRIP_RE = re.compile(
+    r"<(script|style|nav|header|footer)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
+)
+_P_RE = re.compile(r"<p\b[^>]*>(.*?)</p>", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """HTML → text: drop script/style/nav/header/footer blocks, keep the text
+    of each <p> paragraph (tags stripped, entities unescaped, whitespace
+    normalized), one paragraph per line.
+
+    The deterministic analog of the reference's file→records parse step
+    (DistilBERT-CRF/src/datasets.py:47-72); per-row invariant: byte-identical
+    output per url vs the single-process oracle.
+    """
+    if html_bytes is None:
+        return ""
+    doc = html_bytes.decode("utf-8", errors="replace")
+    doc = _BLOCK_STRIP_RE.sub(" ", doc)
+    paras = []
+    for m in _P_RE.finditer(doc):
+        txt = _TAG_RE.sub(" ", m.group(1))
+        txt = _htmllib.unescape(txt)
+        txt = " ".join(txt.split())
+        if txt:
+            paras.append(txt)
+    return "\n".join(paras)
+
+
+# ------------------------------------------------------------- sentence split
+
+# Boundary after a STANDALONE [.!?] token (preceded by whitespace) — attached
+# periods ("I.B.M.") never split. Newline is always a boundary.
+_SENT_SPLIT_RE = re.compile(r"(?<=\s[.!?])\s+")
+# Word tokens: alphanumeric runs (with internal ' or .) or single punct chars.
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:[.'][A-Za-z0-9]+)*\.?|[^\sA-Za-z0-9]")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Rule-based splitter: newline is always a boundary; within a line split
+    after [.!?]+whitespace. Deterministic; mirrors the reference's pre-
+    sentencized corpus assumption (src/datasets.py:58-67, blank-line delim)."""
+    out = []
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line:
+            continue
+        for sent in _SENT_SPLIT_RE.split(line):
+            sent = sent.strip()
+            if sent:
+                out.append(sent)
+    return out
+
+
+def tokenize_words(sentence: str) -> list[str]:
+    """CoNLL-style word tokens; trailing sentence period split off."""
+    toks = _TOKEN_RE.findall(sentence)
+    out = []
+    for t in toks:
+        if len(t) > 1 and t.endswith(".") and t.count(".") == 1:
+            out.append(t[:-1])
+            out.append(".")
+        else:
+            out.append(t)
+    return out
+
+
+# --------------------------------------------------------- subword tokenizer
+
+_MAX_PIECE = 4
+
+
+def subword_tokenize(word: str) -> list[str]:
+    """Deterministic WordPiece-shaped tokenizer: fixed-width pieces, ``##``
+    continuation prefix. A stand-in for the HF fast tokenizer (no transformers
+    in this sandbox) that preserves the structural property the alignment
+    transform depends on: one word → 1..k subwords, first piece distinguished
+    (src/data_module.py:83-119)."""
+    if len(word) <= _MAX_PIECE:
+        return [word]
+    pieces = [word[:_MAX_PIECE]]
+    for i in range(_MAX_PIECE, len(word), _MAX_PIECE):
+        pieces.append("##" + word[i : i + _MAX_PIECE])
+    return pieces
+
+
+def subword_id(piece: str) -> int:
+    """Stable vocab-free subword id (hash-vocab), int32-positive."""
+    return stable_hash64(piece) % 2_000_000_000
+
+
+# ------------------------------------------------------------- language ID
+
+_LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "is", "was", "in", "for", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "des", "dans", "pour", "une", "que"],
+    "es": ["el", "la", "los", "y", "es", "de", "en", "por", "una", "que"],
+}
+_WORD_RE = re.compile(r"[a-zA-ZäöüßéèêàçñÄÖÜ]+")
+
+
+def lang_id(text: str) -> str:
+    """Stopword-profile language heuristic; "und" for unknown/CJK-ish text."""
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return "und"
+    wset = {}
+    for w in words:
+        wset[w] = wset.get(w, 0) + 1
+    best, best_score = "und", 0
+    for lang, profile in _LANG_PROFILES.items():
+        score = sum(wset.get(w, 0) for w in profile)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0 else "und"
+
+
+# --------------------------------------------------------------- quality
+
+_STOPWORDS = frozenset(_LANG_PROFILES["en"] + ["a", "an", "it", "on", "at", "by"])
+_ALNUM_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def quality_features(text: str) -> dict:
+    """Length / punctuation / stopword-ratio features for quality filtering."""
+    toks = _ALNUM_RE.findall(text)
+    n_tok = len(toks)
+    n_char = len(text)
+    n_alpha = sum(len(t) for t in toks)
+    n_stop = sum(1 for t in toks if t.lower() in _STOPWORDS)
+    return {
+        "n_chars": n_char,
+        "n_tokens": n_tok,
+        "mean_token_len": (n_alpha / n_tok) if n_tok else 0.0,
+        "punct_ratio": ((n_char - n_alpha) / n_char) if n_char else 0.0,
+        "stopword_ratio": (n_stop / n_tok) if n_tok else 0.0,
+    }
+
+
+# ------------------------------------------------------------ fingerprinting
+
+def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> int:
+    """Winnowing-style document fingerprint: polynomial rolling hash over byte
+    windows, XOR of the hashes that are ≡0 mod ``keep_mod`` (position-robust).
+    Returns a single uint63 fingerprint."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return stable_hash64(data) >> 1
+    B, M = 257, (1 << 61) - 1
+    h = 0
+    pow_w = pow(B, window - 1, M)
+    fp = 0
+    for i, b in enumerate(data):
+        h = (h * B + b) % M
+        if i >= window:
+            h = (h - data[i - window] * pow_w * B) % M
+        if i >= window - 1 and h % keep_mod == 0:
+            fp ^= h
+    return fp
+
+
+# --------------------------------------------------------- minhash / simhash
+
+def char_shingles(s: str, k: int = 3) -> list[str]:
+    s = " ".join(s.split()).lower()
+    if len(s) < k:
+        return [s] if s else []
+    return [s[i : i + k] for i in range(len(s) - k + 1)]
+
+
+def word_ngrams(s: str, n: int = 3) -> list[str]:
+    toks = [t.lower() for t in _ALNUM_RE.findall(s)]
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(12345)  # fixed seed: parameters are constants
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_MH_A, _MH_B = _minhash_params(64)
+
+
+def minhash_signature(shingles: list[str], num_perm: int = 64) -> np.ndarray:
+    """(num_perm,) uint64 MinHash signature over string shingles."""
+    if not shingles:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    base = np.array([stable_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in set(shingles)],
+                    dtype=np.uint64)
+    a, b = _MH_A[:num_perm], _MH_B[:num_perm]
+    # (n_shingles, num_perm) universal hashing mod Mersenne prime
+    prod = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return prod.min(axis=0)
+
+
+def band_keys(sig: np.ndarray, n_bands: int = 16) -> list[int]:
+    """LSH band keys: hash each band of the signature to one bucket key."""
+    rows = len(sig) // n_bands
+    out = []
+    for b in range(n_bands):
+        band = sig[b * rows : (b + 1) * rows]
+        out.append(stable_hash64(band.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+    return out
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes (unweighted)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = stable_hash64(t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    bits = (acc > 0).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter) if (a or b) else 0.0

@@ -1,0 +1,245 @@
+"""The flagship pipeline: Parquet web pages → knowledge graph (nodes + edges).
+
+Composition of SURVEY.md §7.1's stage DAG, Ray-Data-first: every stage is a
+``map_batches`` transform over Arrow batches; the tagger is an actor pool; the
+only wide operations are the canonicalization groupbys and the final
+dedup/sort — all partial-aggregated and hash-partitioned.
+
+Scale notes (100 TB design, tested single-node):
+  * ``html`` is dropped at S1; nothing downstream ever shuffles it.
+  * The tagged-sentences table is the stage-boundary CHECKPOINT: with an
+    ``out_dir`` it is written once as partitioned Parquet and both consumers
+    (mention decode, relation extraction) read it back — one tagger pass, no
+    corpus-scale object-store pinning, and the resume boundary for free.
+    Without an ``out_dir`` (tests/small) it is materialized in the object
+    store instead.
+  * The entity-assignment table (distinct surfaces only) is the broadcast
+    small side; above ``broadcast_limit`` rows the pipeline switches to a
+    partitioned hash join automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.gazetteer import alias_canonical_map, normalize_surface
+from ..stages.canonicalize import (
+    candidate_pairs,
+    connected_components,
+    distinct_nodes,
+    entity_assignments,
+)
+from ..stages.decode import decode_batch
+from ..stages.extract import extract_batch
+from ..stages.joins import hash_join
+from ..stages.linking import Linker
+from ..stages.materialize import build_nodes, dedup_edges, write_partitioned
+from ..stages.sentseg import sentseg_batch
+from ..stages.tagger import DeterministicTagger
+from ..stages.tokenize import tokenize_batch
+from ..state.manifest import table_complete
+
+PAGE_COLUMNS = ["url", "html", "text", "lang"]  # prune warc_ts at the read
+
+
+def pages_dataset(path: str) -> "ray.data.Dataset":
+    import glob
+
+    files = sorted(glob.glob(os.path.join(path, "pages-*.parquet"))) or path
+    return ray.data.read_parquet(files, columns=PAGE_COLUMNS)
+
+
+def default_tagger_concurrency() -> tuple[int, int]:
+    """Size the scorer pool to the cluster, leaving headroom for the read and
+    shuffle stages — a pool that reserves every CPU starves the reads and the
+    pipeline deadlocks (observed at num_cpus=4 with a fixed pool of 4)."""
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    hi = max(1, cpus - 2)
+    return (1, hi)
+
+
+def tag_sentences(
+    pages: "ray.data.Dataset",
+    *,
+    tagger_concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 1024,
+    lang_filter: str | None = "en",
+) -> "ray.data.Dataset":
+    """pages → tagged sentence rows (url, sent_id, tokens, tags, ...)."""
+    if tagger_concurrency is None:
+        tagger_concurrency = default_tagger_concurrency()
+    ds = pages.map_batches(extract_batch, batch_format="pyarrow")
+    if lang_filter:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("lang"), lang_filter)),
+            batch_format="pyarrow",
+        )
+    ds = ds.map_batches(sentseg_batch, batch_format="pyarrow")
+    ds = ds.map_batches(tokenize_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        DeterministicTagger,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=tagger_concurrency,
+    )
+    return ds.select_columns(["url", "sent_id", "sentence", "tokens", "n_tokens", "tags"])
+
+
+def _triple_nodes(batch: pa.Table, alias: dict) -> pa.Table:
+    """Attach canonicalization node keys to raw triples (same normalization as
+    the Linker so mention and triple sides agree)."""
+
+    def node_of(surface: str, typ: str) -> str:
+        n = normalize_surface(surface)
+        return f"{typ}:{alias.get(n, n)}"
+
+    subj = batch.column("subj").to_pylist()
+    styp = batch.column("subj_type").to_pylist()
+    obj = batch.column("obj").to_pylist()
+    otyp = batch.column("obj_type").to_pylist()
+    urls = batch.column("url").to_pylist()
+    sids = batch.column("sent_id").to_pylist()
+    return (
+        batch.append_column("subj_node", pa.array([node_of(s, t) for s, t in zip(subj, styp)]))
+        .append_column("obj_node", pa.array([node_of(s, t) for s, t in zip(obj, otyp)]))
+        .append_column(
+            "prov", pa.array([f"{u}#{i:06d}" for u, i in zip(urls, sids)], pa.string())
+        )
+    )
+
+
+class _IdLookup:
+    """Broadcast node→entity_id lookup for one or more key columns."""
+
+    def __init__(self, map_ref, cols: list[tuple[str, str]]):
+        self.mapping = ray.get(map_ref) if isinstance(map_ref, ray.ObjectRef) else map_ref
+        self.cols = cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.mapping
+        for src, dst in self.cols:
+            vals = [m.get(k) for k in batch.column(src).to_pylist()]
+            batch = batch.append_column(dst, pa.array(vals, pa.string()))
+        return batch
+
+
+def run_kg(
+    pages: "ray.data.Dataset",
+    out_dir: str | None = None,
+    *,
+    tagger_concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 1024,
+    n_partitions: int = 16,
+    broadcast_limit: int = 2_000_000,
+    resume: bool = True,
+) -> dict:
+    """Run the full KG-construction pipeline; returns the result datasets.
+
+    With ``out_dir``: tagged/nodes/edges are written as partitioned Parquet
+    with lineage manifests; completed tables are skipped on rerun.
+    """
+    from .relations_stage import relations_from_tagged  # local import, no cycle
+
+    # ---- S1-S4: extract → sentseg → tokenize → tag (one corpus pass)
+    tagged_dir = os.path.join(out_dir, "tagged") if out_dir else None
+    if tagged_dir and table_complete(tagged_dir) and resume:
+        tagged = ray.data.read_parquet(tagged_dir)
+    else:
+        tagged = tag_sentences(
+            pages, tagger_concurrency=tagger_concurrency, batch_size=batch_size
+        )
+        if tagged_dir:
+            write_partitioned(tagged, tagged_dir, "url", n_partitions=n_partitions,
+                              resume=resume)
+            tagged = ray.data.read_parquet(tagged_dir)
+        else:
+            tagged = tagged.materialize()
+
+    # ---- S5/S6: two readers of the checkpoint — mentions and raw triples
+    mentions = tagged.map_batches(decode_batch, batch_format="pyarrow")
+    alias = alias_canonical_map()
+    alias_ref = ray.put(alias)
+    mentions = mentions.map_batches(
+        Linker, batch_format="pyarrow", fn_constructor_kwargs={"alias_ref": alias_ref},
+        concurrency=(1, 2),
+    )
+    triples = relations_from_tagged(tagged)
+    triples = triples.map_batches(
+        _triple_nodes, batch_format="pyarrow", fn_kwargs={"alias": alias}
+    )
+
+    # ---- S8: canonicalization over DISTINCT surfaces (small relative to corpus)
+    nodes_distinct = distinct_nodes(mentions).materialize()
+    pairs = candidate_pairs(nodes_distinct)
+    labels = connected_components(pairs, nodes_distinct)
+    assignments = entity_assignments(labels, nodes_distinct).materialize()
+
+    # ---- S7b: resolve mentions/triples to entity ids (broadcast or hash join)
+    n_assign = assignments.count()
+    if n_assign <= broadcast_limit:
+        id_map = {
+            r["node"]: r["entity_id"]
+            for b in assignments.select_columns(["node", "entity_id"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            for r in b.to_pylist()
+        }
+        map_ref = ray.put(id_map)
+        mentions_linked = mentions.map_batches(
+            _IdLookup, batch_format="pyarrow",
+            fn_constructor_kwargs={"map_ref": map_ref, "cols": [("node", "entity_id")]},
+            concurrency=(1, 2),
+        )
+        triples_ids = triples.map_batches(
+            _IdLookup, batch_format="pyarrow",
+            fn_constructor_kwargs={
+                "map_ref": map_ref,
+                "cols": [("subj_node", "subj_id"), ("obj_node", "obj_id")],
+            },
+            concurrency=(1, 2),
+        )
+    else:  # huge surface vocabulary: partitioned hash joins instead
+        amap = assignments.select_columns(["node", "entity_id"])
+        mentions_linked = hash_join(mentions, amap, on=("node",))
+        smap = amap.map_batches(
+            lambda t: pa.table({"subj_node": t.column("node"), "subj_id": t.column("entity_id")}),
+            batch_format="pyarrow",
+        )
+        omap = amap.map_batches(
+            lambda t: pa.table({"obj_node": t.column("node"), "obj_id": t.column("entity_id")}),
+            batch_format="pyarrow",
+        )
+        triples_ids = hash_join(hash_join(triples, smap, on=("subj_node",)), omap, on=("obj_node",))
+
+    # ---- S9: materialize graph
+    nodes = build_nodes(assignments)
+    edges = dedup_edges(
+        triples_ids.select_columns(["subj_id", "pred", "obj_id", "prov"])
+    )
+    result = {
+        "tagged": tagged,
+        "mentions": mentions_linked,
+        "triples": triples_ids,
+        "assignments": assignments,
+        "nodes": nodes,
+        "edges": edges,
+    }
+    if out_dir:
+        nodes_dir = os.path.join(out_dir, "nodes")
+        edges_dir = os.path.join(out_dir, "edges")
+        if not (table_complete(nodes_dir) and resume):
+            write_partitioned(nodes, nodes_dir, "entity_id",
+                              n_partitions=n_partitions, sort_key="entity_id",
+                              resume=resume)
+        if not (table_complete(edges_dir) and resume):
+            write_partitioned(edges, edges_dir, "subj_id",
+                              n_partitions=n_partitions,
+                              sort_key=["subj_id", "pred", "obj_id"], resume=resume)
+        result["nodes"] = ray.data.read_parquet(nodes_dir)
+        result["edges"] = ray.data.read_parquet(edges_dir)
+    return result

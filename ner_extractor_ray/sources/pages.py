@@ -1,0 +1,264 @@
+"""Deterministic synthetic Common-Crawl-style pages generator + gold tables.
+
+Produces the input table of BASELINE.json's ``input_hint``:
+    (url: string, warc_ts: timestamp[us], html: binary, text: string, lang: string)
+together with driver-side ground truth (FIXTURES.md §2):
+    gold_text(url, text)                       — byte-exact extraction target
+    gold_mentions(url, sent_id, start, end, type, surface)
+    gold_triples(url, sent_id, subj, pred, obj)
+    gold_entities(surface, canonical)          — alias groups for linking tests
+
+Every random choice is a pure function of ``(seed, page_index)`` via a per-page
+``RandomState(stable_hash64(...))`` — never global RNG call order — so output is
+identical at any parallelism and generation could itself be distributed
+(contrast: the reference's seeded global RNG, DistilBERT-CRF/src/utils.py:19-27).
+
+Sentences are built token-first from relation templates over the fixed
+gazetteers, so gold mentions/triples are known exactly; text = " ".join(tokens)
+and the HTML wraps that text in template boilerplate the extractor must strip.
+Head-domain skew is planted (Zipf over domains) to exercise salting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.gazetteer import ALIAS_GROUPS, GAZETTEER, normalize_surface
+from ..functions.hashing import stable_hash64, stable_id
+
+_DOMAINS = [
+    "news.example.com", "blog.example.org", "wiki.example.net", "press.acme.io",
+    "tech.daily.example", "media.globex.example", "reports.initech.example",
+    "archive.example.edu", "journal.example.co", "feed.hooli.example",
+    "docs.example.dev", "paper.example.ai",
+]
+# Zipf-ish weights: head domain owns a large share (skew fixture, FIXTURES.md §4)
+_DOMAIN_W = np.array([1.0 / (i + 1) for i in range(len(_DOMAINS))])
+_DOMAIN_CDF = np.cumsum(_DOMAIN_W / _DOMAIN_W.sum())
+
+_EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z in microseconds
+
+# (template tokens with slots, [(subj_slot, pred, obj_slot)] )
+# Slots: P=PER, O=ORG, O2=second ORG, L=LOC, M=MISC.
+_REL_TEMPLATES: list[tuple[list[str], list[tuple[str, str, str]]]] = [
+    (["{P}", "founded", "{O}", "."], [("P", "founded", "O")]),
+    (["{O}", "was", "founded", "by", "{P}", "."], [("P", "founded", "O")]),
+    (["{P}", "works", "for", "{O}", "."], [("P", "works_for", "O")]),
+    (["{O}", "is", "located", "in", "{L}", "."], [("O", "located_in", "L")]),
+    (["{O}", "is", "based", "in", "{L}", "."], [("O", "located_in", "L")]),
+    (["{O}", "acquired", "{O2}", "."], [("O", "acquired", "O2")]),
+    (["{P}", "was", "born", "in", "{L}", "."], [("P", "born_in", "L")]),
+    (["{P}", "visited", "{L}", "."], [("P", "visited", "L")]),
+]
+_PLAIN_TEMPLATES: list[list[str]] = [
+    ["The", "quarterly", "report", "was", "published", "on", "time", "."],
+    ["Analysts", "expected", "growth", "of", "7", "percent", "this", "year", "."],
+    ["The", "{M}", "delegation", "arrived", "in", "{L}", "."],
+    ["Officials", "declined", "to", "comment", "on", "the", "matter", "."],
+    ["Shares", "rose", "3.5", "percent", "after", "the", "announcement", "."],
+    ["The", "{M}", "researcher", "joined", "{O}", "."],
+]
+_DE_FILLER = [
+    "der Bericht ist von der Kommission und wird nicht veröffentlicht .",
+    "die Ergebnisse sind gut und das Team ist mit der Arbeit zufrieden .",
+]
+
+_PAGE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+
+def _pick(rng: np.random.RandomState, items: list[str]) -> str:
+    return items[int(rng.randint(0, len(items)))]
+
+
+def _fill_template(rng, template, triples_spec):
+    """Instantiate one template → (tokens, mentions[(type,start,end,surface)],
+    triples[(subj_surface, pred, obj_surface)])."""
+    slot_vals: dict[str, tuple[str, str]] = {}  # slot → (surface, type)
+    for slot, typ in (("P", "PER"), ("O", "ORG"), ("O2", "ORG"),
+                      ("L", "LOC"), ("M", "MISC")):
+        if any(t == "{%s}" % slot for t in template):
+            surf = _pick(rng, GAZETTEER[typ])
+            if slot == "O2":  # distinct ORG pair for `acquired`
+                while surf == slot_vals.get("O", ("", ""))[0]:
+                    surf = _pick(rng, GAZETTEER["ORG"])
+            slot_vals[slot] = (surf, typ)
+    tokens: list[str] = []
+    mentions: list[tuple[str, int, int, str]] = []
+    for t in template:
+        if t.startswith("{"):
+            slot = t[1:-1]
+            surf, typ = slot_vals[slot]
+            parts = surf.split()
+            mentions.append((typ, len(tokens), len(tokens) + len(parts), surf))
+            tokens.extend(parts)
+        else:
+            tokens.append(t)
+    triples = [
+        (slot_vals[s][0], pred, slot_vals[o][0]) for (s, pred, o) in triples_spec
+    ]
+    return tokens, mentions, triples
+
+
+def _render_html(rng, paragraphs: list[str], title: str) -> bytes:
+    nav = "<nav><a href='/'>home</a> <a href='/about'>about</a></nav>"
+    script = "<script>var t=Date.now();track(t);</script>"
+    style = "<style>p{margin:0}</style>"
+    body = "".join(f"<p>{p}</p>" for p in paragraphs)
+    ad = "<footer>© example — all rights reserved</footer>"
+    html = (
+        f"<html><head><title>{title}</title>{style}{script}</head>"
+        f"<body>{nav}{body}{ad}</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def generate_pages(
+    n_pages: int, seed: int = 42, start_index: int = 0
+) -> tuple[pa.Table, dict[str, pa.Table]]:
+    """Generate ``n_pages`` pages (indices start_index..start_index+n_pages).
+
+    Returns (pages_table, gold) with gold = {gold_text, gold_mentions,
+    gold_triples, gold_entities}. Pure function of (seed, index range).
+    """
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    g_m = {"url": [], "sent_id": [], "start": [], "end": [], "type": [], "surface": []}
+    g_t = {"url": [], "sent_id": [], "subj": [], "pred": [], "obj": []}
+
+    for i in range(start_index, start_index + n_pages):
+        rng = np.random.RandomState(stable_hash64(f"page:{seed}:{i}") % (2**32))
+        dom = _DOMAINS[int(np.searchsorted(_DOMAIN_CDF, rng.uniform()))]
+        url = f"https://{dom}/article-{i}"
+        lang = "en" if rng.uniform() < 0.95 else "de"
+        n_sent = int(rng.randint(3, 9))
+
+        sent_texts: list[str] = []
+        if lang == "de":
+            for _ in range(n_sent):
+                sent_texts.append(_DE_FILLER[int(rng.randint(0, len(_DE_FILLER)))])
+        else:
+            for s in range(n_sent):
+                if rng.uniform() < 0.6:
+                    tpl, spec = _REL_TEMPLATES[int(rng.randint(0, len(_REL_TEMPLATES)))]
+                    tokens, mentions, triples = _fill_template(rng, tpl, spec)
+                else:
+                    tpl = _PLAIN_TEMPLATES[int(rng.randint(0, len(_PLAIN_TEMPLATES)))]
+                    tokens, mentions, triples = _fill_template(rng, tpl, [])
+                sent_texts.append(" ".join(tokens))
+                for (typ, st, en, surf) in mentions:
+                    g_m["url"].append(url)
+                    g_m["sent_id"].append(s)
+                    g_m["start"].append(st)
+                    g_m["end"].append(en)
+                    g_m["type"].append(typ)
+                    g_m["surface"].append(surf)
+                for (subj, pred, obj) in triples:
+                    g_t["url"].append(url)
+                    g_t["sent_id"].append(s)
+                    g_t["subj"].append(subj)
+                    g_t["pred"].append(pred)
+                    g_t["obj"].append(obj)
+
+        # group sentences into 1-3-sentence paragraphs (one <p> each); page
+        # text = paragraphs joined by \n, sentences within a paragraph by " ".
+        paragraphs: list[str] = []
+        k = 0
+        while k < len(sent_texts):
+            take = int(rng.randint(1, 4))
+            paragraphs.append(" ".join(sent_texts[k : k + take]))
+            k += take
+        text = "\n".join(paragraphs)
+
+        urls.append(url)
+        tss.append(_EPOCH_US + (stable_hash64(f"ts:{seed}:{i}") % (86_400_000_000 * 365)))
+        htmls.append(_render_html(rng, paragraphs, f"Article {i}"))
+        texts.append(text)
+        langs.append(lang)
+
+    pages = pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(htmls, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=_PAGE_SCHEMA,
+    )
+    gold = {
+        "gold_text": pa.table({"url": urls, "text": texts}),
+        "gold_mentions": pa.table(
+            {
+                "url": g_m["url"],
+                "sent_id": pa.array(g_m["sent_id"], pa.int32()),
+                "start": pa.array(g_m["start"], pa.int32()),
+                "end": pa.array(g_m["end"], pa.int32()),
+                "type": g_m["type"],
+                "surface": g_m["surface"],
+            }
+        ),
+        "gold_triples": pa.table(
+            {
+                "url": g_t["url"],
+                "sent_id": pa.array(g_t["sent_id"], pa.int32()),
+                "subj": g_t["subj"],
+                "pred": g_t["pred"],
+                "obj": g_t["obj"],
+            }
+        ),
+        "gold_entities": _gold_entities_table(),
+    }
+    return pages, gold
+
+
+def _gold_entities_table() -> pa.Table:
+    alias_map = {}
+    for group in ALIAS_GROUPS:
+        norms = sorted(normalize_surface(s) for s in group)
+        for s in group:
+            alias_map[s] = norms[0]
+    surfaces, canon = [], []
+    for typ, items in GAZETTEER.items():
+        for s in items:
+            n = alias_map.get(s, normalize_surface(s))
+            surfaces.append(s)
+            canon.append(stable_id(f"{typ}:{n}", prefix="e_"))
+    return pa.table({"surface": surfaces, "canonical": canon})
+
+
+def write_pages(
+    out_dir: str, n_pages: int, seed: int = 42, n_files: int = 8,
+    write_gold: bool = True,
+) -> str:
+    """Write pages as ``n_files`` Parquet shards + gold tables; returns dir.
+
+    Sharding by contiguous index range keeps generation embarrassingly
+    parallel-safe and gives read_parquet multiple input blocks.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_pages + n_files - 1) // n_files
+    golds: list[dict[str, pa.Table]] = []
+    for f in range(n_files):
+        lo = f * per
+        cnt = max(0, min(per, n_pages - lo))
+        if cnt == 0:
+            break
+        tbl, gold = generate_pages(cnt, seed=seed, start_index=lo)
+        pq.write_table(tbl, os.path.join(out_dir, f"pages-{f:04d}.parquet"))
+        golds.append(gold)
+    if write_gold:
+        for name in ("gold_text", "gold_mentions", "gold_triples"):
+            merged = pa.concat_tables([g[name] for g in golds])
+            pq.write_table(merged, os.path.join(out_dir, f"{name}.parquet"))
+        pq.write_table(golds[0]["gold_entities"], os.path.join(out_dir, "gold_entities.parquet"))
+    return out_dir

@@ -1,0 +1,80 @@
+"""S9 — graph materialization: dedup, partition-by-hash, sort, write + manifests.
+
+Edges: ``groupby(subj_id, pred, obj_id)`` dedup-count (reference pattern D2/A8:
+duplicate-key groupby + count, scripts/generate_kfold_splits.py:122-131,
+scripts/error_analysis.py:80-88), partial-aggregated before the shuffle.
+Nodes: per-entity aggregate. Both written as ``part=<hash % P>`` Parquet
+directories (the resume unit — a url/entity never straddles partitions, the
+GroupKFold-by-doc analog, SURVEY.md O3) with per-partition lineage manifests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from ..functions.hashing import crc_bucket
+from ..state.manifest import completed_partitions, finalize_partitions
+from .canonicalize import pre_aggregated_count  # noqa: F401  (re-exported pattern)
+
+
+def dedup_edges(triples_with_ids: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(subj_id, pred, obj_id, prov) → deduped edges with occurrence counts and
+    a deterministic provenance sample (min "url#sent_id")."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
+            n_occurrences=("prov", "size"), prov=("prov", "min")
+        )
+        return g
+
+    partials = triples_with_ids.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["subj_id", "pred", "obj_id"]).aggregate(
+        Sum("n_occurrences", alias_name="n_occurrences"),
+        Min("prov", alias_name="prov"),
+    )
+
+
+def build_nodes(assignments: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(node, entity_id, canonical_name, type, n_mentions) → nodes table."""
+    return assignments.groupby("entity_id").aggregate(
+        Min("canonical_name", alias_name="canonical_name"),
+        Min("type", alias_name="type"),
+        Sum("n_mentions", alias_name="n_mentions"),
+    )
+
+
+def write_partitioned(
+    ds: "ray.data.Dataset",
+    table_dir: str,
+    part_key: str,
+    *,
+    n_partitions: int = 16,
+    sort_key: str | list[str] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Write ``part=<crc32(part_key) % n>`` Parquet dirs + manifests.
+
+    With ``resume=True``, partitions that already have a manifest are filtered
+    out BEFORE any work is written (kill-and-rerun skips finished shards).
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t.column(part_key).to_pylist()
+        return t.append_column("part", pa.array(crc_bucket(keys, n_partitions), pa.int32()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    done = completed_partitions(table_dir) if resume else set()
+    if done:
+        done_arr = list(done)
+        ds = ds.map_batches(
+            lambda t: t.filter(~pc.is_in(t.column("part"), pa.array(done_arr, pa.int32()))),
+            batch_format="pyarrow",
+        )
+    if sort_key is not None:
+        ds = ds.sort(sort_key)
+    ds.write_parquet(table_dir, partition_cols=["part"])
+    return finalize_partitions(table_dir)

@@ -1,0 +1,41 @@
+"""S3 — subword tokenization + first-subword label alignment (map_batches).
+
+Reproduces the structural invariant of the reference's tokenize_and_align
+transform (DistilBERT-CRF/src/data_module.py:83-119, core loop 98-110): each
+word expands to 1..k subwords; only the FIRST subword of a word carries the
+word's label position; continuations get the ignore marker. We keep the data
+columnar — ``input_ids: list<int32>`` and ``word_ids: list<int32>`` (−1 =
+continuation/special, the −100 analog) — no padding, because decode is per-row
+(SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .. import IGNORE_LABEL_ID  # noqa: F401  (documented constant; −1 used in word_ids)
+from ..functions.textfns import subword_id, subword_tokenize
+
+
+def tokenize_batch(batch: pa.Table, *, label_all_tokens: bool = False) -> pa.Table:
+    """``label_all_tokens`` propagates the word index to continuation subwords
+    instead of −1, mirroring the reference's config flag
+    (src/data_module.py:104-110; RoBERTa variant NER_roberta.ipynb cell 10)."""
+    tokens_col = batch.column("tokens").to_pylist()
+    ids_out, wids_out = [], []
+    for words in tokens_col:
+        ids: list[int] = []
+        wids: list[int] = []
+        for w_idx, w in enumerate(words):
+            pieces = subword_tokenize(w)
+            for p_i, p in enumerate(pieces):
+                ids.append(subword_id(p))
+                if p_i == 0 or label_all_tokens:
+                    wids.append(w_idx)
+                else:
+                    wids.append(-1)
+        ids_out.append(ids)
+        wids_out.append(wids)
+    return batch.append_column(
+        "input_ids", pa.array(ids_out, pa.list_(pa.int32()))
+    ).append_column("word_ids", pa.array(wids_out, pa.list_(pa.int32())))
