@@ -66,8 +66,22 @@ def write_partitioned(
         keys = t.column(part_key).to_pylist()
         return t.append_column("part", pa.array(crc_bucket(keys, n_partitions), pa.int32()))
 
+    import os
+    import shutil
+
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     done = completed_partitions(table_dir) if resume else set()
+    # a part dir with files but NO manifest is a torn write from a killed run:
+    # clear it so the rerun can't produce duplicate rows
+    if os.path.isdir(table_dir):
+        for name in os.listdir(table_dir):
+            pdir = os.path.join(table_dir, name)
+            if (
+                name.startswith("part=")
+                and os.path.isdir(pdir)
+                and int(name.split("=", 1)[1]) not in done
+            ):
+                shutil.rmtree(pdir)
     if done:
         done_arr = list(done)
         ds = ds.map_batches(

@@ -1,0 +1,134 @@
+"""Unit tests for the pure leaf functions (operator-level, no Ray needed)."""
+
+import numpy as np
+
+from ner_extractor_ray import LABELS
+from ner_extractor_ray.functions.bio import build_bio_tags, extract_entities, fix_bio
+from ner_extractor_ray.functions.tagging import gazetteer_matches, tag_sentence
+from ner_extractor_ray.functions.gazetteer import gazetteer_token_trie, normalize_surface
+from ner_extractor_ray.functions.textfns import (
+    char_shingles,
+    extract_text,
+    jaccard,
+    lang_id,
+    minhash_signature,
+    quality_features,
+    rolling_fingerprint,
+    simhash64,
+    split_sentences,
+    subword_tokenize,
+    tokenize_words,
+)
+from ner_extractor_ray.functions.viterbi import viterbi_decode
+
+
+def test_fix_bio_orphan_I():
+    # orphan I-ORG becomes B-ORG (reference fix_bio semantics)
+    assert fix_bio(["O", "I-ORG", "I-ORG", "O"]) == ["O", "B-ORG", "I-ORG", "O"]
+    # type switch mid-entity also repairs
+    assert fix_bio(["B-PER", "I-ORG"]) == ["B-PER", "B-ORG"]
+
+
+def test_extract_entities_spans():
+    tags = ["B-PER", "I-PER", "O", "B-ORG", "B-ORG", "I-ORG"]
+    assert extract_entities(tags) == [("PER", 0, 2), ("ORG", 3, 4), ("ORG", 4, 6)]
+    # entity at sentence end flushes
+    assert extract_entities(["O", "B-LOC"]) == [("LOC", 1, 2)]
+
+
+def test_build_bio_tags():
+    assert build_bio_tags("LOC", 3) == ["B-LOC", "I-LOC", "I-LOC"]
+    assert build_bio_tags("LOC", 0) == []
+
+
+def test_viterbi_enforces_bio_validity():
+    # emissions that scream I-PER at position 0 must still decode to a valid
+    # start (structural transitions forbid sequence-initial I-)
+    em = np.zeros((2, len(LABELS)))
+    em[0, LABELS.index("I-PER")] = 100.0
+    em[1, LABELS.index("I-PER")] = 100.0
+    path = viterbi_decode(em)
+    decoded = [LABELS[i] for i in path]
+    assert decoded[0] != "I-PER" or decoded[0].startswith("B-")
+    # full stream is BIO-consistent
+    assert fix_bio(decoded) == decoded or decoded[0] == "B-PER"
+
+
+def test_gazetteer_longest_match():
+    trie = gazetteer_token_trie()
+    toks = "City University of Hong Kong is based in Hong Kong .".split()
+    m = gazetteer_matches(toks, trie)
+    assert ("ORG", 0, 5) in m  # longest match wins over LOC "Hong Kong" inside
+    assert ("LOC", 8, 10) in m
+
+
+def test_tag_sentence_end_to_end():
+    toks = "Microsoft was founded by Bill Gates .".split()
+    tags = tag_sentence(toks)
+    assert extract_entities(tags) == [("ORG", 0, 1), ("PER", 4, 6)]
+
+
+def test_sentence_split_abbreviations():
+    text = "Bill Gates founded I.B.M. in New York .\nNext line ."
+    s = split_sentences(text)
+    assert len(s) == 2
+    assert s[0].endswith(".")
+
+
+def test_tokenize_words_trailing_period():
+    assert tokenize_words("ends here.") == ["ends", "here", "."]
+    assert tokenize_words("I.B.M. is big") == ["I.B.M.", "is", "big"]
+
+
+def test_subword_first_piece_convention():
+    pieces = subword_tokenize("Frankfurt")
+    assert pieces[0] == "Fran" and all(p.startswith("##") for p in pieces[1:])
+
+
+def test_extract_text_strips_boilerplate():
+    html = (b"<html><head><style>p{}</style><script>x</script></head>"
+            b"<body><nav>skip</nav><p>Hello &amp; world</p><footer>no</footer></body></html>")
+    assert extract_text(html) == "Hello & world"
+
+
+def test_lang_id():
+    assert lang_id("the cat and the dog went to the market") == "en"
+    assert lang_id("der Bericht ist von der Kommission und wird nicht") == "de"
+    assert lang_id("12345 !!!") == "und"
+
+
+def test_quality_features():
+    q = quality_features("The quick brown fox.")
+    assert q["n_tokens"] == 4 and q["n_chars"] == 20
+    assert 0 < q["stopword_ratio"] <= 1
+
+
+def test_fingerprint_deterministic_and_shift_robust():
+    a = rolling_fingerprint("some long enough document text for fingerprinting here")
+    b = rolling_fingerprint("some long enough document text for fingerprinting here")
+    assert a == b
+
+
+def test_minhash_similarity_ordering():
+    s1 = char_shingles("acme corporation international")
+    s2 = char_shingles("acme corporation internacional")
+    s3 = char_shingles("completely different text")
+    m1, m2, m3 = (minhash_signature(x) for x in (s1, s2, s3))
+    sim12 = (m1 == m2).mean()
+    sim13 = (m1 == m3).mean()
+    assert sim12 > sim13
+    assert jaccard(set(s1), set(s2)) > 0.6
+
+
+def test_simhash_near_for_near_texts():
+    h1 = simhash64("the quick brown fox jumps".split())
+    h2 = simhash64("the quick brown fox jumped".split())
+    h3 = simhash64("totally unrelated words here now".split())
+    d12 = bin(h1 ^ h2).count("1")
+    d13 = bin(h1 ^ h3).count("1")
+    assert d12 < d13
+
+
+def test_normalize_surface():
+    assert normalize_surface("I.B.M.") == "ibm"
+    assert normalize_surface("the University") == "university"
