@@ -121,6 +121,16 @@ def candidate_pairs(
     return pre_aggregated_count(pairs, ["a", "b"], count_col="_nb").select_columns(["a", "b"])
 
 
+def _rename_project(t: pa.Table, cols: list[tuple[str, str]]) -> pa.Table:
+    """Project+rename that is safe on the zero-column empty blocks Ray's
+    groupby/sort operators emit — always returns the target schema, so a
+    downstream join never sees a schema-less block (pyarrow acero raises
+    "No match for FieldRef" otherwise). ``cols`` = [(src, dst), ...]."""
+    if t.num_rows == 0 or not {s for s, _ in cols} <= set(t.column_names):
+        return pa.table({dst: pa.array([], pa.string()) for _, dst in cols})
+    return pa.table({dst: t.column(src) for src, dst in cols})
+
+
 def connected_components(
     pairs_ds: "ray.data.Dataset",
     nodes_ds: "ray.data.Dataset",
@@ -138,7 +148,7 @@ def connected_components(
     """
     nodes_only = nodes_ds.select_columns(["node"])
     identity = nodes_only.map_batches(
-        lambda t: pa.table({"node": t.column("node"), "comp": t.column("node")}),
+        lambda t: _rename_project(t, [("node", "node"), ("node", "comp")]),
         batch_format="pyarrow",
     )
     # No candidate pairs (all surfaces already distinct after alias resolution):
@@ -147,15 +157,15 @@ def connected_components(
     if pairs_ds.count() == 0:
         return identity.materialize()
     fwd = pairs_ds.map_batches(
-        lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")}),
+        lambda t: _rename_project(t, [("a", "src"), ("b", "dst")]),
         batch_format="pyarrow",
     )
     rev = pairs_ds.map_batches(
-        lambda t: pa.table({"src": t.column("b"), "dst": t.column("a")}),
+        lambda t: _rename_project(t, [("b", "src"), ("a", "dst")]),
         batch_format="pyarrow",
     )
     self_loops = nodes_only.map_batches(
-        lambda t: pa.table({"src": t.column("node"), "dst": t.column("node")}),
+        lambda t: _rename_project(t, [("node", "src"), ("node", "dst")]),
         batch_format="pyarrow",
     )
     edges = fwd.union(rev).union(self_loops).materialize()
@@ -166,6 +176,8 @@ def connected_components(
         import zlib
 
         def part(df: pd.DataFrame) -> pd.DataFrame:
+            if "node" not in df.columns:
+                return pd.DataFrame({"s": [0]})
             s = sum(zlib.crc32(f"{n}\x00{c}".encode()) for n, c in zip(df["node"], df["comp"]))
             return pd.DataFrame({"s": [s]})
 
@@ -175,7 +187,7 @@ def connected_components(
     prev = checksum(labels)
     for _ in range(max_rounds):
         lab_src = labels.map_batches(
-            lambda t: pa.table({"src": t.column("node"), "comp": t.column("comp")}),
+            lambda t: _rename_project(t, [("node", "src"), ("comp", "comp")]),
             batch_format="pyarrow",
         )
         joined = hash_join(edges, lab_src, on=("src",), num_partitions=num_partitions)
@@ -183,7 +195,7 @@ def connected_components(
             joined.groupby("dst")
             .aggregate(Min("comp", alias_name="comp"))
             .map_batches(
-                lambda t: pa.table({"node": t.column("dst"), "comp": t.column("comp")}),
+                lambda t: _rename_project(t, [("dst", "node"), ("comp", "comp")]),
                 batch_format="pyarrow",
             )
             .materialize()
@@ -205,8 +217,13 @@ def entity_assignments(
     canonical_name the lexicographically-min norm_key in the component.
     """
     lab_nodes = hash_join(labels_ds, nodes_ds, on=("node",), num_partitions=num_partitions)
-    canon = lab_nodes.groupby("comp").aggregate(
-        Min("norm_key", alias_name="canonical_name")
+    canon = (
+        lab_nodes.groupby("comp")
+        .aggregate(Min("norm_key", alias_name="canonical_name"))
+        .map_batches(
+            lambda t: _rename_project(t, [("comp", "comp"), ("canonical_name", "canonical_name")]),
+            batch_format="pyarrow",
+        )
     )
     with_canon = hash_join(lab_nodes, canon, on=("comp",), num_partitions=num_partitions)
 

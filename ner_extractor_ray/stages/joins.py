@@ -10,16 +10,21 @@ Two physical plans, chosen by side size — the scale rule that matters at
     BiLSTM-CRF/5489Project_trainv2.ipynb cell 5).
 
   * ``hash_join`` — both sides large: explicit partitioned hash join. We add a
-    stable ``__bucket = crc32(key) % B`` column to both sides and use the
-    native ``Dataset.join`` when present (ray 2.49 has it), else
-    union+groupby(bucket)+map_groups merge. Hot keys are handled by the
-    caller pre-aggregating before the join (see canonicalize.py salting).
+    stable ``__bucket = crc32(key) % B`` column to both sides, align schemas,
+    union, ``groupby(__bucket)`` and pandas-merge each bucket. Hot keys are
+    handled by callers pre-aggregating before the join (canonicalize.py).
+
+    Ray 2.49's native ``Dataset.join`` exists but chokes on the zero-column
+    empty blocks that ``groupby().aggregate()`` emits ("No match for FieldRef"
+    in pyarrow acero), so the portable plan is the default; pass
+    ``use_native=True`` for inputs guaranteed free of empty blocks.
 """
 
 from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 import ray
 import ray.data
@@ -59,26 +64,51 @@ def hash_join(
     *,
     how: str = "inner",
     num_partitions: int = 8,
+    use_native: bool = False,
 ) -> "ray.data.Dataset":
     """Hash-partitioned join of two Datasets on equal column names."""
-    on = tuple(on)
-    if hasattr(left, "join"):
-        return left.join(right, join_type=how, num_partitions=num_partitions, on=on)
-    # portable fallback: bucketed union + per-bucket pandas merge
+    on = list(on)
+    if use_native and hasattr(left, "join"):
+        return left.join(right, join_type=how, num_partitions=num_partitions, on=tuple(on))
+
     import zlib
 
-    def add_bucket(df: pd.DataFrame, tag: str) -> pd.DataFrame:
-        key = df[list(on)].astype(str).agg("\x00".join, axis=1)
-        df["__bucket"] = [zlib.crc32(k.encode()) % num_partitions for k in key]
-        df["__side"] = tag
-        return df
+    left_cols = [c for c in left.schema().names if not c.startswith("__")]
+    right_cols = [c for c in right.schema().names if not c.startswith("__")]
+    all_cols = list(dict.fromkeys(left_cols + right_cols))  # stable order
 
-    lt = left.map_batches(lambda df: add_bucket(df, "l"), batch_format="pandas")
-    rt = right.map_batches(lambda df: add_bucket(df, "r"), batch_format="pandas")
+    def prepare(tag: str, keep: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or not set(on) <= set(df.columns):
+                return pd.DataFrame(
+                    {
+                        **{c: pd.Series([], dtype="object") for c in all_cols},
+                        "__side": pd.Series([], dtype="object"),
+                        "__bucket": pd.Series([], dtype="int64"),
+                    }
+                )
+            df = df[keep].copy()
+            for c in all_cols:  # align schemas so union blocks concat cleanly
+                if c not in df.columns:
+                    df[c] = None
+            key = df[on].astype(str).agg("\x00".join, axis=1)
+            df["__side"] = tag
+            df["__bucket"] = np.fromiter(
+                (zlib.crc32(k.encode()) % num_partitions for k in key),
+                dtype=np.int64,
+                count=len(df),
+            )
+            return df[all_cols + ["__side", "__bucket"]]
+
+        return fn
+
+    lt = left.map_batches(prepare("l", left_cols), batch_format="pandas")
+    rt = right.map_batches(prepare("r", right_cols), batch_format="pandas")
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group[group["__side"] == "l"].drop(columns=["__side", "__bucket"])
-        rg = group[group["__side"] == "r"].drop(columns=["__side", "__bucket"])
-        return lg.merge(rg, on=list(on), how=how)
+        lg = group.loc[group["__side"] == "l", left_cols]
+        rg = group.loc[group["__side"] == "r", right_cols]
+        out = lg.merge(rg, on=on, how=how)
+        return out
 
     return lt.union(rt).groupby("__bucket").map_groups(merge, batch_format="pandas")

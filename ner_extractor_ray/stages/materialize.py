@@ -85,7 +85,9 @@ def write_partitioned(
     if done:
         done_arr = list(done)
         ds = ds.map_batches(
-            lambda t: t.filter(~pc.is_in(t.column("part"), pa.array(done_arr, pa.int32()))),
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t.column("part"), value_set=pa.array(done_arr, pa.int32())))
+            ),
             batch_format="pyarrow",
         )
     if sort_key is not None:
