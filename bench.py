@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+    python bench.py              # timed suite at $GRAFT_SF_DIR / $RAY_GRAFT_CPUS
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes + scaling efficiency (the
+                                 # sandbox-feasible N→4N-node evidence)
+
+Headline metric: end-to-end KG-construction seconds over the deterministic
+synthetic pages corpus (FIXTURES.md bench scale), plus per-query seconds for
+the operator suite over the TPC-H-ish testdata tables. ``kg_docs_per_sec`` is
+the throughput the north rule tracks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from ner_extractor_ray.pipelines import queries as Q
+    from ner_extractor_ray.pipelines.kg import pages_dataset, run_kg
+    from ner_extractor_ray.sources.pages import write_pages
+
+    sf = _sf_from_dir(sf_dir)
+    n_pages = max(500, int(500_000 * sf))  # sf0.1 → 50k pages (FIXTURES bench)
+    pages_dir = f"/tmp/ner_ray_bench_pages_{n_pages}"
+    if not os.path.exists(os.path.join(pages_dir, "gold_triples.parquet")):
+        write_pages(pages_dir, n_pages, seed=42, n_files=32)
+
+    timings: dict[str, float] = {}
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    pages_dataset(pages_dir).count()
+
+    t0 = time.perf_counter()
+    out_dir = f"/tmp/ner_ray_bench_kg_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = run_kg(pages_dataset(pages_dir), out_dir=out_dir, n_partitions=16)
+    n_edges = res["edges"].count()
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    suite = [
+        "pricing_summary", "events_hourly", "word_freq", "exact_dedup",
+        "minhash_neardup", "knn_cosine", "token_stats", "customer_by_nation",
+    ]
+    qmap = Q.queries()
+    for name in suite:
+        t0 = time.perf_counter()
+        r = qmap[name](sf_dir)
+        if hasattr(r, "count"):
+            r.count()  # consume the lazy dataset
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "e2e suite seconds (kg pipeline + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "kg_pages": n_pages,
+        "kg_edges": n_edges,
+        "kg_docs_per_sec": round(n_pages / kg_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        import subprocess
+
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = run(8), run(32)
+        t_lo, t_hi = lo["queries"]["kg_pipeline"], hi["queries"]["kg_pipeline"]
+        eff = (t_lo / t_hi) / (32 / 8)
+        print(json.dumps({
+            "metric": "kg pipeline scaling 8→32 cpus",
+            "sec_8": t_lo,
+            "sec_32": t_hi,
+            "docs_per_sec_8": lo["kg_docs_per_sec"],
+            "docs_per_sec_32": hi["kg_docs_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "suite_sec_8": lo["value"],
+            "suite_sec_32": hi["value"],
+        }))
+        return
+
+    print(json.dumps(run_suite(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

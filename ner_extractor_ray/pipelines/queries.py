@@ -1,0 +1,515 @@
+"""Query catalogue: one entry per implemented operator family (SURVEY.md §2),
+each with a DuckDB-equivalent oracle SQL where ANSI-SQL can express it.
+
+Conventions that make the driver's order-insensitive value-hash comparison
+succeed (CORRECTNESS gate):
+  * every computed/aggregate column is NAMED, identically in Ray and SQL;
+  * money/float sums are computed on exact integers
+    (``cents = floor(x*100 + 0.5)`` — identical IEEE double ops on both
+    sides, then exact int64 addition in any order); raw double sums are
+    order-dependent in the last ulp and would hash-mismatch;
+  * count columns are int64 on both sides; int32 keys are cast to int64;
+  * top-k queries carry a total-order tie-break (value desc, key asc).
+
+Scale discipline: column pruning at read_parquet; per-batch partial
+aggregation before every groupby; broadcast small sides (nation) instead of
+shuffle joins; top-k as per-batch partial top-k → tiny global sort.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+_ALNUM = re.compile(r"[a-z0-9]+")
+EMBED_DIM = 64  # testdata embeddings dim (TESTDATA.md tables)
+
+
+def _rp(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _cents(values: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(values, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Relational operator family (TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """A5/A6 analog: grouped sums with per-batch partial aggregation."""
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t.column("l_returnflag").to_pylist(),
+                "l_linestatus": t.column("l_linestatus").to_pylist(),
+                "sum_qty": np.asarray(t.column("l_quantity"), dtype=np.float64),
+                "sum_price_cents": _cents(np.asarray(t.column("l_extendedprice"))),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_price_cents=("sum_price_cents", "sum"),
+            n_items=("sum_qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+
+def q_top_orders(sf_dir: str):
+    """O8 top-k: global sort with total-order tie-break, then limit."""
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_customer_by_nation(sf_dir: str):
+    """J1/J4 broadcast join: 25-row nation dict shipped once, no shuffle."""
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    nref = ray.put(nation)
+    ds = _rp(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(nref)
+        names = [m.get(k) for k in t.column("c_nationkey").to_pylist()]
+        df = pd.DataFrame(
+            {"n_name": names, "acctbal_cents": _cents(np.asarray(t.column("c_acctbal")))}
+        )
+        g = df.groupby("n_name", as_index=False).agg(
+            n_customers=("acctbal_cents", "size"), acctbal_cents=("acctbal_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """§2.9 streaming analog: tumbling 1-hour event-time window as a grouped
+    aggregate over floor(epoch/3600) (ordering-free, key carried per row)."""
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "window_id": us // 3_600_000_000,
+                "event_type": t.column("event_type").to_pylist(),
+                "value_cents": _cents(np.asarray(t.column("value"))),
+            }
+        )
+        g = df.groupby(["window_id", "event_type"], as_index=False).agg(
+            n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_id", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+def q_user_event_stats(sf_dir: str):
+    """A6 running-aggregate analog: per-(user, type) count + exact max."""
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t.column("user_id").to_pylist(),
+                "event_type": t.column("event_type").to_pylist(),
+                "max_value_cents": _cents(np.asarray(t.column("value"))),
+            }
+        )
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("max_value_cents", "size"), max_value_cents=("max_value_cents", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Max("max_value_cents", alias_name="max_value_cents"),
+        )
+    )
+
+
+def q_fold_counts(sf_dir: str):
+    """O3 GroupKFold analog: deterministic partition column doc_id % 5."""
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        fold = pc.cast(t.column("doc_id"), pa.int64()).to_numpy() % 5
+        df = pd.DataFrame({"fold": fold})
+        g = df.groupby("fold", as_index=False).size().rename(columns={"size": "n_docs"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fold")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def q_distinct_langs(sf_dir: str):
+    """A1 vocabulary collection: global distinct + sort (tiny result)."""
+    langs = sorted(_rp(sf_dir, "documents", ["lang"]).unique("lang"))
+    return pa.table({"lang": pa.array(langs, pa.string())})
+
+
+def q_lang_stats(sf_dir: str):
+    """A2/A3 histogram: groupby-count + exact integer sum."""
+    ds = _rp(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": t.column("lang").to_pylist(),
+             "sum_chars": pc.cast(t.column("n_chars"), pa.int64()).to_numpy()}
+        )
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("sum_chars", "size"), sum_chars=("sum_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"))
+    )
+
+
+def q_word_freq(sf_dir: str):
+    """A4 word-frequency vocabulary with MIN_FREQ threshold (explode + count)."""
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column("text").to_pylist():
+            for w in _ALNUM.findall((s or "").lower()):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {"token": pa.array(list(counts), pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), 5)), batch_format="pyarrow"
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    """D2 exact dedup by serialized content key (md5), keep-min-id + count."""
+    from ..functions.dedup import exact_dedup_groups
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup_groups(ds, "text", "doc_id")
+
+
+def q_union_nationkeys(sf_dir: str):
+    """D5 union + distinct over two sources."""
+    c = _rp(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: pa.table({"k": pc.cast(t.column("c_nationkey"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    s = _rp(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: pa.table({"k": pc.cast(t.column("s_nationkey"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    ks = sorted(c.union(s).unique("k"))
+    return pa.table({"k": pa.array(ks, pa.int64())})
+
+
+def q_token_stats(sf_dir: str):
+    """M13/A3 per-document token statistics (integers only — SQL-exact)."""
+    from ..stages.textops import token_stats_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def q_label_hist(sf_dir: str):
+    ds = _rp(sf_dir, "embeddings", ["label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = pc.cast(t.column("label"), pa.int64()).to_numpy()
+        df = pd.DataFrame({"label": lab})
+        g = df.groupby("label", as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_knn_cosine(sf_dir: str):
+    """Similarity search baseline: brute-force cosine top-10 vs a fixed query
+    (all-ones), per-batch partial top-k → global rank. Ints only in output."""
+    from ..functions.similarity import knn_brute
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_brute(ds, np.ones((1, EMBED_DIM)), k=10)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t.column("vec_id"), "rank": pc.cast(t.column("rank"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data ops without a SQL equivalent (rows-only driver check)
+# --------------------------------------------------------------------------
+
+def q_minhash_neardup(sf_dir: str):
+    from ..functions.dedup import lsh_near_dup_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = lsh_near_dup_pairs(ds, "text", "doc_id", shingle="word3", threshold=0.8)
+    return pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": pc.cast(t.column("id_a"), pa.int64()),
+                "id_b": pc.cast(t.column("id_b"), pa.int64()),
+            }
+        )
+        if t.num_rows
+        else pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def q_simhash(sf_dir: str):
+    from ..functions.dedup import with_simhash
+
+    return with_simhash(_rp(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
+def q_ngram_jaccard_neardup(sf_dir: str):
+    from ..functions.dedup import lsh_near_dup_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return lsh_near_dup_pairs(ds, "text", "doc_id", shingle="word1", threshold=0.9)
+
+
+def q_langid(sf_dir: str):
+    from ..stages.textops import langid_batch
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        langid_batch, batch_format="pyarrow"
+    )
+
+
+def q_quality(sf_dir: str):
+    from ..stages.textops import quality_batch
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from ..stages.textops import fingerprint_batch
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_knn_ivf(sf_dir: str):
+    from ..functions.similarity import ivf_assign, ivf_build_centroids, knn_ivf
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = ivf_build_centroids(ds, n_centroids=8, refine_rounds=1)
+    assigned = ivf_assign(ds, cent)
+    out = knn_ivf(assigned, cent, np.ones((1, EMBED_DIM)), k=10, n_probe=4)
+    return out.select_columns(["vec_id", "rank"])
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup: brute pairwise per IVF bucket (bucketed
+    blocking keeps the pair space linear-ish at scale)."""
+    from ..functions.similarity import _batch_matrix, ivf_assign, ivf_build_centroids
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = ivf_build_centroids(ds, n_centroids=8, refine_rounds=1)
+    assigned = ivf_assign(ds, cent)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        ids = g["vec_id"].to_numpy()
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ m.T) / np.outer(norms, norms)
+        ii, jj = np.where(np.triu(sims > 0.95, k=1))
+        return pd.DataFrame(
+            {"id_a": ids[ii].astype(np.int64), "id_b": ids[jj].astype(np.int64)}
+        )
+
+    return assigned.groupby("ivf_bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+
+def q_kg_edges(sf_dir: str):
+    """Flagship KG pipeline over the deterministic synthetic pages corpus
+    (size scaled by sf). Rows-only driver check; full parity vs the oracle is
+    asserted in tests/test_oracle_parity.py."""
+    import re as _re
+
+    from ..sources.pages import write_pages
+    from .kg import pages_dataset, run_kg
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    n_pages = max(100, int(20000 * sf))
+    pdir = f"/tmp/ner_ray_pages_sf{sf}"
+    if not os.path.exists(os.path.join(pdir, "gold_triples.parquet")):
+        write_pages(pdir, n_pages, seed=42, n_files=8)
+    res = run_kg(pages_dataset(pdir), out_dir=None, n_partitions=8)
+    return res["edges"]
+
+
+# --------------------------------------------------------------------------
+
+def queries() -> dict:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "customer_by_nation": q_customer_by_nation,
+        "events_hourly": q_events_hourly,
+        "user_event_stats": q_user_event_stats,
+        "fold_counts": q_fold_counts,
+        "distinct_langs": q_distinct_langs,
+        "lang_stats": q_lang_stats,
+        "word_freq": q_word_freq,
+        "exact_dedup": q_exact_dedup,
+        "union_nationkeys": q_union_nationkeys,
+        "token_stats": q_token_stats,
+        "label_hist": q_label_hist,
+        "knn_cosine": q_knn_cosine,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash": q_simhash,
+        "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+        "langid": q_langid,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "knn_ivf": q_knn_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "kg_edges": q_kg_edges,
+    }
+
+
+_ONES = "[" + ", ".join(["1.0"] * EMBED_DIM) + "]"
+
+def oracle_sql() -> dict:
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "customer_by_nation": """
+            SELECT n_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_hourly": """
+            SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS window_id, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "user_event_stats": """
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "fold_counts": """
+            SELECT doc_id % 5 AS fold, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        """,
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "lang_stats": """
+            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "word_freq": """
+            SELECT w AS token, COUNT(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+                  FROM documents)
+            GROUP BY w HAVING COUNT(*) >= 5
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "union_nationkeys": """
+            SELECT DISTINCT k FROM (
+                SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+                UNION ALL
+                SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier)
+        """,
+        "token_stats": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "label_hist": """
+            SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n FROM embeddings GROUP BY 1
+        """,
+        "knn_cosine": f"""
+            SELECT vec_id, CAST(rank AS BIGINT) AS rank FROM (
+                SELECT vec_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY list_cosine_similarity(embedding, {_ONES}) DESC, vec_id
+                       ) AS rank
+                FROM embeddings) WHERE rank <= 10
+        """,
+    }

@@ -1,0 +1,76 @@
+"""Driver-style correctness harness: every queries() entry with an oracle_sql()
+is executed on sf0.001 via Ray AND DuckDB and compared — row count, column
+names, and order-insensitive values (exact; the catalogue is designed so all
+comparable columns are integers, strings, or exactly-summable doubles)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ner_extractor_ray.pipelines.queries import oracle_sql, queries
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = []
+    for t in df[cols].itertuples(index=False):
+        row = []
+        for v in t:
+            if isinstance(v, float):
+                row.append(round(v, 9) if not math.isnan(v) else "nan")
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    return sorted(map(repr, rows))
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+SQL_QUERIES = sorted(oracle_sql())
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(name, con):
+    ray_df = _to_pandas(queries()[name](SF_DIR))
+    sql_df = con.execute(oracle_sql()[name]).fetchdf()
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: columns {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} vs {len(sql_df)}"
+    assert _normalize(ray_df) == _normalize(sql_df), f"{name}: value mismatch"
+
+
+NON_SQL = sorted(set(queries()) - set(oracle_sql()) - {"kg_edges"})
+
+
+@pytest.mark.parametrize("name", NON_SQL)
+def test_non_sql_query_runs_and_is_deterministic(name):
+    q = queries()[name]
+    a = _normalize(_to_pandas(q(SF_DIR)))
+    b = _normalize(_to_pandas(q(SF_DIR)))
+    assert a == b
