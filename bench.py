@@ -43,13 +43,19 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # size block counts to the cluster: the default min_parallelism=200 splits
+    # small-scale inputs into hundreds of tiny blocks and per-task scheduling
+    # overhead dominates (at 100 TB the natural block count far exceeds this)
+    ctx.min_parallelism = num_cpus * 2
+    ctx.read_op_min_num_blocks = num_cpus * 2
 
     from ner_extractor_ray.pipelines import queries as Q
     from ner_extractor_ray.pipelines.kg import pages_dataset, run_kg
     from ner_extractor_ray.sources.pages import write_pages
 
     sf = _sf_from_dir(sf_dir)
-    n_pages = max(500, int(500_000 * sf))  # sf0.1 → 50k pages (FIXTURES bench)
+    mult = int(os.environ.get("GRAFT_BENCH_PAGES_MULT", "1"))
+    n_pages = max(500, int(500_000 * sf)) * mult  # sf0.1 → 50k pages (FIXTURES bench)
     pages_dir = f"/tmp/ner_ray_bench_pages_{n_pages}"
     if not os.path.exists(os.path.join(pages_dir, "gold_triples.parquet")):
         write_pages(pages_dir, n_pages, seed=42, n_files=32)
@@ -71,6 +77,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "pricing_summary", "events_hourly", "word_freq", "exact_dedup",
         "minhash_neardup", "knn_cosine", "token_stats", "customer_by_nation",
     ]
+    if os.environ.get("GRAFT_BENCH_KG_ONLY"):
+        suite = []
     qmap = Q.queries()
     for name in suite:
         t0 = time.perf_counter()
@@ -103,7 +111,10 @@ def main() -> None:
         import subprocess
 
         def run(ncpu: int) -> dict:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            # 4× corpus for the scaling runs: the compute share must dominate
+            # the fixed orchestration latencies for the ratio to be meaningful
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_KG_ONLY="1",
+                       GRAFT_BENCH_PAGES_MULT=os.environ.get("GRAFT_BENCH_PAGES_MULT", "8"))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,

@@ -97,20 +97,20 @@ def lsh_near_dup_pairs(
     shingler = SHINGLERS[shingle]
 
     def bands(t: pa.Table) -> pa.Table:
+        from ..stages.canonicalize import _bucket_key
+
         ids = t.column(id_col).to_pylist()
         texts = t.column(text_col).to_pylist()
-        o_b, o_h, o_id, o_txt = [], [], [], []
+        o_b, o_id, o_txt = [], [], []
         for i, txt in zip(ids, texts):
             sig = minhash_signature(shingler(txt or ""), num_perm)
             for b, h in enumerate(band_keys(sig, n_bands)):
-                o_b.append(b)
-                o_h.append(h)
+                o_b.append(_bucket_key(b, h))
                 o_id.append(i)
                 o_txt.append(txt)
         return pa.table(
             {
-                "band_id": pa.array(o_b, pa.int32()),
-                "band_hash": pa.array(o_h, pa.int64()),
+                "bucket": pa.array(o_b, pa.int64()),
                 "doc": pa.array(o_id, pa.int64()),
                 "txt": pa.array(o_txt, pa.string()),
             }
@@ -140,7 +140,7 @@ def lsh_near_dup_pairs(
     pair_rows = (
         ds.select_columns([id_col, text_col])
         .map_batches(bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     # dedup pairs found in multiple bands (partial per-batch combine first)
@@ -149,10 +149,12 @@ def lsh_near_dup_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
         return df.groupby(["id_a", "id_b"], as_index=False)["jaccard"].min()
 
-    return (
-        pair_rows.map_batches(partial, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Min("jaccard", alias_name="jaccard"))
+    from ..stages.canonicalize import grouped_aggregate
+
+    return grouped_aggregate(
+        pair_rows.map_batches(partial, batch_format="pandas"),
+        ["id_a", "id_b"],
+        Min("jaccard", alias_name="jaccard"),
     )
 
 

@@ -7,12 +7,14 @@ dedup/sort — all partial-aggregated and hash-partitioned.
 
 Scale notes (100 TB design, tested single-node):
   * ``html`` is dropped at S1; nothing downstream ever shuffles it.
-  * The tagged-sentences table is the stage-boundary CHECKPOINT: with an
-    ``out_dir`` it is written once as partitioned Parquet and both consumers
-    (mention decode, relation extraction) read it back — one tagger pass, no
-    corpus-scale object-store pinning, and the resume boundary for free.
-    Without an ``out_dir`` (tests/small) it is materialized in the object
-    store instead.
+  * ONE corpus pass: extract → sentseg → tokenize → tag → annotate is a fused
+    task chain; its distilled output (annotations: mentions + triples, a few
+    narrow rows per sentence) is the only corpus-derived checkpoint — written
+    as partitioned Parquet with manifests (the resume boundary) or
+    materialized when no out_dir. Nothing corpus-sized is pinned or re-read.
+  * Cheap-state stages run as TASKS (state pickled once per worker); the
+    actor-pool plan (``use_actors=True``) exists for heavy-state scorers
+    (HFTagger weights) where per-actor setup amortization wins.
   * The entity-assignment table (distinct surfaces only) is the broadcast
     small side; above ``broadcast_limit`` rows the pipeline switches to a
     partitioned hash join automatically.
@@ -28,16 +30,9 @@ import ray
 import ray.data
 
 from ..functions.gazetteer import alias_canonical_map, normalize_surface
-from ..stages.canonicalize import (
-    candidate_pairs,
-    connected_components,
-    distinct_nodes,
-    entity_assignments,
-)
-from ..stages.decode import decode_batch
+from ..stages.canonicalize import canonicalize_nodes, distinct_nodes
 from ..stages.extract import extract_batch
 from ..stages.joins import hash_join
-from ..stages.linking import Linker
 from ..stages.materialize import build_nodes, dedup_edges, write_partitioned
 from ..stages.sentseg import sentseg_batch
 from ..stages.tagger import DeterministicTagger
@@ -69,10 +64,16 @@ def tag_sentences(
     tagger_concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
     lang_filter: str | None = "en",
+    use_actors: bool = False,
 ) -> "ray.data.Dataset":
-    """pages → tagged sentence rows (url, sent_id, tokens, tags, ...)."""
-    if tagger_concurrency is None:
-        tagger_concurrency = default_tagger_concurrency()
+    """pages → tagged sentence rows (url, sent_id, tokens, tags, ...).
+
+    Scorer physical plan: ``use_actors=False`` (default) runs the tagger as
+    stateless TASKS — the gazetteer-trie state is trivially picklable, built
+    once per worker on first deserialize, and tasks avoid per-execution actor
+    startup (2× wall-time win measured at 200k pages). ``use_actors=True``
+    switches to the actor-pool plan — required when the scorer holds heavy
+    state (HFTagger model weights; SURVEY.md T2)."""
     ds = pages.map_batches(extract_batch, batch_format="pyarrow")
     if lang_filter:
         ds = ds.map_batches(
@@ -81,12 +82,17 @@ def tag_sentences(
         )
     ds = ds.map_batches(sentseg_batch, batch_format="pyarrow")
     ds = ds.map_batches(tokenize_batch, batch_format="pyarrow")
-    ds = ds.map_batches(
-        DeterministicTagger,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=tagger_concurrency,
-    )
+    if use_actors:
+        ds = ds.map_batches(
+            DeterministicTagger,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=tagger_concurrency or default_tagger_concurrency(),
+        )
+    else:
+        ds = ds.map_batches(
+            DeterministicTagger(), batch_format="pyarrow", batch_size=batch_size
+        )
     return ds.select_columns(["url", "sent_id", "sentence", "tokens", "n_tokens", "tags"])
 
 
@@ -137,47 +143,69 @@ def run_kg(
     n_partitions: int = 16,
     broadcast_limit: int = 2_000_000,
     resume: bool = True,
+    use_actors: bool = False,
+    write_tagged: bool = False,
 ) -> dict:
     """Run the full KG-construction pipeline; returns the result datasets.
 
-    With ``out_dir``: tagged/nodes/edges are written as partitioned Parquet
-    with lineage manifests; completed tables are skipped on rerun.
+    With ``out_dir``: annotations/nodes/edges are written as partitioned
+    Parquet with lineage manifests; completed tables are skipped on rerun.
+    The corpus is scanned ONCE: extract → sentseg → tokenize → tag → annotate
+    runs as a single fused task chain whose distilled output (the annotations
+    table, a few rows per sentence) is the checkpoint/resume boundary —
+    nothing corpus-sized is materialized or re-read. ``write_tagged=True``
+    additionally checkpoints the tagged-sentences table (two corpus passes,
+    useful when tags feed other consumers).
     """
-    from .relations_stage import relations_from_tagged  # local import, no cycle
+    from ..stages.annotate import Annotator, split_annotations
 
-    # ---- S1-S4: extract → sentseg → tokenize → tag (one corpus pass)
-    tagged_dir = os.path.join(out_dir, "tagged") if out_dir else None
-    if tagged_dir and table_complete(tagged_dir) and resume:
-        tagged = ray.data.read_parquet(tagged_dir)
-    else:
-        tagged = tag_sentences(
-            pages, tagger_concurrency=tagger_concurrency, batch_size=batch_size
-        )
-        if tagged_dir:
-            write_partitioned(tagged, tagged_dir, "url", n_partitions=n_partitions,
-                              resume=resume)
-            tagged = ray.data.read_parquet(tagged_dir)
-        else:
-            tagged = tagged.materialize()
-
-    # ---- S5/S6: two readers of the checkpoint — mentions and raw triples
-    mentions = tagged.map_batches(decode_batch, batch_format="pyarrow")
     alias = alias_canonical_map()
     alias_ref = ray.put(alias)
-    mentions = mentions.map_batches(
-        Linker, batch_format="pyarrow", fn_constructor_kwargs={"alias_ref": alias_ref},
-        concurrency=(1, 2),
-    )
-    triples = relations_from_tagged(tagged)
-    triples = triples.map_batches(
-        _triple_nodes, batch_format="pyarrow", fn_kwargs={"alias": alias}
-    )
+    ann_dir = os.path.join(out_dir, "annotations") if out_dir else None
+    tagged = None
 
-    # ---- S8: canonicalization over DISTINCT surfaces (small relative to corpus)
+    if ann_dir and table_complete(ann_dir) and resume:
+        ann = ray.data.read_parquet(ann_dir)
+    else:
+        # ---- S1-S4 (+ optional tagged checkpoint)
+        tagged = tag_sentences(
+            pages, tagger_concurrency=tagger_concurrency, batch_size=batch_size,
+            use_actors=use_actors,
+        )
+        if write_tagged and out_dir:
+            tagged_dir = os.path.join(out_dir, "tagged")
+            if not (table_complete(tagged_dir) and resume):
+                write_partitioned(tagged, tagged_dir, "url",
+                                  n_partitions=n_partitions, resume=resume)
+            tagged = ray.data.read_parquet(tagged_dir)
+
+        # ---- S5+S6+S7a fused into the same pass
+        if use_actors:
+            ann = tagged.map_batches(
+                Annotator,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                fn_constructor_kwargs={"alias_ref": alias_ref},
+                concurrency=tagger_concurrency or default_tagger_concurrency(),
+            )
+        else:
+            ann = tagged.map_batches(
+                Annotator(alias), batch_format="pyarrow", batch_size=batch_size
+            )
+        if ann_dir:
+            write_partitioned(ann, ann_dir, "url", n_partitions=n_partitions,
+                              resume=resume)
+            ann = ray.data.read_parquet(ann_dir)
+        else:
+            ann = ann.materialize()
+    mentions, triples = split_annotations(ann)
+
+    # ---- S8: canonicalization over DISTINCT surfaces (small relative to
+    # corpus); physical plan chosen by vocabulary size (canonicalize_nodes)
     nodes_distinct = distinct_nodes(mentions).materialize()
-    pairs = candidate_pairs(nodes_distinct)
-    labels = connected_components(pairs, nodes_distinct)
-    assignments = entity_assignments(labels, nodes_distinct).materialize()
+    assignments = canonicalize_nodes(
+        nodes_distinct, num_partitions=n_partitions
+    ).materialize()
 
     # ---- S7b: resolve mentions/triples to entity ids (broadcast or hash join)
     n_assign = assignments.count()
@@ -191,17 +219,11 @@ def run_kg(
         }
         map_ref = ray.put(id_map)
         mentions_linked = mentions.map_batches(
-            _IdLookup, batch_format="pyarrow",
-            fn_constructor_kwargs={"map_ref": map_ref, "cols": [("node", "entity_id")]},
-            concurrency=(1, 2),
+            _IdLookup(map_ref, [("node", "entity_id")]), batch_format="pyarrow"
         )
         triples_ids = triples.map_batches(
-            _IdLookup, batch_format="pyarrow",
-            fn_constructor_kwargs={
-                "map_ref": map_ref,
-                "cols": [("subj_node", "subj_id"), ("obj_node", "obj_id")],
-            },
-            concurrency=(1, 2),
+            _IdLookup(map_ref, [("subj_node", "subj_id"), ("obj_node", "obj_id")]),
+            batch_format="pyarrow",
         )
     else:  # huge surface vocabulary: partitioned hash joins instead
         amap = assignments.select_columns(["node", "entity_id"])
@@ -222,6 +244,7 @@ def run_kg(
         triples_ids.select_columns(["subj_id", "pred", "obj_id", "prov"])
     )
     result = {
+        "annotations": ann,
         "tagged": tagged,
         "mentions": mentions_linked,
         "triples": triples_ids,

@@ -66,14 +66,14 @@ def q_pricing_summary(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_price_cents", alias_name="sum_price_cents"),
-            Sum("n_items", alias_name="n_items"),
-        )
+    from ..stages.canonicalize import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("n_items", alias_name="n_items"),
     )
 
 
@@ -132,13 +132,13 @@ def q_events_hourly(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["window_id", "event_type"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
-        )
+    from ..stages.canonicalize import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["window_id", "event_type"],
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_cents", alias_name="value_cents"),
     )
 
 
@@ -159,13 +159,13 @@ def q_user_event_stats(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Max("max_value_cents", alias_name="max_value_cents"),
-        )
+    from ..stages.canonicalize import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        Sum("n", alias_name="n"),
+        Max("max_value_cents", alias_name="max_value_cents"),
     )
 
 

@@ -44,11 +44,59 @@ def pre_aggregated_count(
     """groupby(keys).count() with a per-batch combiner (partial aggregation)
     so hot keys never ship one shuffle row per input row (SURVEY.md §2.5 A2)."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, as_index=False).size().rename(columns={"size": count_col})
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(keys, as_index=False).size().rename(columns={"size": count_col})
+        # Arrow out: sort-shuffling pandas object-dtype blocks is ~7× slower
+        # than Arrow string blocks (16.4s vs 2.3s on the bench profile)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(keys).aggregate(Sum(count_col, alias_name=count_col))
+    # compact the (small) partials: shuffle/aggregate cost scales with block
+    # COUNT, and per-batch partials are many tiny blocks (13s → 1s observed)
+    return grouped_aggregate(
+        partials.repartition(_compact_blocks()),
+        keys,
+        Sum(count_col, alias_name=count_col),
+    )
+
+
+def _compact_blocks() -> int:
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return max(8, min(64, cpus))
+
+
+def grouped_aggregate(ds: "ray.data.Dataset", keys: list[str], *aggs) -> "ray.data.Dataset":
+    """groupby(keys).aggregate(*aggs) via ONE synthetic key column.
+
+    Ray's sort-based shuffle on a MULTI-column string groupby is ~10× slower
+    than on a single column (11.9s vs 1.2s on identical 86k-row data — bench
+    profile); since the key columns are functionally dependent on their
+    concatenation, we group by ``"\\x00"``-joined strings and carry the
+    originals through with Min (constant within a group → exact)."""
+    if len(keys) == 1:
+        return ds.groupby(keys[0]).aggregate(*aggs)
+
+    import pyarrow.compute as pc
+
+    def add_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not set(keys) <= set(t.column_names):
+            return t
+        cols = [pc.cast(t.column(k), pa.string()) for k in keys]
+        gk = pc.binary_join_element_wise(*cols, "\x00")  # vectorized, not row-wise
+        return t.append_column("__gk", gk)
+
+    carried = [Min(k, alias_name=k) for k in keys]
+    out = (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("__gk")
+        .aggregate(*carried, *aggs)
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["__gk"]) if "__gk" in t.column_names else t,
+        batch_format="pyarrow",
+    )
 
 
 def distinct_nodes(mentions_ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -59,23 +107,30 @@ def distinct_nodes(mentions_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+_BUCKET_MIX = 0x9E3779B97F4A7C15  # golden-ratio mixer: (band_id, band_hash) → one int64
+
+
+def _bucket_key(band_id: int, band_hash: int) -> int:
+    """Single-int bucket id (multi-key groupby is ~10× slower; a collision
+    merely merges two buckets, and every pair is Jaccard-verified anyway)."""
+    return ((band_hash ^ (band_id * _BUCKET_MIX)) & 0x7FFFFFFFFFFFFFFF)
+
+
 def _band_rows(batch: pa.Table) -> pa.Table:
     nodes = batch.column("node").to_pylist()
     keys = batch.column("norm_key").to_pylist()
     types = batch.column("type").to_pylist()
-    o_band, o_hash, o_node, o_key, o_type = [], [], [], [], []
+    o_bucket, o_node, o_key, o_type = [], [], [], []
     for node, key, typ in zip(nodes, keys, types):
         sig = minhash_signature(char_shingles(key), NUM_PERM)
         for b, h in enumerate(band_keys(sig, N_BANDS)):
-            o_band.append(b)
-            o_hash.append(h)
+            o_bucket.append(_bucket_key(b, h))
             o_node.append(node)
             o_key.append(key)
             o_type.append(typ)
     return pa.table(
         {
-            "band_id": pa.array(o_band, pa.int32()),
-            "band_hash": pa.array(o_hash, pa.int64()),
+            "bucket": pa.array(o_bucket, pa.int64()),
             "node": pa.array(o_node, pa.string()),
             "norm_key": pa.array(o_key, pa.string()),
             "type": pa.array(o_type, pa.string()),
@@ -114,9 +169,7 @@ def candidate_pairs(
                     out_b.append(nodes[j])
         return pd.DataFrame({"a": out_a, "b": out_b}, dtype="object")
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = bands.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     # dedup pairs discovered in multiple bands
     return pre_aggregated_count(pairs, ["a", "b"], count_col="_nb").select_columns(["a", "b"])
 
@@ -206,6 +259,97 @@ def connected_components(
             break
         prev = cur
     return labels
+
+
+def canonicalize_nodes(
+    nodes_distinct: "ray.data.Dataset",
+    *,
+    threshold: float = 0.6,
+    bucket_cap: int = 64,
+    driver_threshold: int = 200_000,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """distinct nodes → entity assignments, choosing the physical plan by size.
+
+    The distinct-surface vocabulary is usually orders of magnitude smaller
+    than the corpus. Below ``driver_threshold`` rows the LSH-pairing +
+    union-find runs on the driver (identical pair-generation code path:
+    same bands, same bucket cap/chaining, same Jaccard verify — so both
+    plans produce byte-identical assignments); above it, the distributed
+    candidate_pairs → connected_components → entity_assignments plan runs.
+    """
+    n = nodes_distinct.count()
+    if n > driver_threshold:
+        pairs = candidate_pairs(nodes_distinct, threshold=threshold, bucket_cap=bucket_cap)
+        labels = connected_components(pairs, nodes_distinct, num_partitions=num_partitions)
+        return entity_assignments(labels, nodes_distinct, num_partitions=num_partitions)
+
+    rows = nodes_distinct.take_all()
+    rows_by_node = {r["node"]: r for r in rows}
+    # same bucketing as _band_rows + bucket_pairs
+    buckets: dict[tuple, list[str]] = {}
+    for r in rows:
+        sig = minhash_signature(char_shingles(r["norm_key"]), NUM_PERM)
+        for b, h in enumerate(band_keys(sig, N_BANDS)):
+            buckets.setdefault(_bucket_key(b, h), []).append(r["node"])
+    parent = {r["node"]: r["node"] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+
+    for bucket_nodes in buckets.values():
+        g = sorted(set(bucket_nodes))
+        if len(g) < 2:
+            continue
+        sh = {nd: set(char_shingles(rows_by_node[nd]["norm_key"])) for nd in g}
+        idx_pairs = (
+            [(i, j) for i in range(len(g)) for j in range(i + 1, len(g))]
+            if len(g) <= bucket_cap
+            else [(i, i + 1) for i in range(len(g) - 1)]
+        )
+        for i, j in idx_pairs:
+            a, b = g[i], g[j]
+            if rows_by_node[a]["type"] != rows_by_node[b]["type"]:
+                continue
+            if jaccard(sh[a], sh[b]) >= threshold:
+                union(a, b)
+
+    comp_members: dict[str, list[str]] = {}
+    for nd in parent:
+        comp_members.setdefault(find(nd), []).append(nd)
+    out = {"node": [], "entity_id": [], "canonical_name": [], "type": [], "n_mentions": []}
+    for rep, members in comp_members.items():
+        rep_min = min(members)
+        eid = stable_id(f"ent:{rep_min}")
+        canonical = min(rows_by_node[m]["norm_key"] for m in members)
+        for m in members:
+            out["node"].append(m)
+            out["entity_id"].append(eid)
+            out["canonical_name"].append(canonical)
+            out["type"].append(rows_by_node[m]["type"])
+            out["n_mentions"].append(rows_by_node[m]["n_mentions"])
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(out["node"], pa.string()),
+                "entity_id": pa.array(out["entity_id"], pa.string()),
+                "canonical_name": pa.array(out["canonical_name"], pa.string()),
+                "type": pa.array(out["type"], pa.string()),
+                "n_mentions": pa.array(out["n_mentions"], pa.int64()),
+            }
+        )
+    )
 
 
 def entity_assignments(

@@ -25,14 +25,18 @@ def dedup_edges(triples_with_ids: "ray.data.Dataset") -> "ray.data.Dataset":
     """(subj_id, pred, obj_id, prov) → deduped edges with occurrence counts and
     a deterministic provenance sample (min "url#sent_id")."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         g = df.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
             n_occurrences=("prov", "size"), prov=("prov", "min")
         )
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False)  # Arrow blocks shuffle fast
+
+    from .canonicalize import _compact_blocks, grouped_aggregate
 
     partials = triples_with_ids.map_batches(partial, batch_format="pandas")
-    return partials.groupby(["subj_id", "pred", "obj_id"]).aggregate(
+    return grouped_aggregate(
+        partials.repartition(_compact_blocks()),
+        ["subj_id", "pred", "obj_id"],
         Sum("n_occurrences", alias_name="n_occurrences"),
         Min("prov", alias_name="prov"),
     )
@@ -90,7 +94,30 @@ def write_partitioned(
             ),
             batch_format="pyarrow",
         )
-    if sort_key is not None:
-        ds = ds.sort(sort_key)
+    # Co-locate each output partition into one block before the hive write:
+    # a naive write_parquet(partition_cols) emits one file per (block ×
+    # partition) — 3072 ~50KB files for a 160MB table — and every downstream
+    # read then pays per-file costs. One shuffle by the (already narrow)
+    # partition key yields one file per partition, sorted WITHIN the
+    # partition (the global sort is unnecessary: order within hash partitions
+    # is the layout contract). NOTE min_rows_per_file is also not the answer:
+    # combined with partition_cols it is ~10× slower (46s vs 4.6s observed).
+    sk = [sort_key] if isinstance(sort_key, str) else sort_key
+
+    if sk:
+        # sorted layout: co-locate each partition into one block (groupby
+        # shuffle) and sort WITHIN it — one sorted file per partition
+        def compact(t: pa.Table) -> pa.Table:
+            if t.num_rows and set(sk) <= set(t.column_names):
+                t = t.sort_by([(k, "ascending") for k in sk])
+            return t
+
+        ds = ds.groupby("part").map_groups(compact, batch_format="pyarrow")
+    else:
+        # unsorted layout: a cheap block coalesce keeps the file count at
+        # blocks × partitions ≈ manageable without a keyed shuffle
+        from .canonicalize import _compact_blocks
+
+        ds = ds.repartition(_compact_blocks())
     ds.write_parquet(table_dir, partition_cols=["part"])
     return finalize_partitions(table_dir)

@@ -4,9 +4,7 @@ Generalizes the reference's skip-completed patterns (grid-search `visited`,
 k-fold metrics-file skip — SURVEY.md D1/T8) to partitioned-Parquet manifests.
 """
 
-import json
 import os
-import shutil
 
 from ner_extractor_ray.pipelines.kg import pages_dataset, run_kg
 from ner_extractor_ray.state.manifest import completed_partitions, table_complete
@@ -23,6 +21,7 @@ def test_resume_after_partial_loss(small_pages_dir, tmp_path):
     res1 = run_kg(pages_dataset(small_pages_dir), out_dir=out, n_partitions=4)
     full = _edge_set(res1)
     assert table_complete(os.path.join(out, "edges"))
+    assert table_complete(os.path.join(out, "annotations"))
 
     # simulate a killed run: one finished partition lost mid-write (files but
     # no manifest) + table manifest gone
@@ -41,10 +40,20 @@ def test_resume_skips_completed_tables(small_pages_dir, tmp_path):
     out = str(tmp_path / "kg2")
     res1 = run_kg(pages_dataset(small_pages_dir), out_dir=out, n_partitions=4)
     full = _edge_set(res1)
-    # tagged checkpoint manifest mtimes must not change on resume
-    tdir = os.path.join(out, "tagged")
-    before = os.path.getmtime(os.path.join(tdir, "_TABLE_MANIFEST.json"))
+    # annotations checkpoint manifest mtime must not change on resume
+    adir = os.path.join(out, "annotations")
+    before = os.path.getmtime(os.path.join(adir, "_TABLE_MANIFEST.json"))
     res2 = run_kg(pages_dataset(small_pages_dir), out_dir=out, n_partitions=4)
-    after = os.path.getmtime(os.path.join(tdir, "_TABLE_MANIFEST.json"))
+    after = os.path.getmtime(os.path.join(adir, "_TABLE_MANIFEST.json"))
     assert before == after
     assert _edge_set(res2) == full
+
+
+def test_actor_pool_plan_matches_task_plan(small_pages_dir):
+    """use_actors=True (the heavy-model physical plan) produces identical
+    output to the default task plan."""
+    a = run_kg(pages_dataset(small_pages_dir), out_dir=None, n_partitions=4)
+    b = run_kg(
+        pages_dataset(small_pages_dir), out_dir=None, n_partitions=4, use_actors=True
+    )
+    assert _edge_set(a) == _edge_set(b)
