@@ -298,6 +298,74 @@ def q_knn_cosine(sf_dir: str):
     )
 
 
+def q_sample_events(sf_dir: str):
+    """O7 sampling analog, made deterministic: systematic 1-in-20 sample by
+    key (hash/RNG-free so the SQL oracle reproduces it exactly)."""
+    ds = _rp(sf_dir, "events", ["event_id", "event_type"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        mask = (pc.cast(t.column("event_id"), pa.int64()).to_numpy() % 20) == 0
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_fold_stats(sf_dir: str):
+    """A7 per-fold mean/variance — computed from exact integer sums so the
+    double arithmetic is the identical expression on both sides."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        doc = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
+        nc = pc.cast(t.column("n_chars"), pa.int64()).to_numpy()
+        df = pd.DataFrame({"fold": doc % 5, "s": nc, "ss": nc * nc})
+        g = df.groupby("fold", as_index=False).agg(
+            n=("s", "size"), s=("s", "sum"), ss=("ss", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fold")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("ss", alias_name="ss"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.float64())
+        s = pc.cast(t.column("s"), pa.float64())
+        ss = pc.cast(t.column("ss"), pa.float64())
+        mean = pc.divide(s, n)
+        var = pc.subtract(pc.divide(ss, n), pc.multiply(mean, mean))
+        return pa.table(
+            {
+                "fold": t.column("fold"),
+                "n_docs": t.column("n"),
+                "mean_chars": mean,
+                "var_chars": var,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (streaming-shaped op, SURVEY.md §2.9 analog):
+    events partitioned by user, sorted by ts within the group, new session
+    when the gap exceeds 1h. n_sessions = 1 + count(gap > 1h)."""
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds() > 3600
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_events": [len(g)],
+             "n_sessions": [int(1 + gaps.sum())]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Training-data ops without a SQL equivalent (rows-only driver check)
 # --------------------------------------------------------------------------
@@ -428,6 +496,9 @@ def queries() -> dict:
         "token_stats": q_token_stats,
         "label_hist": q_label_hist,
         "knn_cosine": q_knn_cosine,
+        "sample_events": q_sample_events,
+        "fold_stats": q_fold_stats,
+        "user_sessions": q_user_sessions,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
@@ -503,6 +574,29 @@ def oracle_sql() -> dict:
         """,
         "label_hist": """
             SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n FROM embeddings GROUP BY 1
+        """,
+        "sample_events": """
+            SELECT event_id, event_type FROM events WHERE event_id % 20 = 0
+        """,
+        "fold_stats": """
+            SELECT fold, n AS n_docs,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_chars,
+                   CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var_chars
+            FROM (SELECT doc_id % 5 AS fold, COUNT(*) AS n,
+                         CAST(SUM(n_chars) AS BIGINT) AS s,
+                         CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+                  FROM documents GROUP BY 1)
+        """,
+        "user_sessions": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(1 + SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sessions
+            FROM (SELECT user_id, epoch(ts) - lag(epoch(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts) AS gap_s
+                  FROM events)
+            GROUP BY user_id
         """,
         "knn_cosine": f"""
             SELECT vec_id, CAST(rank AS BIGINT) AS rank FROM (
