@@ -1,0 +1,95 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+    python -m ner_extractor_ray.cli kg --pages DIR --out DIR [--config cfg.yaml]
+    python -m ner_extractor_ray.cli gen --out DIR --n-pages 50000
+    python -m ner_extractor_ray.cli bench-info
+
+Replaces the reference's env-var orchestrator→worker channel
+(NER_FOLD_* env injection, scripts/train_distilbert_crf.py:274-301;
+subprocess fan-out scripts/run_kfold.py:60-64) with explicit arguments — on a
+cluster the same module runs via ``ray job submit -- python -m
+ner_extractor_ray.cli kg ...`` and connects to the cluster Ray instance.
+Owns its Ray session (init guarded; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    return ray
+
+
+def cmd_kg(args) -> int:
+    ray = _ensure_ray()
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .config import PipelineConfig
+    from .pipelines.kg import pages_dataset, run_kg
+
+    cfg = PipelineConfig.load(args.config)
+    res = run_kg(
+        pages_dataset(args.pages),
+        out_dir=args.out,
+        batch_size=cfg.batch_size,
+        n_partitions=cfg.n_partitions,
+        broadcast_limit=cfg.broadcast_limit,
+        resume=cfg.resume,
+        use_actors=cfg.use_actors,
+    )
+    summary = {
+        "nodes": res["nodes"].count(),
+        "edges": res["edges"].count(),
+        "out_dir": args.out,
+        "config": cfg.to_dict(),
+    }
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from .sources.pages import write_pages
+
+    write_pages(args.out, args.n_pages, seed=args.seed, n_files=args.n_files)
+    print(json.dumps({"out": args.out, "n_pages": args.n_pages, "seed": args.seed}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ner_extractor_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    kg = sub.add_parser("kg", help="run the KG-construction pipeline")
+    kg.add_argument("--pages", required=True)
+    kg.add_argument("--out", required=True)
+    kg.add_argument("--config", default=None)
+    kg.set_defaults(fn=cmd_kg)
+
+    gen = sub.add_parser("gen", help="generate the synthetic pages corpus")
+    gen.add_argument("--out", required=True)
+    gen.add_argument("--n-pages", type=int, default=2000)
+    gen.add_argument("--seed", type=int, default=42)
+    gen.add_argument("--n-files", type=int, default=8)
+    gen.set_defaults(fn=cmd_gen)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,6 +48,79 @@ def span_prf(pred: pa.Table, gold: pa.Table, keys: list[str]) -> PRF:
     return PRF(prec, rec, f1, tp, len(p), len(g))
 
 
+def align_predictions(
+    pred_ids: list[int], label_ids: list[int], id_to_label: dict[int, str],
+    *, ignore: int = -100,
+) -> tuple[list[str], list[str]]:
+    """M9 — zip pred/gold id sequences, drop positions where gold==ignore,
+    map ids→tags (DistilBERT-CRF/src/metrics.py:22-43 semantics)."""
+    pred_tags, gold_tags = [], []
+    for p, g in zip(pred_ids, label_ids):
+        if g == ignore:
+            continue
+        pred_tags.append(id_to_label[p])
+        gold_tags.append(id_to_label[g])
+    return pred_tags, gold_tags
+
+
+def confusion_topk(pred_ds, gold_ds, keys: list[str], label_col: str, k: int = 10):
+    """A8 — confusion pairs between two labeled span tables: join on the span
+    identity keys, group by (gold_label, pred_label), count, top-k with the
+    canonical groupby→sort→limit pattern (scripts/error_analysis.py:35,80-88).
+
+    Returns a Dataset of (gold_label, pred_label, n) rows, count-desc."""
+    import pyarrow as _pa
+
+    from ..stages.canonicalize import grouped_aggregate, pre_aggregated_count
+    from ..stages.joins import hash_join
+
+    p = pred_ds.select_columns(keys + [label_col]).map_batches(
+        lambda t: t.rename_columns(keys + ["pred_label"]), batch_format="pyarrow"
+    )
+    g = gold_ds.select_columns(keys + [label_col]).map_batches(
+        lambda t: t.rename_columns(keys + ["gold_label"]), batch_format="pyarrow"
+    )
+    joined = hash_join(p, g, on=tuple(keys))
+    counts = pre_aggregated_count(
+        joined.select_columns(["gold_label", "pred_label"]),
+        ["gold_label", "pred_label"],
+        "n",
+    )
+    return counts.sort(["n", "gold_label", "pred_label"], descending=[True, False, False]).limit(k)
+
+
+def clustering_homogeneity(assigned_ds, cluster_col: str, label_col: str) -> float:
+    """A9 — homogeneity score h = 1 - H(label|cluster)/H(label) over a
+    clustered, labeled table (scripts/visualize_embeddings.py:217-247 analog,
+    KMeans quality). Distributed counts, driver-side entropy (tiny)."""
+    import math
+
+    from ..stages.canonicalize import pre_aggregated_count
+
+    rows = pre_aggregated_count(
+        assigned_ds.select_columns([cluster_col, label_col]),
+        [cluster_col, label_col],
+        "n",
+    ).take_all()
+    total = sum(r["n"] for r in rows)
+    if total == 0:
+        return 1.0
+    by_label: dict = {}
+    by_cluster: dict = {}
+    for r in rows:
+        by_label[r[label_col]] = by_label.get(r[label_col], 0) + r["n"]
+        by_cluster.setdefault(r[cluster_col], {})[r[label_col]] = r["n"]
+    h_label = -sum((c / total) * math.log(c / total) for c in by_label.values())
+    if h_label == 0:
+        return 1.0
+    h_cond = 0.0
+    for members in by_cluster.values():
+        csize = sum(members.values())
+        for c in members.values():
+            h_cond -= (c / total) * math.log(c / csize)
+    return 1.0 - h_cond / h_label
+
+
 def span_prf_distributed(pred_ds, gold_ds, keys: list[str]) -> PRF:
     """Same metric over Datasets: dedup both sides (pre-aggregated), inner
     hash join, three counts. Use when pred/gold don't fit on the driver."""

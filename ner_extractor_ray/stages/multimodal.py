@@ -1,0 +1,156 @@
+"""Multimodal column stages — opaque binary payloads with typed metadata.
+
+Large-scale training-data pipelines carry images/audio/video as ``binary``
+columns. The image/audio codec libraries are NOT in this container, so the
+codec kernels are pluggable: the default ``FakeCodec`` is a deterministic
+stand-in (hash-seeded pixels) and a real codec (PIL/torchvision/ffmpeg) drops
+in behind the same interface; ``RealCodec`` raises ``NotImplementedError``
+with instructions. The RAY-SIDE PLUMBING — schemas, small batch sizes for fat
+rows, actor-pool stage shape, output layout — is real and tested.
+
+Design rules for fat binary rows (prompt "Memory-aware"):
+  * small ``batch_size`` (payload bytes × batch_size × concurrency must fit a
+    worker heap); callers size it from ``payload_bytes_hint``;
+  * payload column dropped as soon as features are extracted, exactly like
+    the html column in S1 (SURVEY.md §7.3 "very wide rows");
+  * stages are actor pools (``use_actors=True`` path) when the codec holds
+    heavy state (model weights), tasks otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import stable_hash64
+
+
+class FakeCodec:
+    """Deterministic codec stand-in: payload bytes → (h, w, 3) uint8 'pixels'
+    seeded by the payload hash. Identical output for identical bytes at any
+    parallelism — good enough to exercise every downstream kernel."""
+
+    def decode_image(self, payload: bytes, *, size: tuple[int, int] = (32, 32)) -> np.ndarray:
+        rng = np.random.RandomState(stable_hash64(payload or b"") % (2**32))
+        return rng.randint(0, 256, size=(size[0], size[1], 3), dtype=np.uint8)
+
+    def sample_frames(self, payload: bytes, *, n_frames: int = 4,
+                      size: tuple[int, int] = (16, 16)) -> list[np.ndarray]:
+        return [
+            self.decode_image((payload or b"") + i.to_bytes(4, "big"), size=size)
+            for i in range(n_frames)
+        ]
+
+
+class RealCodec:  # pragma: no cover - requires image libs not in this sandbox
+    def __init__(self):
+        raise NotImplementedError(
+            "Real image/audio decode requires PIL/torchvision/ffmpeg, which are "
+            "not installed in this environment. Plug a codec implementing "
+            "decode_image/sample_frames into the stage constructors."
+        )
+
+
+def _mean_rgb(img: np.ndarray) -> list[float]:
+    return [float(x) for x in img.reshape(-1, 3).mean(axis=0)]
+
+
+class ImageFeatureStage:
+    """(id, payload: binary) → (id, height, width, mean_r/g/b, phash) —
+    decode + resize + feature-extract in one pass, payload dropped on output."""
+
+    def __init__(self, codec=None, size: tuple[int, int] = (32, 32),
+                 id_col: str = "id", payload_col: str = "payload"):
+        self.codec = codec or FakeCodec()
+        self.size = size
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_pylist()
+        payloads = t.column(self.payload_col).to_pylist()
+        h_out, w_out, r, g, b, ph = [], [], [], [], [], []
+        for p in payloads:
+            img = self.codec.decode_image(p, size=self.size)
+            h_out.append(img.shape[0])
+            w_out.append(img.shape[1])
+            mr, mg, mb = _mean_rgb(img)
+            r.append(mr)
+            g.append(mg)
+            b.append(mb)
+            # perceptual-hash stand-in: sign pattern of 8x8 downsample
+            small = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8), 0]
+            bits = (small[:8, :8] > small[:8, :8].mean()).flatten()
+            ph.append(int(sum(int(x) << i for i, x in enumerate(bits))) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "height": pa.array(h_out, pa.int32()),
+                "width": pa.array(w_out, pa.int32()),
+                "mean_r": pa.array(r, pa.float64()),
+                "mean_g": pa.array(g, pa.float64()),
+                "mean_b": pa.array(b, pa.float64()),
+                "phash": pa.array(ph, pa.int64()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """(id, payload: binary 'video') → one row per sampled frame with its
+    embedding-ready pixel feature (flat-map shaped, like sentseg)."""
+
+    def __init__(self, codec=None, n_frames: int = 4,
+                 id_col: str = "id", payload_col: str = "payload"):
+        self.codec = codec or FakeCodec()
+        self.n_frames = n_frames
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_pylist()
+        payloads = t.column(self.payload_col).to_pylist()
+        o_id, o_frame, o_feat = [], [], []
+        for i, p in zip(ids, payloads):
+            for f_idx, frame in enumerate(self.codec.sample_frames(p, n_frames=self.n_frames)):
+                o_id.append(i)
+                o_frame.append(f_idx)
+                o_feat.append(_mean_rgb(frame))
+        return pa.table(
+            {
+                self.id_col: pa.array(o_id),
+                "frame_id": pa.array(o_frame, pa.int32()),
+                "feature": pa.array(o_feat, pa.list_(pa.float64())),
+            }
+        )
+
+
+def image_features(
+    ds: "ray.data.Dataset", *, codec=None, batch_size: int = 64,
+    use_actors: bool = False, concurrency=(1, 4), **kwargs,
+) -> "ray.data.Dataset":
+    """Run the image stage; tiny batch_size by default — fat binary rows."""
+    if use_actors:
+        return ds.map_batches(
+            ImageFeatureStage, batch_format="pyarrow", batch_size=batch_size,
+            fn_constructor_kwargs={"codec": codec, **kwargs}, concurrency=concurrency,
+        )
+    return ds.map_batches(
+        ImageFeatureStage(codec, **kwargs), batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def frame_samples(
+    ds: "ray.data.Dataset", *, codec=None, batch_size: int = 16,
+    n_frames: int = 4, use_actors: bool = False, concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    if use_actors:
+        return ds.map_batches(
+            FrameSampleStage, batch_format="pyarrow", batch_size=batch_size,
+            fn_constructor_kwargs={"codec": codec, "n_frames": n_frames},
+            concurrency=concurrency,
+        )
+    return ds.map_batches(
+        FrameSampleStage(codec, n_frames=n_frames),
+        batch_format="pyarrow", batch_size=batch_size,
+    )

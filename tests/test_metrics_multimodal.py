@@ -1,0 +1,101 @@
+"""align_predictions (M9), distributed P/R, confusion top-k (A8), homogeneity
+(A9), and the multimodal stage plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ner_extractor_ray import ID_TO_LABEL, LABEL_TO_ID
+from ner_extractor_ray.functions.metrics import (
+    align_predictions,
+    clustering_homogeneity,
+    confusion_topk,
+    span_prf,
+    span_prf_distributed,
+)
+from ner_extractor_ray.stages.multimodal import (
+    FakeCodec,
+    frame_samples,
+    image_features,
+)
+
+
+def test_align_predictions_drops_ignored():
+    gold = [LABEL_TO_ID["B-PER"], -100, LABEL_TO_ID["O"], -100]
+    pred = [LABEL_TO_ID["B-PER"], LABEL_TO_ID["I-PER"], LABEL_TO_ID["O"], LABEL_TO_ID["O"]]
+    p, g = align_predictions(pred, gold, ID_TO_LABEL)
+    assert g == ["B-PER", "O"] and p == ["B-PER", "O"]
+
+
+def test_span_prf_distributed_matches_local():
+    pred = [{"u": "a", "s": 0, "t": "PER"}, {"u": "a", "s": 1, "t": "ORG"},
+            {"u": "b", "s": 0, "t": "LOC"}]
+    gold = [{"u": "a", "s": 0, "t": "PER"}, {"u": "b", "s": 0, "t": "ORG"}]
+    keys = ["u", "s", "t"]
+    local = span_prf(pa.Table.from_pylist(pred), pa.Table.from_pylist(gold), keys)
+    dist = span_prf_distributed(
+        ray.data.from_items(pred), ray.data.from_items(gold), keys
+    )
+    assert (local.tp, local.n_pred, local.n_gold) == (dist.tp, dist.n_pred, dist.n_gold)
+    assert local.tp == 1
+
+
+def test_confusion_topk():
+    pred = [{"u": "a", "s": i, "lab": "ORG" if i % 3 else "LOC"} for i in range(9)]
+    gold = [{"u": "a", "s": i, "lab": "ORG"} for i in range(9)]
+    out = confusion_topk(
+        ray.data.from_items(pred), ray.data.from_items(gold), ["u", "s"], "lab", k=5
+    ).take_all()
+    pairs = {(r["gold_label"], r["pred_label"]): r["n"] for r in out}
+    assert pairs[("ORG", "ORG")] == 6 and pairs[("ORG", "LOC")] == 3
+
+
+def test_homogeneity_bounds():
+    perfect = ray.data.from_items(
+        [{"c": i % 3, "lab": i % 3} for i in range(90)]
+    )
+    assert clustering_homogeneity(perfect, "c", "lab") == 1.0
+    mixed = ray.data.from_items([{"c": 0, "lab": i % 3} for i in range(90)])
+    assert clustering_homogeneity(mixed, "c", "lab") < 0.01
+
+
+def _payload_ds(n=10):
+    return ray.data.from_items(
+        [{"id": i, "payload": f"binary-image-{i}".encode() * 50} for i in range(n)]
+    )
+
+
+def test_image_features_schema_and_determinism():
+    out1 = sorted(image_features(_payload_ds()).take_all(), key=lambda r: r["id"])
+    out2 = sorted(image_features(_payload_ds()).take_all(), key=lambda r: r["id"])
+    assert out1 == out2
+    r = out1[0]
+    assert set(r) == {"id", "height", "width", "mean_r", "mean_g", "mean_b", "phash"}
+    assert r["height"] == 32 and 0 <= r["mean_r"] <= 255
+    # payload column dropped from output
+    assert "payload" not in r
+
+
+def test_image_features_actor_plan_matches():
+    a = sorted(image_features(_payload_ds()).take_all(), key=lambda r: r["id"])
+    b = sorted(
+        image_features(_payload_ds(), use_actors=True, concurrency=(1, 2)).take_all(),
+        key=lambda r: r["id"],
+    )
+    assert a == b
+
+
+def test_frame_samples_flatmap_shape():
+    out = frame_samples(_payload_ds(4), n_frames=3).take_all()
+    assert len(out) == 12
+    assert {len(r["feature"]) for r in out} == {3}
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["frame_id"])
+    assert all(sorted(v) == [0, 1, 2] for v in by_id.values())
+
+
+def test_fake_codec_deterministic():
+    c = FakeCodec()
+    assert np.array_equal(c.decode_image(b"x"), c.decode_image(b"x"))
+    assert not np.array_equal(c.decode_image(b"x"), c.decode_image(b"y"))
