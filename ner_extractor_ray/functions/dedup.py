@@ -165,10 +165,6 @@ def near_dup_keep_ids(pairs_ds: "ray.data.Dataset", all_ids_ds: "ray.data.Datase
     representative). Reuses the distributed CC of the canonicalization stage."""
     from ..stages.canonicalize import connected_components
 
-    nodes = all_ids_ds.map_batches(
-        lambda t: pa.table({"node": pa.compute.cast(t.column(id_col), pa.string())}),
-        batch_format="pyarrow",
-    )
     def pad(v):  # zero-pad ids so lexicographic min == numeric min
         return f"{v:020d}"
 

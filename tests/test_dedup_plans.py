@@ -1,0 +1,65 @@
+"""Near-dup keep/drop resolution + canonicalization physical-plan parity."""
+
+import pyarrow as pa
+import ray.data
+
+from ner_extractor_ray.functions.dedup import (
+    exact_dedup_groups,
+    lsh_near_dup_pairs,
+    near_dup_keep_ids,
+)
+from ner_extractor_ray.stages.canonicalize import canonicalize_nodes
+
+
+def test_near_dup_keep_ids_components():
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog today"},
+            {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog today"},
+            {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog tonight"},
+            {"doc_id": 4, "text": "completely different content about spark and ray data"},
+        ]
+    )
+    pairs = lsh_near_dup_pairs(docs, "text", "doc_id", shingle="word3", threshold=0.6)
+    keep = {r["doc_id"]: r["keep_id"] for r in near_dup_keep_ids(pairs, docs, "doc_id").take_all()}
+    assert keep[1] == 1 and keep[2] == 1  # exact dups share representative
+    assert keep[3] == 1                   # near-dup joins the component
+    assert keep[4] == 4                   # unrelated doc keeps itself
+
+
+def test_exact_dedup_counts():
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": "same text" if i < 3 else f"unique {i}"} for i in range(6)]
+    )
+    out = {r["keep_id"]: r["n_dups"] for r in exact_dedup_groups(docs, "text", "doc_id").take_all()}
+    assert out[0] == 3
+    assert all(v == 1 for k, v in out.items() if k != 0)
+
+
+def _nodes(keys):
+    return ray.data.from_items(
+        [{"node": f"ORG:{k}", "type": "ORG", "norm_key": k, "n_mentions": 1} for k in keys]
+    )
+
+
+def test_canonicalize_plans_agree():
+    """Driver union-find plan (small vocab) and distributed CC plan must
+    produce byte-identical assignments — same pair generation by design."""
+    keys = [
+        "acme corporation international",
+        "acme corporation internationale",
+        "globex holdings limited",
+        "globex holdings ltd",
+        "unrelated zebra company",
+    ]
+    driver = sorted(
+        (r["node"], r["entity_id"], r["canonical_name"])
+        for r in canonicalize_nodes(_nodes(keys), driver_threshold=10_000).take_all()
+    )
+    dist = sorted(
+        (r["node"], r["entity_id"], r["canonical_name"])
+        for r in canonicalize_nodes(_nodes(keys), driver_threshold=0).take_all()
+    )
+    assert driver == dist
+    eids = {e for _, e, _ in driver}
+    assert len(eids) == 3  # two merged pairs + one singleton
