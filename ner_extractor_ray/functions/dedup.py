@@ -116,13 +116,19 @@ def lsh_near_dup_pairs(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc").sort_values("doc")
-        ids = g["doc"].tolist()
-        txts = g["txt"].tolist()
-        n = len(ids)
+    def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # many buckets per Ray group (bucket % P) — see canonicalize.py note
+        # on map_groups per-group overhead
         a, b, jc = [], [], []
-        if n >= 2:
+        for _, g in group.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates("doc").sort_values("doc")
+            ids = g["doc"].tolist()
+            txts = g["txt"].tolist()
+            n = len(ids)
+            if n < 2:
+                continue
             sh = [set(shingler(t or "")) for t in txts]
             pairs = (
                 [(i, j) for i in range(n) for j in range(i + 1, n)]
@@ -137,11 +143,20 @@ def lsh_near_dup_pairs(
                     jc.append(round(jv, 6))
         return pd.DataFrame({"id_a": a, "id_b": b, "jaccard": jc})
 
+    def add_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        from ..stages.canonicalize import _compact_blocks
+
+        part = _pc.cast(t.column("bucket"), pa.int64()).to_numpy() % _compact_blocks()
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
     pair_rows = (
         ds.select_columns([id_col, text_col])
         .map_batches(bands, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_pairs, batch_format="pandas")
     )
     # dedup pairs found in multiple bands (partial per-batch combine first)
     def partial(df: pd.DataFrame) -> pd.DataFrame:

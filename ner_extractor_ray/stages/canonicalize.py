@@ -147,11 +147,19 @@ def candidate_pairs(
     """LSH blocking + in-bucket verification → pair rows (a, b), a < b."""
     bands = nodes_ds.map_batches(_band_rows, batch_format="pyarrow")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("node").sort_values("node")
-        n = len(g)
+    def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group = MANY LSH buckets (bucket % P co-location): Ray's
+        # map_groups costs ~80μs per group, so grouping by the raw bucket id
+        # (≈1 group per node-band) dominated wall time; pandas groupby inside
+        # a coarse group iterates tiny buckets at C speed
         out_a, out_b = [], []
-        if n >= 2:
+        for _, g in group.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates("node").sort_values("node")
+            n = len(g)
+            if n < 2:
+                continue
             nodes = g["node"].tolist()
             keys = g["norm_key"].tolist()
             types = g["type"].tolist()
@@ -169,7 +177,17 @@ def candidate_pairs(
                     out_b.append(nodes[j])
         return pd.DataFrame({"a": out_a, "b": out_b}, dtype="object")
 
-    pairs = bands.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    def add_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        part = _pc.cast(t.column("bucket"), pa.int64()).to_numpy() % _compact_blocks()
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    pairs = (
+        bands.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_pairs, batch_format="pandas")
+    )
     # dedup pairs discovered in multiple bands
     return pre_aggregated_count(pairs, ["a", "b"], count_col="_nb").select_columns(["a", "b"])
 

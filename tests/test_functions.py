@@ -132,3 +132,17 @@ def test_simhash_near_for_near_texts():
 def test_normalize_surface():
     assert normalize_surface("I.B.M.") == "ibm"
     assert normalize_surface("the University") == "university"
+
+
+def test_label_all_tokens_variant():
+    # M6: continuation subwords carry the word index when label_all_tokens=True
+    import pyarrow as pa
+
+    from ner_extractor_ray.stages.tokenize import tokenize_batch
+
+    batch = pa.table({"tokens": [["Frankfurt", "is", "big"]]})
+    default = tokenize_batch(batch)["word_ids"][0].as_py()
+    assert default[0] == 0 and all(w == -1 for w in default[1:3])  # continuations
+    propagated = tokenize_batch(batch, label_all_tokens=True)["word_ids"][0].as_py()
+    assert propagated[:3] == [0, 0, 0]
+    assert propagated.count(1) == 1 and propagated.count(2) == 1
