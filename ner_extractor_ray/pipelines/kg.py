@@ -167,6 +167,26 @@ def run_kg(
     if ann_dir and table_complete(ann_dir) and resume:
         ann = ray.data.read_parquet(ann_dir)
     else:
+        # partition-aware resume: the annotations partition key is crc(url),
+        # computable at the PAGE level — prune pages of already-completed
+        # partitions BEFORE the fused pass so a resumed run skips their
+        # compute entirely, not just their writes
+        if ann_dir and resume:
+            from ..functions.hashing import crc_bucket
+            from ..state.manifest import completed_partitions
+
+            done = completed_partitions(ann_dir)
+            if done:
+                done_arr = pa.array(sorted(done), pa.int32())
+
+                def prune(t: pa.Table) -> pa.Table:
+                    part = crc_bucket(t.column("url").to_pylist(), n_partitions)
+                    return t.filter(
+                        pc.invert(pc.is_in(pa.array(part, pa.int32()), value_set=done_arr))
+                    )
+
+                pages = pages.map_batches(prune, batch_format="pyarrow")
+
         # ---- S1-S4 (+ optional tagged checkpoint)
         tagged = tag_sentences(
             pages, tagger_concurrency=tagger_concurrency, batch_size=batch_size,

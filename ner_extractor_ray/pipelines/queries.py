@@ -459,6 +459,48 @@ def q_embedding_neardup(sf_dir: str):
     return assigned.groupby("ivf_bucket").map_groups(bucket_pairs, batch_format="pandas")
 
 
+def q_cluster_homogeneity(sf_dir: str):
+    """A9 — clustering quality: homogeneity of deterministic IVF clusters vs
+    the embeddings table's labels (the KMeans-homogeneity analog,
+    scripts/visualize_embeddings.py:217-247). Single-row result, rows-only."""
+    from ..functions.metrics import clustering_homogeneity
+    from ..functions.similarity import ivf_assign, ivf_build_centroids
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    cent = ivf_build_centroids(ds, n_centroids=10, refine_rounds=2)
+    assigned = ivf_assign(ds, cent)
+    h = clustering_homogeneity(assigned, "ivf_bucket", "label")
+    return pa.table({"homogeneity": pa.array([round(h, 9)], pa.float64())})
+
+
+def q_mention_confusion(sf_dir: str):
+    """A8 — confusion top-k between pipeline mentions and generator gold over
+    the synthetic pages corpus (groupby→sort→limit pattern). Rows-only."""
+    import re as _re
+
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    from ..functions.metrics import confusion_topk
+    from .kg import pages_dataset, run_kg
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    n_pages = max(100, int(20000 * sf))
+    pdir = f"/tmp/ner_ray_pages_sf{sf}"
+    if not os.path.exists(os.path.join(pdir, "gold_triples.parquet")):
+        from ..sources.pages import write_pages
+
+        write_pages(pdir, n_pages, seed=42, n_files=8)
+    res = run_kg(pages_dataset(pdir), out_dir=None, n_partitions=8)
+    pred = res["mentions"].map_batches(
+        lambda t: t.select(["url", "sent_id", "start", "end", "type"]),
+        batch_format="pyarrow",
+    )
+    gold = _rd.from_arrow(_pq.read_table(os.path.join(pdir, "gold_mentions.parquet")))
+    return confusion_topk(pred, gold, ["url", "sent_id", "start", "end"], "type", k=10)
+
+
 def q_kg_edges(sf_dir: str):
     """Flagship KG pipeline over the deterministic synthetic pages corpus
     (size scaled by sf). Rows-only driver check; full parity vs the oracle is
@@ -507,6 +549,8 @@ def queries() -> dict:
         "fingerprint": q_fingerprint,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "cluster_homogeneity": q_cluster_homogeneity,
+        "mention_confusion": q_mention_confusion,
         "kg_edges": q_kg_edges,
     }
 

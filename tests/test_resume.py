@@ -57,3 +57,39 @@ def test_actor_pool_plan_matches_task_plan(small_pages_dir):
         pages_dataset(small_pages_dir), out_dir=None, n_partitions=4, use_actors=True
     )
     assert _edge_set(a) == _edge_set(b)
+
+
+def test_partition_aware_compute_skip(small_pages_dir, tmp_path):
+    """Deleting one annotations partition and rerunning must leave the other
+    completed partitions' files untouched (their compute was pruned at the
+    page level) while reproducing identical final output."""
+    import shutil
+
+    out = str(tmp_path / "kg3")
+    res1 = run_kg(pages_dataset(small_pages_dir), out_dir=out, n_partitions=4)
+    full = _edge_set(res1)
+    adir = os.path.join(out, "annotations")
+    parts = sorted(completed_partitions(adir))
+    victim = os.path.join(adir, f"part={parts[-1]}")
+    shutil.rmtree(victim)
+    os.remove(os.path.join(adir, "_TABLE_MANIFEST.json"))
+    # edges/nodes depend on annotations → rebuild them too
+    shutil.rmtree(os.path.join(out, "edges"))
+    shutil.rmtree(os.path.join(out, "nodes"))
+
+    import hashlib
+
+    def snapshot():
+        out_map = {}
+        for p in parts[:-1]:
+            pdir = os.path.join(adir, f"part={p}")
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(pdir, f), "rb") as fh:
+                        out_map[(p, f)] = hashlib.sha1(fh.read()).hexdigest()
+        return out_map
+
+    surviving = snapshot()
+    res2 = run_kg(pages_dataset(small_pages_dir), out_dir=out, n_partitions=4)
+    assert _edge_set(res2) == full
+    assert snapshot() == surviving  # completed partitions byte-identical, untouched
