@@ -459,6 +459,27 @@ def q_embedding_neardup(sf_dir: str):
     return assigned.groupby("ivf_bucket").map_groups(bucket_pairs, batch_format="pandas")
 
 
+def q_subword_counts(sf_dir: str):
+    """BPE-ish token counting: whitespace words → deterministic WordPiece-
+    shaped subwords (functions/textfns.subword_tokenize). Rows-only."""
+    from ..functions.textfns import subword_tokenize
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        counts = [
+            sum(len(subword_tokenize(w)) for w in (txt or "").split()) for txt in texts
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_subwords": pa.array(counts, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_cluster_homogeneity(sf_dir: str):
     """A9 — clustering quality: homogeneity of deterministic IVF clusters vs
     the embeddings table's labels (the KMeans-homogeneity analog,
@@ -550,6 +571,7 @@ def queries() -> dict:
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "cluster_homogeneity": q_cluster_homogeneity,
+        "subword_counts": q_subword_counts,
         "mention_confusion": q_mention_confusion,
         "kg_edges": q_kg_edges,
     }
