@@ -80,3 +80,43 @@ def viterbi_decode_batch(
         out.append(viterbi_decode(emissions_flat[offset : offset + int(L)]))
         offset += int(L)
     return out
+
+
+def viterbi_decode_padded(em_batch: np.ndarray, lengths: np.ndarray) -> list[np.ndarray]:
+    """Batched Viterbi: (N, Tmax, L) emissions + per-sentence lengths.
+
+    Bit-identical to per-sentence ``viterbi_decode`` (asserted in tests): the
+    DP recurrence, mask handling and FIRST-index argmax tie-break are the
+    same — only the numpy calls are hoisted from per-(sentence, step) to
+    per-step across the whole batch. Short sentences freeze their score once
+    t ≥ length, so padding values never influence the result. This removed
+    ~2/3 of the fused pass's UDF time (tiny-array numpy overhead).
+    """
+    em_batch = np.asarray(em_batch, dtype=np.float64)
+    N, Tmax, L = em_batch.shape
+    lengths = np.asarray(lengths, dtype=np.int64)
+    score = _START[None, :] + em_batch[:, 0, :]               # (N, L)
+    back = np.zeros((N, Tmax, L), dtype=np.int32)
+    for t in range(1, Tmax):
+        total = score[:, :, None] + _TRANS[None, :, :]        # (N, from, to)
+        bt = total.argmax(axis=1).astype(np.int32)            # (N, L) first max
+        new_score = (
+            np.take_along_axis(total, bt[:, None, :], axis=1)[:, 0, :] + em_batch[:, t, :]
+        )
+        active = (t < lengths)[:, None]
+        back[:, t, :] = bt
+        score = np.where(active, new_score, score)
+    final = score + _END[None, :]
+    last = final.argmax(axis=1)
+    out = []
+    for i in range(N):
+        T = int(lengths[i])
+        if T == 0:
+            out.append(np.empty(0, dtype=np.int32))
+            continue
+        path = np.empty(T, dtype=np.int32)
+        path[T - 1] = int(last[i])
+        for t in range(T - 1, 0, -1):
+            path[t - 1] = back[i, t, path[t]]
+        out.append(path)
+    return out

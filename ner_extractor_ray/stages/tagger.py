@@ -29,15 +29,37 @@ class DeterministicTagger:
         self.trie = gazetteer_token_trie()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.viterbi import N_LABELS, viterbi_decode_padded
+
         tokens_col = batch.column("tokens").to_pylist()
-        tags_out = []
-        for tokens in tokens_col:
-            if not tokens:
-                tags_out.append([])
+        n = len(tokens_col)
+        emissions = [
+            emissions_for_sentence(toks, self.trie) if toks else None
+            for toks in tokens_col
+        ]
+        # batched Viterbi in length-sorted chunks: padding cost is O(N × Tmax)
+        # per chunk, so one 192-token straggler must not pad a whole batch of
+        # ~10-token sentences
+        order = sorted(range(n), key=lambda i: len(tokens_col[i]))
+        paths: list = [None] * n
+        CHUNK = 256
+        for c in range(0, n, CHUNK):
+            idx = [i for i in order[c : c + CHUNK] if emissions[i] is not None]
+            if not idx:
                 continue
-            em = emissions_for_sentence(tokens, self.trie)
-            path = viterbi_decode(em)
-            tags_out.append([LABELS[i] for i in path])
+            lengths = np.array([emissions[i].shape[0] for i in idx], dtype=np.int64)
+            tmax = int(lengths.max())
+            em = np.zeros((len(idx), tmax, N_LABELS), dtype=np.float64)
+            for j, i in enumerate(idx):
+                em[j, : lengths[j]] = emissions[i]
+            for j, path in zip(idx, viterbi_decode_padded(em, lengths)):
+                paths[j] = path
+        tags_out = [
+            [LABELS[k] for k in paths[i]] if paths[i] is not None else []
+            for i in range(n)
+        ]
         return batch.append_column("tags", pa.array(tags_out, pa.list_(pa.string())))
 
 

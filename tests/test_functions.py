@@ -146,3 +146,27 @@ def test_label_all_tokens_variant():
     propagated = tokenize_batch(batch, label_all_tokens=True)["word_ids"][0].as_py()
     assert propagated[:3] == [0, 0, 0]
     assert propagated.count(1) == 1 and propagated.count(2) == 1
+
+
+def test_batched_viterbi_matches_single():
+    # the batched decoder must be bit-identical to the shared single-sentence
+    # decoder (same DP, same first-index tie-break), including tie cases
+    from ner_extractor_ray.functions.viterbi import (
+        N_LABELS,
+        viterbi_decode,
+        viterbi_decode_padded,
+    )
+
+    rng = np.random.RandomState(7)
+    lengths = rng.randint(1, 25, size=300)
+    lengths[::17] = 1  # length-1 edge cases
+    ems = [rng.randn(L, N_LABELS) * 3 for L in lengths]
+    for k in range(0, 300, 30):  # inject exact ties
+        ems[k][:] = 0.0
+    tmax = int(lengths.max())
+    packed = np.zeros((len(ems), tmax, N_LABELS))
+    for i, e in enumerate(ems):
+        packed[i, : len(e)] = e
+    batched = viterbi_decode_padded(packed, lengths)
+    for e, b in zip(ems, batched):
+        assert np.array_equal(viterbi_decode(e), b)
