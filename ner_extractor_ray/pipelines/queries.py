@@ -298,6 +298,26 @@ def q_knn_cosine(sf_dir: str):
     )
 
 
+def q_nations_without_suppliers(sf_dir: str):
+    """Anti-join via broadcast key set (exact; a Bloom filter is the semi-join
+    PREfilter at scale — functions/bloom.py — but anti-joins need the exact
+    set to avoid dropping false-positive non-members)."""
+    skeys = set(_rp(sf_dir, "supplier", ["s_nationkey"]).unique("s_nationkey"))
+    kref = ray.put(skeys)
+    ds = _rp(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        mask = [k not in ks for k in t.column("n_nationkey").to_pylist()]
+        out = t.filter(pa.array(mask, pa.bool_()))
+        return pa.table(
+            {"n_nationkey": pc.cast(out.column("n_nationkey"), pa.int64()),
+             "n_name": out.column("n_name")}
+        )
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
 def q_sample_events(sf_dir: str):
     """O7 sampling analog, made deterministic: systematic 1-in-20 sample by
     key (hash/RNG-free so the SQL oracle reproduces it exactly)."""
@@ -560,6 +580,7 @@ def queries() -> dict:
         "label_hist": q_label_hist,
         "knn_cosine": q_knn_cosine,
         "sample_events": q_sample_events,
+        "nations_without_suppliers": q_nations_without_suppliers,
         "fold_stats": q_fold_stats,
         "user_sessions": q_user_sessions,
         "minhash_neardup": q_minhash_neardup,
@@ -643,6 +664,10 @@ def oracle_sql() -> dict:
         """,
         "sample_events": """
             SELECT event_id, event_type FROM events WHERE event_id % 20 = 0
+        """,
+        "nations_without_suppliers": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+            WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
         """,
         "fold_stats": """
             SELECT fold, n AS n_docs,

@@ -63,3 +63,21 @@ def test_canonicalize_plans_agree():
     assert driver == dist
     eids = {e for _, e, _ in driver}
     assert len(eids) == 3  # two merged pairs + one singleton
+
+
+def test_bloom_filter_no_false_negatives():
+    from ner_extractor_ray.functions.bloom import BloomFilter, build_bloom, semi_join_prefilter
+
+    keys = ray.data.from_items([{"k": f"key-{i}"} for i in range(0, 1000, 2)])
+    bf = build_bloom(keys, "k", n_bits=1 << 16)
+    for i in range(0, 1000, 2):
+        assert f"key-{i}" in bf  # zero false negatives, guaranteed
+    fp = sum(1 for i in range(1, 1000, 2) if f"key-{i}" in bf)
+    assert fp < 50  # false-positive rate stays small at this sizing
+
+    import ray as _r
+
+    probe = ray.data.from_items([{"k": f"key-{i}"} for i in range(1000)])
+    kept = semi_join_prefilter(probe, "k", _r.put(bf)).take_all()
+    kept_keys = {r["k"] for r in kept}
+    assert {f"key-{i}" for i in range(0, 1000, 2)} <= kept_keys  # all true members survive
