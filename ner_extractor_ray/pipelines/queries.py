@@ -318,6 +318,39 @@ def q_nations_without_suppliers(sf_dir: str):
     return ds.map_batches(anti, batch_format="pyarrow")
 
 
+def q_click_after_purchase(sf_dir: str):
+    """As-of join (custom operator, stages/asof.py): each click matched to the
+    user's latest prior purchase; inner (matched-only) output."""
+    from ..stages.asof import asof_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(clicks, purchases, on="user_id", ts_col="ts", num_partitions=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "event_id_r" not in df.columns:
+            return pd.DataFrame({"click_id": pd.Series([], dtype="int64"),
+                                 "purchase_id": pd.Series([], dtype="int64")})
+        out = df.dropna(subset=["event_id_r"])
+        return pd.DataFrame(
+            {"click_id": out["event_id"].astype("int64"),
+             "purchase_id": out["event_id_r"].astype("int64")}
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_sample_events(sf_dir: str):
     """O7 sampling analog, made deterministic: systematic 1-in-20 sample by
     key (hash/RNG-free so the SQL oracle reproduces it exactly)."""
@@ -581,6 +614,7 @@ def queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "sample_events": q_sample_events,
         "nations_without_suppliers": q_nations_without_suppliers,
+        "click_after_purchase": q_click_after_purchase,
         "fold_stats": q_fold_stats,
         "user_sessions": q_user_sessions,
         "minhash_neardup": q_minhash_neardup,
@@ -668,6 +702,12 @@ def oracle_sql() -> dict:
         "nations_without_suppliers": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
             WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+        """,
+        "click_after_purchase": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "fold_stats": """
             SELECT fold, n AS n_docs,

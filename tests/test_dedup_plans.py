@@ -81,3 +81,26 @@ def test_bloom_filter_no_false_negatives():
     kept = semi_join_prefilter(probe, "k", _r.put(bf)).take_all()
     kept_keys = {r["k"] for r in kept}
     assert {f"key-{i}" for i in range(0, 1000, 2)} <= kept_keys  # all true members survive
+
+
+def test_asof_join_backward_semantics():
+    import datetime as dt
+
+    from ner_extractor_ray.stages.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = ray.data.from_items(
+        [{"event_id": 1, "k": "a", "ts": T(10)},
+         {"event_id": 2, "k": "a", "ts": T(20)},
+         {"event_id": 3, "k": "b", "ts": T(5)}]
+    )
+    right = ray.data.from_items(
+        [{"event_id": 10, "k": "a", "ts": T(8)},
+         {"event_id": 11, "k": "a", "ts": T(15)},
+         {"event_id": 12, "k": "b", "ts": T(9)}]  # after left b → no match
+    )
+    out = {r["event_id"]: r.get("event_id_r") for r in
+           asof_join(left, right, on="k", ts_col="ts", num_partitions=4).take_all()}
+    assert out[1] == 10       # latest right ts ≤ 10 is 8
+    assert out[2] == 11       # latest ≤ 20 is 15
+    assert out[3] is None or (out[3] != out[3])  # no prior right row for b
