@@ -315,7 +315,17 @@ def q_nations_without_suppliers(sf_dir: str):
              "n_name": out.column("n_name")}
         )
 
-    return ds.map_batches(anti, batch_format="pyarrow")
+    schema = pa.schema([("n_nationkey", pa.int64()), ("n_name", pa.string())])
+    batches = [
+        b
+        for b in ds.map_batches(anti, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    # a fully-filtered Dataset has no blocks and therefore no schema — return
+    # an explicit-schema (possibly empty) Table so the oracle compare holds at
+    # every sf (at sf≥0.01 every nation has suppliers)
+    return pa.concat_tables(batches) if batches else schema.empty_table()
 
 
 def q_click_after_purchase(sf_dir: str):
