@@ -69,9 +69,14 @@ RELATION_PATTERNS: dict[str, tuple[str, str, str, str]] = {
 }
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
 def normalize_surface(s: str) -> str:
     """Normalization used for alias keys: lowercase, drop periods, strip a
-    leading article. ("I.B.M." → "ibm", "the University" → "university")."""
+    leading article. ("I.B.M." → "ibm", "the University" → "university").
+    Pure + memoized (surfaces repeat heavily within a worker)."""
     s = s.lower().replace(".", "").strip()
     for art in ("the ", "a ", "an "):
         if s.startswith(art):

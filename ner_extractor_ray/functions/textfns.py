@@ -105,8 +105,11 @@ def subword_tokenize(word: str) -> list[str]:
 
 
 def subword_id(piece: str) -> int:
-    """Stable vocab-free subword id (hash-vocab), int32-positive."""
-    return stable_hash64(piece) % 2_000_000_000
+    """Stable vocab-free subword id (hash-vocab), int32-positive. crc32 (C
+    speed): per-subword blake2 calls were ~15% of fused-pass UDF time."""
+    import zlib
+
+    return zlib.crc32(piece.encode("utf-8")) & 0x7FFFFFFF
 
 
 # ------------------------------------------------------------- language ID
