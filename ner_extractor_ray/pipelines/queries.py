@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Sum
 
 _ALNUM = re.compile(r"[a-z0-9]+")
 EMBED_DIM = 64  # testdata embeddings dim (TESTDATA.md tables)
@@ -501,7 +501,7 @@ def q_knn_ivf(sf_dir: str):
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup: brute pairwise per IVF bucket (bucketed
     blocking keeps the pair space linear-ish at scale)."""
-    from ..functions.similarity import _batch_matrix, ivf_assign, ivf_build_centroids
+    from ..functions.similarity import ivf_assign, ivf_build_centroids
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     cent = ivf_build_centroids(ds, n_centroids=8, refine_rounds=1)

@@ -19,7 +19,6 @@ import pyarrow as pa
 from .. import LABELS
 from ..functions.gazetteer import gazetteer_token_trie
 from ..functions.tagging import emissions_for_sentence
-from ..functions.viterbi import viterbi_decode
 
 
 class DeterministicTagger:
