@@ -93,3 +93,13 @@ def test_partition_aware_compute_skip(small_pages_dir, tmp_path):
     res2 = run_kg(pages_dataset(small_pages_dir), out_dir=out, n_partitions=4)
     assert _edge_set(res2) == full
     assert snapshot() == surviving  # completed partitions byte-identical, untouched
+
+
+def test_hash_join_linking_plan_matches_broadcast(small_pages_dir):
+    """broadcast_limit=0 forces the partitioned hash-join resolution path
+    (the 1e9-surface-vocabulary plan); output must equal the broadcast plan."""
+    a = run_kg(pages_dataset(small_pages_dir), out_dir=None, n_partitions=4)
+    b = run_kg(
+        pages_dataset(small_pages_dir), out_dir=None, n_partitions=4, broadcast_limit=0
+    )
+    assert _edge_set(a) == _edge_set(b)
