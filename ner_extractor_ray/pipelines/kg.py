@@ -159,6 +159,24 @@ def run_kg(
     """
     from ..stages.annotate import Annotator, split_annotations
 
+    from .. import __version__
+
+    try:
+        input_files = pages.input_files()
+    except Exception:
+        input_files = []
+    lineage = {
+        "engine_version": __version__,
+        "input_files": input_files[:64],
+        "n_input_files": len(input_files),
+        "params": {
+            "batch_size": batch_size,
+            "n_partitions": n_partitions,
+            "use_actors": use_actors,
+            "broadcast_limit": broadcast_limit,
+        },
+    }
+
     alias = alias_canonical_map()
     alias_ref = ray.put(alias)
     ann_dir = os.path.join(out_dir, "annotations") if out_dir else None
@@ -214,7 +232,7 @@ def run_kg(
             )
         if ann_dir:
             write_partitioned(ann, ann_dir, "url", n_partitions=n_partitions,
-                              resume=resume)
+                              resume=resume, lineage={**lineage, "stage": "annotations"})
             ann = ray.data.read_parquet(ann_dir)
         else:
             ann = ann.materialize()
@@ -278,11 +296,12 @@ def run_kg(
         if not (table_complete(nodes_dir) and resume):
             write_partitioned(nodes, nodes_dir, "entity_id",
                               n_partitions=n_partitions, sort_key="entity_id",
-                              resume=resume)
+                              resume=resume, lineage={**lineage, "stage": "nodes"})
         if not (table_complete(edges_dir) and resume):
             write_partitioned(edges, edges_dir, "subj_id",
                               n_partitions=n_partitions,
-                              sort_key=["subj_id", "pred", "obj_id"], resume=resume)
+                              sort_key=["subj_id", "pred", "obj_id"], resume=resume,
+                              lineage={**lineage, "stage": "edges"})
         result["nodes"] = ray.data.read_parquet(nodes_dir)
         result["edges"] = ray.data.read_parquet(edges_dir)
     return result

@@ -169,6 +169,51 @@ def q_user_event_stats(sf_dir: str):
     )
 
 
+def q_props_stats(sf_dir: str):
+    """§2.8 JSON decode: parse the events.props JSON column, aggregate the
+    extracted integer (exact) — vectorized per batch with the stdlib parser."""
+    import json as _json
+
+    ds = _rp(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p or "{}").get("k", 0)) for p in t.column("props").to_pylist()]
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist(), "sum_k": ks})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("sum_k", "size"), sum_k=("sum_k", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+    )
+
+
+def q_orders_by_month(sf_dir: str):
+    """§2.8 date functions: month truncation + grouped exact aggregates."""
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        months = pd.Series(t.column("o_orderdate").to_pandas()).dt.strftime("%Y-%m")
+        df = pd.DataFrame(
+            {"month": months,
+             "total_cents": _cents(np.asarray(t.column("o_totalprice")))}
+        )
+        g = df.groupby("month", as_index=False).agg(
+            n_orders=("total_cents", "size"), total_cents=("total_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_cents", alias_name="total_cents"))
+    )
+
+
 def q_fold_counts(sf_dir: str):
     """O3 GroupKFold analog: deterministic partition column doc_id % 5."""
     ds = _rp(sf_dir, "documents", ["doc_id"])
@@ -614,6 +659,8 @@ def queries() -> dict:
         "events_hourly": q_events_hourly,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
+        "props_stats": q_props_stats,
+        "orders_by_month": q_orders_by_month,
         "distinct_langs": q_distinct_langs,
         "lang_stats": q_lang_stats,
         "word_freq": q_word_freq,
@@ -676,6 +723,18 @@ def oracle_sql() -> dict:
         """,
         "fold_counts": """
             SELECT doc_id % 5 AS fold, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        """,
+        "props_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS BIGINT)
+                       AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "orders_by_month": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM orders GROUP BY 1
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "lang_stats": """

@@ -59,6 +59,7 @@ def write_partitioned(
     n_partitions: int = 16,
     sort_key: str | list[str] | None = None,
     resume: bool = True,
+    lineage: dict | None = None,
 ) -> dict:
     """Write ``part=<crc32(part_key) % n>`` Parquet dirs + manifests.
 
@@ -120,4 +121,4 @@ def write_partitioned(
 
         ds = ds.repartition(_compact_blocks())
     ds.write_parquet(table_dir, partition_cols=["part"])
-    return finalize_partitions(table_dir)
+    return finalize_partitions(table_dir, extra={"lineage": lineage} if lineage else None)
