@@ -1,9 +1,10 @@
 """The flagship pipeline: Parquet web pages → knowledge graph (nodes + edges).
 
 Composition of SURVEY.md §7.1's stage DAG, Ray-Data-first: every stage is a
-``map_batches`` transform over Arrow batches; the tagger is an actor pool; the
-only wide operations are the canonicalization groupbys and the final
-dedup/sort — all partial-aggregated and hash-partitioned.
+``map_batches`` transform over Arrow batches (tasks by default, actor pools
+for heavy-state scorers); the only wide operations are the canonicalization
+groupbys and the final dedup/sort — all partial-aggregated and
+hash-partitioned.
 
 Scale notes (100 TB design, tested single-node):
   * ``html`` is dropped at S1; nothing downstream ever shuffles it.
