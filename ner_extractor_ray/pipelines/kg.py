@@ -66,6 +66,7 @@ def tag_sentences(
     batch_size: int = 1024,
     lang_filter: str | None = "en",
     use_actors: bool = False,
+    include_subwords: bool = False,
 ) -> "ray.data.Dataset":
     """pages → tagged sentence rows (url, sent_id, tokens, tags, ...).
 
@@ -74,7 +75,12 @@ def tag_sentences(
     once per worker on first deserialize, and tasks avoid per-execution actor
     startup (2× wall-time win measured at 200k pages). ``use_actors=True``
     switches to the actor-pool plan — required when the scorer holds heavy
-    state (HFTagger model weights; SURVEY.md T2)."""
+    state (HFTagger model weights; SURVEY.md T2).
+
+    ``include_subwords=True`` inserts the subword tokenize+first-subword
+    alignment stage (stages/tokenize.py) — REQUIRED for a subword scorer like
+    HFTagger, dead compute (~30% of the pass) for the word-level
+    DeterministicTagger, hence opt-in."""
     ds = pages.map_batches(extract_batch, batch_format="pyarrow")
     if lang_filter:
         ds = ds.map_batches(
@@ -82,7 +88,8 @@ def tag_sentences(
             batch_format="pyarrow",
         )
     ds = ds.map_batches(sentseg_batch, batch_format="pyarrow")
-    ds = ds.map_batches(tokenize_batch, batch_format="pyarrow")
+    if include_subwords:
+        ds = ds.map_batches(tokenize_batch, batch_format="pyarrow")
     if use_actors:
         ds = ds.map_batches(
             DeterministicTagger,

@@ -170,3 +170,19 @@ def test_batched_viterbi_matches_single():
     batched = viterbi_decode_padded(packed, lengths)
     for e, b in zip(ems, batched):
         assert np.array_equal(viterbi_decode(e), b)
+
+
+def test_include_subwords_pipeline_flag():
+    import ray.data
+
+    from ner_extractor_ray.pipelines.kg import tag_sentences
+    from ner_extractor_ray.sources.pages import generate_pages
+
+    pages, _ = generate_pages(5, seed=3)
+    ds = ray.data.from_arrow(pages)
+    cols = set(
+        tag_sentences(ds, include_subwords=True)
+        .take(1)[0]
+        .keys()
+    )
+    assert "tags" in cols  # select drops input_ids from the tagged view; stage ran
