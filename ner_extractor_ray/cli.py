@@ -42,6 +42,11 @@ def cmd_kg(args) -> int:
     from .pipelines.kg import pages_dataset, run_kg
 
     cfg = PipelineConfig.load(args.config)
+    if cfg.tagger == "hf":
+        from .stages.tagger import HFTagger
+
+        if HFTagger is None:
+            raise RuntimeError("tagger='hf' requires torch+transformers installed")
     res = run_kg(
         pages_dataset(args.pages),
         out_dir=args.out,

@@ -67,6 +67,9 @@ def tag_sentences(
     lang_filter: str | None = "en",
     use_actors: bool = False,
     include_subwords: bool = False,
+    scorer=None,
+    scorer_kwargs: dict | None = None,
+    num_gpus: float | None = None,
 ) -> "ray.data.Dataset":
     """pages → tagged sentence rows (url, sent_id, tokens, tags, ...).
 
@@ -90,16 +93,21 @@ def tag_sentences(
     ds = ds.map_batches(sentseg_batch, batch_format="pyarrow")
     if include_subwords:
         ds = ds.map_batches(tokenize_batch, batch_format="pyarrow")
+    scorer_cls = scorer or DeterministicTagger
     if use_actors:
-        ds = ds.map_batches(
-            DeterministicTagger,
+        kwargs = dict(
             batch_format="pyarrow",
             batch_size=batch_size,
+            fn_constructor_kwargs=scorer_kwargs or {},
             concurrency=tagger_concurrency or default_tagger_concurrency(),
         )
+        if num_gpus:
+            kwargs["num_gpus"] = num_gpus
+        ds = ds.map_batches(scorer_cls, **kwargs)
     else:
         ds = ds.map_batches(
-            DeterministicTagger(), batch_format="pyarrow", batch_size=batch_size
+            scorer_cls(**(scorer_kwargs or {})), batch_format="pyarrow",
+            batch_size=batch_size,
         )
     return ds.select_columns(["url", "sent_id", "sentence", "tokens", "n_tokens", "tags"])
 

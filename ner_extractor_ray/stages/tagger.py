@@ -1,15 +1,19 @@
-"""S4 — NER scoring stage: emissions → Viterbi BIO tags (actor-pool map_batches).
+"""S4 — NER scoring stage: emissions → Viterbi BIO tags.
 
-The canonical stateful stage (SURVEY.md §2.3 T2/T4): state (gazetteer trie /
-model weights) is built ONCE per actor in ``__init__``; ``__call__`` scores one
-Arrow batch. Reference analog: DistilBERT-CRF forward + ``crf.viterbi_decode``
-(DistilBERT-CRF/src/modeling.py:83-141, 123-132).
+The canonical stateful stage (SURVEY.md §2.3 T2/T4). Two interchangeable
+scorers behind one interface (``__call__(pa.Table with tokens) -> +tags``),
+per SURVEY.md §7.0:
 
-Two interchangeable scorers (SURVEY.md §7.0):
-  * ``DeterministicTagger`` — pure-numpy emission function + shared Viterbi;
-    used in this sandbox (no torch) and by tests/bench.
-  * ``HFTagger`` — DistilBERT-CRF checkpoint, import-guarded; same interface;
-    pass ``num_gpus=...`` to map_batches when used.
+  * ``DeterministicTagger`` — pure-numpy emission function (gazetteer trie +
+    shape features) + the shared batched Viterbi; used in this sandbox (no
+    torch) and by tests/bench. State pickles in microseconds → run as
+    stateless tasks by default (pipelines/kg.py).
+  * ``HFTagger`` — HuggingFace token-classification checkpoint; importable
+    only when torch/transformers are installed. Heavy weights → run as an
+    actor pool: ``map_batches(HFTagger, fn_constructor_kwargs={...},
+    concurrency=(n,m), num_gpus=1, batch_size=B)`` — weights load ONCE per
+    actor (reference analog: checkpoint load scripts/train_distilbert_crf.py:
+    222-234, forward pass src/modeling.py:83-141).
 """
 
 from __future__ import annotations
@@ -23,8 +27,8 @@ from ..functions.tagging import emissions_for_sentence
 
 class DeterministicTagger:
     def __init__(self):
-        # once per actor: build the lookup state (the reference loads model
-        # weights / tokenizer here — src/tokenization.py:11-47 lru_cache analog)
+        # once per actor/worker: build the lookup state (the reference loads
+        # model weights / tokenizer here — src/tokenization.py:11-47 analog)
         self.trie = gazetteer_token_trie()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -64,17 +68,73 @@ class DeterministicTagger:
 
 try:  # optional real-model scorer when torch/transformers are installed
     import torch  # noqa: F401
+    import transformers  # noqa: F401
 
     class HFTagger:
-        """DistilBERT-CRF checkpoint scorer (same interface). Only importable
-        when torch is present; the checkpoint loads once per actor
-        (reference: scripts/train_distilbert_crf.py:222-234)."""
+        """HF token-classification scorer, same interface as the surrogate.
 
-        def __init__(self, checkpoint_path: str):
-            raise NotImplementedError(
-                "HFTagger requires a trained checkpoint; wire up when torch "
-                "and a checkpoint are available."
-            )
+        Pipeline shape mirrors the reference's inference path: fast tokenizer
+        with ``is_split_into_words=True``, forward pass for per-subword
+        logits, FIRST-subword emission per word (src/data_module.py:98-110
+        alignment convention), then the SAME structural Viterbi as the
+        surrogate so BIO validity is enforced identically.
+        """
 
-except ImportError:  # pragma: no cover
+        def __init__(self, checkpoint_path: str, device: str | None = None,
+                     max_length: int = 192):
+            import torch as _t
+            from transformers import AutoModelForTokenClassification, AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(checkpoint_path, use_fast=True)
+            self.model = AutoModelForTokenClassification.from_pretrained(checkpoint_path)
+            self.model.eval()
+            self.device = device or ("cuda" if _t.cuda.is_available() else "cpu")
+            self.model.to(self.device)
+            self.max_length = max_length
+            id2label = self.model.config.id2label
+            # map model label space onto our fixed vocabulary order
+            self.label_order = [str(id2label[i]) for i in range(len(id2label))]
+
+        @staticmethod
+        def _project(emissions, label_order):
+            """(T, model_labels) → (T, LABELS) emission matrix in our order."""
+            import numpy as np
+
+            out = np.full((emissions.shape[0], len(LABELS)), -1e4, dtype=np.float64)
+            for j, lab in enumerate(label_order):
+                if lab in LABELS:
+                    out[:, LABELS.index(lab)] = emissions[:, j]
+            return out
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import torch as _t
+
+            from ..functions.viterbi import viterbi_decode
+
+            tokens_col = batch.column("tokens").to_pylist()
+            tags_out: list[list[str]] = []
+            enc = self.tokenizer(
+                tokens_col, is_split_into_words=True, truncation=True,
+                max_length=self.max_length, padding=True, return_tensors="pt",
+            ).to(self.device)
+            with _t.no_grad():
+                logits = self.model(**enc).logits.cpu().numpy()
+            for i, tokens in enumerate(tokens_col):
+                word_ids = enc.word_ids(batch_index=i)
+                first_subword = {}
+                for pos, w in enumerate(word_ids):
+                    if w is not None and w not in first_subword:
+                        first_subword[w] = pos
+                em = np.stack(
+                    [logits[i, first_subword[w]] for w in range(len(first_subword))]
+                ) if first_subword else np.zeros((0, logits.shape[-1]))
+                em = self._project(em, self.label_order)
+                path = viterbi_decode(em) if len(em) else []
+                tags = [LABELS[k] for k in path]
+                tags += ["O"] * (len(tokens) - len(tags))  # truncated tail
+                tags_out.append(tags[: len(tokens)])
+            return batch.append_column("tags", pa.array(tags_out, pa.list_(pa.string())))
+
+except ImportError:  # pragma: no cover - torch not installed in this sandbox
     HFTagger = None
