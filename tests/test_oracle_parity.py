@@ -117,3 +117,28 @@ def test_graph_matches_oracle(pipeline_and_oracle):
         (e["subj_id"], e["pred"], e["obj_id"], e["n_occurrences"], e["prov"])
         for e in oracle["edges"]
     }
+
+
+def test_alias_groups_share_entity_id(pipeline_and_oracle, small_pages_dir):
+    """gold_entities contract (FIXTURES.md §2): all surfaces of one alias
+    group ("IBM"/"I.B.M.", "Bill Gates"/"William Gates") that appear in the
+    corpus resolve to ONE canonical entity id."""
+    from ner_extractor_ray.functions.gazetteer import ALIAS_GROUPS, GAZETTEER
+
+    res, _, _ = pipeline_and_oracle
+    surf_to_eid = {}
+    for r in res["mentions"].select_columns(["surface", "type", "entity_id"]).take_all():
+        surf_to_eid[(r["type"], r["surface"])] = r["entity_id"]
+
+    type_of = {s: t for t, ss in GAZETTEER.items() for s in ss}
+    checked = 0
+    for group in ALIAS_GROUPS:
+        eids = {
+            surf_to_eid[(type_of[s], s)]
+            for s in group
+            if s in type_of and (type_of[s], s) in surf_to_eid
+        }
+        if len(eids) >= 1:
+            assert len(eids) == 1, (group, eids)
+            checked += 1
+    assert checked >= 2  # at least IBM and Bill Gates groups appear in 300 pages
