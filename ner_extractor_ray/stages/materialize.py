@@ -65,6 +65,11 @@ def write_partitioned(
 
     With ``resume=True``, partitions that already have a manifest are filtered
     out BEFORE any work is written (kill-and-rerun skips finished shards).
+
+    SCALE CONTRACT: with ``sort_key`` set, one partition is compacted into one
+    block — callers must size ``n_partitions`` so table_size / n_partitions
+    fits a worker heap (at 100 TB that means thousands of partitions, not 16;
+    n_partitions is the knob the cluster-size config scales).
     """
 
     def add_part(t: pa.Table) -> pa.Table:

@@ -58,3 +58,38 @@ def test_run_kg_on_edge_pages(tmp_path):
     nodes = res["nodes"].take_all()
     types = {n["type"] for n in nodes}
     assert {"PER", "ORG", "LOC"} <= types
+
+
+def test_skew_pages_hot_entity(tmp_path):
+    """FIXTURES.md §4 skew fixture: one entity ("Google") dominates mentions
+    and one domain dominates urls — pre-aggregated counts and salted LSH must
+    produce exact results (equal to what the oracle computes)."""
+    import pyarrow as pa
+    import ray.data
+
+    from reference_impl.oracle import run_oracle
+
+    rows = []
+    for i in range(400):
+        dom = "hot.example.com" if i % 10 < 4 else f"site{i%7}.example.org"
+        text = (
+            "Google acquired Google ."
+            if i % 2 == 0  # hot entity in 50% of pages, twice per sentence
+            else "Ada Lovelace visited London ."
+        )
+        rows.append(
+            {"url": f"https://{dom}/p{i}", "html": b"", "text": text, "lang": "en"}
+        )
+    schema = pa.schema(
+        [("url", pa.string()), ("html", pa.binary()), ("text", pa.string()),
+         ("lang", pa.string())]
+    )
+    pages = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema)).repartition(8)
+    res = run_kg(pages, out_dir=None, n_partitions=4)
+    oracle = run_oracle(rows)
+    got_nodes = {(n["entity_id"], n["n_mentions"]) for n in res["nodes"].take_all()}
+    exp_nodes = {(n["entity_id"], n["n_mentions"]) for n in oracle["nodes"]}
+    assert got_nodes == exp_nodes
+    # hot entity count is exact despite 400 mentions on one key
+    hot = [n for n in oracle["nodes"] if n["canonical_name"] == "google"]
+    assert hot and hot[0]["n_mentions"] == 400
