@@ -93,3 +93,23 @@ def test_skew_pages_hot_entity(tmp_path):
     # hot entity count is exact despite 400 mentions on one key
     hot = [n for n in oracle["nodes"] if n["canonical_name"] == "google"]
     assert hot and hot[0]["n_mentions"] == 400
+
+
+def test_annotations_identical_across_batch_sizes(small_pages_dir):
+    """Batching must be invisible: batch_size 64 vs 1024 produce identical
+    annotation rows (determinism criterion, SURVEY.md §2.9)."""
+    from ner_extractor_ray.functions.gazetteer import alias_canonical_map
+    from ner_extractor_ray.pipelines.kg import pages_dataset, tag_sentences
+    from ner_extractor_ray.stages.annotate import Annotator
+
+    def run(bs):
+        ann = tag_sentences(pages_dataset(small_pages_dir), batch_size=bs).map_batches(
+            Annotator(alias_canonical_map()), batch_format="pyarrow", batch_size=bs
+        )
+        return sorted(
+            (r["kind"], r["url"], r["sent_id"], r.get("node"), r.get("subj_node"),
+             r.get("pred"), r.get("obj_node"))
+            for r in ann.take_all()
+        )
+
+    assert run(64) == run(1024)
