@@ -249,10 +249,29 @@ def run_kg(
         if ann_dir:
             write_partitioned(ann, ann_dir, "url", n_partitions=n_partitions,
                               resume=resume, lineage={**lineage, "stage": "annotations"})
-            ann = ray.data.read_parquet(ann_dir)
+            ann = None
         else:
             ann = ann.materialize()
-    mentions, triples = split_annotations(ann)
+    if ann is None:
+        # prune at the read: each consumer loads only its columns from the
+        # checkpoint instead of the full 17-column table
+        from ..stages.annotate import MENTION_COLS, TRIPLE_COLS
+
+        def _kind_filter(kind, cols):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.filter(pc.equal(t.column("kind"), kind)).select(cols)
+
+            return fn
+
+        mentions = ray.data.read_parquet(
+            ann_dir, columns=["kind"] + MENTION_COLS
+        ).map_batches(_kind_filter("m", MENTION_COLS), batch_format="pyarrow")
+        triples = ray.data.read_parquet(
+            ann_dir, columns=["kind"] + TRIPLE_COLS
+        ).map_batches(_kind_filter("t", TRIPLE_COLS), batch_format="pyarrow")
+        ann = ray.data.read_parquet(ann_dir)
+    else:
+        mentions, triples = split_annotations(ann)
 
     # ---- S8: canonicalization over DISTINCT surfaces (small relative to
     # corpus); physical plan chosen by vocabulary size (canonicalize_nodes)
