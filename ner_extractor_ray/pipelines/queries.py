@@ -214,6 +214,35 @@ def q_orders_by_month(sf_dir: str):
     )
 
 
+def q_doc_sample_hash(sf_dir: str):
+    """O5/O7 analog at scale: deterministic Bernoulli sampling by content hash
+    (seeded RNG order doesn't survive distribution; md5 < threshold does, and
+    the SQL oracle reproduces it exactly). ~1/8 of rows."""
+    import hashlib as _hl
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_pylist()
+        mask = [_hl.md5(str(i).encode()).hexdigest() < "2" for i in ids]
+        out = t.filter(pa.array(mask, pa.bool_()))
+        return pa.table({"doc_id": pc.cast(out.column("doc_id"), pa.int64())})
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_top_event_per_user(sf_dir: str):
+    """Top-1-per-group (window-function analog): each user's max-value event,
+    deterministic tie-break on event_id."""
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(1)
+        return g[["user_id", "event_id"]]
+
+    return ds.groupby("user_id").map_groups(top1, batch_format="pandas")
+
+
 def q_fold_counts(sf_dir: str):
     """O3 GroupKFold analog: deterministic partition column doc_id % 5."""
     ds = _rp(sf_dir, "documents", ["doc_id"])
@@ -659,6 +688,8 @@ def queries() -> dict:
         "events_hourly": q_events_hourly,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
+        "doc_sample_hash": q_doc_sample_hash,
+        "top_event_per_user": q_top_event_per_user,
         "props_stats": q_props_stats,
         "orders_by_month": q_orders_by_month,
         "distinct_langs": q_distinct_langs,
@@ -723,6 +754,15 @@ def oracle_sql() -> dict:
         """,
         "fold_counts": """
             SELECT doc_id % 5 AS fold, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        """,
+        "doc_sample_hash": """
+            SELECT doc_id FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '2'
+        """,
+        "top_event_per_user": """
+            SELECT user_id, event_id FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY value DESC, event_id
+            ) = 1
         """,
         "props_stats": """
             SELECT event_type, COUNT(*) AS n,
