@@ -15,6 +15,7 @@ import hashlib
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
@@ -96,52 +97,49 @@ def lsh_near_dup_pairs(
     """
     shingler = SHINGLERS[shingle]
 
+    # Phase 1 — band explode ships (bucket, doc) ONLY: 16 bytes per band row.
+    # Replicating the document text into every band row amplifies the shuffle
+    # by n_bands × corpus text bytes — the one true scale-killer at 100 TB —
+    # so texts are re-joined for candidate pairs only (phase 3).
     def bands(t: pa.Table) -> pa.Table:
         from ..stages.canonicalize import _bucket_key
 
         ids = t.column(id_col).to_pylist()
         texts = t.column(text_col).to_pylist()
-        o_b, o_id, o_txt = [], [], []
+        o_b, o_id = [], []
         for i, txt in zip(ids, texts):
             sig = minhash_signature(shingler(txt or ""), num_perm)
             for b, h in enumerate(band_keys(sig, n_bands)):
                 o_b.append(_bucket_key(b, h))
                 o_id.append(i)
-                o_txt.append(txt)
         return pa.table(
             {
                 "bucket": pa.array(o_b, pa.int64()),
                 "doc": pa.array(o_id, pa.int64()),
-                "txt": pa.array(o_txt, pa.string()),
             }
         )
 
-    def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    # Phase 2 — in-bucket candidate generation (ids only; no verification yet)
+    def part_cands(group: pd.DataFrame) -> pd.DataFrame:
         # many buckets per Ray group (bucket % P) — see canonicalize.py note
         # on map_groups per-group overhead
-        a, b, jc = [], [], []
+        a, b = [], []
         for _, g in group.groupby("bucket", sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates("doc").sort_values("doc")
-            ids = g["doc"].tolist()
-            txts = g["txt"].tolist()
+            ids = sorted(set(g["doc"]))
             n = len(ids)
             if n < 2:
                 continue
-            sh = [set(shingler(t or "")) for t in txts]
             pairs = (
                 [(i, j) for i in range(n) for j in range(i + 1, n)]
                 if n <= bucket_cap
-                else [(i, i + 1) for i in range(n - 1)]
+                else [(i, i + 1) for i in range(n - 1)]  # sorted-chain skew cap
             )
             for i, j in pairs:
-                jv = jaccard(sh[i], sh[j])
-                if jv >= threshold:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    jc.append(round(jv, 6))
-        return pd.DataFrame({"id_a": a, "id_b": b, "jaccard": jc})
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame(
+            {"id_a": pd.Series(a, dtype="int64"), "id_b": pd.Series(b, dtype="int64")}
+        )
 
     def add_part(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
@@ -151,26 +149,81 @@ def lsh_near_dup_pairs(
         part = _pc.cast(t.column("bucket"), pa.int64()).to_numpy() % _compact_blocks()
         return t.append_column("__part", pa.array(part, pa.int64()))
 
-    pair_rows = (
+    from ..stages.canonicalize import pre_aggregated_count
+
+    cands = (
         ds.select_columns([id_col, text_col])
         .map_batches(bands, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(part_pairs, batch_format="pandas")
+        .map_groups(part_cands, batch_format="pandas")
     )
-    # dedup pairs found in multiple bands (partial per-batch combine first)
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "id_a" not in df.columns:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        return df.groupby(["id_a", "id_b"], as_index=False)["jaccard"].min()
+    # dedup candidates discovered in multiple bands BEFORE fetching any text
+    cands = pre_aggregated_count(cands, ["id_a", "id_b"], count_col="_nb").select_columns(
+        ["id_a", "id_b"]
+    ).materialize()
+    if cands.count() == 0:
+        import ray.data as _rd
 
-    from ..stages.canonicalize import grouped_aggregate
+        return _rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
 
-    return grouped_aggregate(
-        pair_rows.map_batches(partial, batch_format="pandas"),
-        ["id_a", "id_b"],
-        Min("jaccard", alias_name="jaccard"),
+    # Phase 3 — texts for CANDIDATE docs only: bloom semi-join prefilter (no
+    # false negatives; fp rate only ships a few extra texts), then partitioned
+    # hash joins pair×text. Candidate volume ≈ O(duplicate clusters), orders
+    # of magnitude below the corpus, so the text shuffle is now proportional
+    # to the dup set, not n_bands × corpus.
+    import ray as _ray
+
+    from .bloom import build_bloom, semi_join_prefilter
+
+    cand_ids = cands.map_batches(
+        lambda t: pa.table(
+            {"cid": pa.concat_arrays(
+                [pc.cast(t.column("id_a"), pa.int64()).combine_chunks(),
+                 pc.cast(t.column("id_b"), pa.int64()).combine_chunks()])}
+        ),
+        batch_format="pyarrow",
     )
+    bloom_ref = _ray.put(build_bloom(cand_ids, "cid"))
+    docs = ds.select_columns([id_col, text_col])
+    docs_f = semi_join_prefilter(docs, id_col, bloom_ref)
+    ta = docs_f.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t.column(id_col), pa.int64()),
+                            "text_a": t.column(text_col)}),
+        batch_format="pyarrow",
+    )
+    tb = docs_f.map_batches(
+        lambda t: pa.table({"id_b": pc.cast(t.column(id_col), pa.int64()),
+                            "text_b": t.column(text_col)}),
+        batch_format="pyarrow",
+    )
+    from ..stages.joins import hash_join
+
+    joined = hash_join(hash_join(cands, ta, on=("id_a",)), tb, on=("id_b",))
+
+    # Phase 4 — exact Jaccard verification on the candidate pairs (identical
+    # semantics to the in-bucket verify of the text-shuffling plan)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "text_a" not in df.columns:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        a, b, jc = [], [], []
+        for ia, ib, txa, txb in zip(df["id_a"], df["id_b"], df["text_a"], df["text_b"]):
+            jv = jaccard(set(shingler(txa or "")), set(shingler(txb or "")))
+            if jv >= threshold:
+                a.append(int(ia))
+                b.append(int(ib))
+                jc.append(round(jv, 6))
+        return pd.DataFrame(
+            {"id_a": pd.Series(a, dtype="int64"), "id_b": pd.Series(b, dtype="int64"),
+             "jaccard": pd.Series(jc, dtype="float64")}
+        )
+
+    return joined.map_batches(verify, batch_format="pandas")
 
 
 def near_dup_keep_ids(pairs_ds: "ray.data.Dataset", all_ids_ds: "ray.data.Dataset",

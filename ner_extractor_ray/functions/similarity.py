@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -96,10 +97,31 @@ def ivf_build_centroids(
 ) -> np.ndarray:
     """Deterministic centroids: seed = the ``n_centroids`` lowest-id vectors,
     then ``refine_rounds`` of distributed Lloyd updates (per-batch partial
-    sums → tiny driver reduce). No RNG — identical at any parallelism."""
-    seeds = (
-        ds.sort(id_col).limit(n_centroids).take_all()
-    )
+    sums → tiny driver reduce). No RNG — identical at any parallelism.
+
+    Seed selection is a per-batch partial min-k (each batch emits its k
+    lowest-id vectors) merged on the driver — NOT a global ``sort().limit()``,
+    which would shuffle the whole corpus to pick k rows."""
+
+    def partial_min_k(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t.column(id_col), pa.int64()).to_numpy())
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             col: pa.array([], pa.list_(pa.float64()))})
+        k = min(n_centroids, len(ids))
+        idx = np.sort(np.argpartition(ids, k - 1)[:k]) if k < len(ids) else np.arange(len(ids))
+        m = _batch_matrix(t, col)
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx], pa.int64()),
+                col: pa.array([m[i] for i in idx], pa.list_(pa.float64())),
+            }
+        )
+
+    seeds = sorted(
+        ds.map_batches(partial_min_k, batch_format="pyarrow").take_all(),
+        key=lambda r: r[id_col],
+    )[:n_centroids]
     cent = np.array([r[col] for r in seeds], dtype=np.float64)
     for _ in range(refine_rounds):
         cref = ray.put(cent)

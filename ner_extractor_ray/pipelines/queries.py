@@ -233,14 +233,30 @@ def q_doc_sample_hash(sf_dir: str):
 
 def q_top_event_per_user(sf_dir: str):
     """Top-1-per-group (window-function analog): each user's max-value event,
-    deterministic tie-break on event_id."""
+    deterministic tie-break on event_id. Grouped by COARSE hash buckets
+    (user_id % P), exact per-user groupby in pandas inside — Ray's map_groups
+    costs ~80μs per group, so one-Ray-group-per-user makes per-group overhead
+    dominate at web-scale user cardinality."""
     ds = _rp(sf_dir, "events", ["user_id", "event_id", "value"])
+    from ..stages.canonicalize import _compact_blocks
 
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(1)
-        return g[["user_id", "event_id"]]
+    P = _compact_blocks()
 
-    return ds.groupby("user_id").map_groups(top1, batch_format="pandas")
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(uid % P, pa.int64()))
+
+    def part_top1(g: pd.DataFrame) -> pd.DataFrame:
+        # (value desc, event_id asc) is a total order per user → head(1) exact
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        out = g.groupby("user_id", as_index=False, sort=False).head(1)
+        return out[["user_id", "event_id"]]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_top1, batch_format="pandas")
+    )
 
 
 def q_fold_counts(sf_dir: str):
@@ -491,16 +507,33 @@ def q_user_sessions(sf_dir: str):
     events partitioned by user, sorted by ts within the group, new session
     when the gap exceeds 1h. n_sessions = 1 + count(gap > 1h)."""
     ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    from ..stages.canonicalize import _compact_blocks
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds() > 3600
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_events": [len(g)],
-             "n_sessions": [int(1 + gaps.sum())]}
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(uid % P, pa.int64()))
+
+    def part_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse hash-bucket group; exact per-user sessionization inside
+        # (one Ray group per USER would pay ~80μs/group at web-scale)
+        g = g.sort_values(["user_id", "ts"])
+        gap = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds() > 3600
+        out = (
+            g.assign(__gap=gap)
+            .groupby("user_id", as_index=False, sort=False)
+            .agg(n_events=("ts", "size"), n_sessions=("__gap", "sum"))
         )
+        out["n_sessions"] = (out["n_sessions"] + 1).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "n_events", "n_sessions"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_sessions, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -572,28 +605,59 @@ def q_knn_ivf(sf_dir: str):
     return out.select_columns(["vec_id", "rank"])
 
 
-def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup: brute pairwise per IVF bucket (bucketed
-    blocking keeps the pair space linear-ish at scale)."""
+def q_embedding_neardup(sf_dir: str, *, bucket_cap: int = 1024):
+    """Embedding-cosine near-dup: brute pairwise per IVF bucket.
+
+    Scale discipline: ``n_centroids`` grows as √n (expected bucket size √n,
+    pairwise work n·√n, never quadratic in the corpus), and a bucket that
+    still exceeds ``bucket_cap`` falls back to a sorted CHAIN of consecutive
+    comparisons (O(n), connectivity-preserving) — the same skew cap as the
+    LSH dedup family. Buckets are grouped by COARSE hash partitions; exact
+    buckets iterate in pandas inside (map_groups per-group overhead)."""
     from ..functions.similarity import ivf_assign, ivf_build_centroids
+    from ..stages.canonicalize import _compact_blocks
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cent = ivf_build_centroids(ds, n_centroids=8, refine_rounds=1)
+    n = ds.count()
+    n_centroids = max(8, min(4096, int(np.sqrt(max(n, 1)))))
+    cent = ivf_build_centroids(ds, n_centroids=n_centroids, refine_rounds=1)
     assigned = ivf_assign(ds, cent)
+    P = _compact_blocks()
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        ids = g["vec_id"].to_numpy()
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        sims = (m @ m.T) / np.outer(norms, norms)
-        ii, jj = np.where(np.triu(sims > 0.95, k=1))
+    def add_part(t: pa.Table) -> pa.Table:
+        b = pc.cast(t.column("ivf_bucket"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(b % P, pa.int64()))
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, gb in g.groupby("ivf_bucket", sort=False):
+            gb = gb.sort_values("vec_id")
+            ids = gb["vec_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            m = np.stack(gb["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            if len(ids) <= bucket_cap:
+                sims = (m @ m.T) / np.outer(norms, norms)
+                ii, jj = np.where(np.triu(sims > 0.95, k=1))
+            else:  # skew cap: consecutive sorted pairs only, O(n)
+                mn = m / norms[:, None]
+                s = (mn[:-1] * mn[1:]).sum(axis=1)
+                ii = np.where(s > 0.95)[0]
+                jj = ii + 1
+            out_a.extend(ids[ii].astype(np.int64))
+            out_b.extend(ids[jj].astype(np.int64))
         return pd.DataFrame(
-            {"id_a": ids[ii].astype(np.int64), "id_b": ids[jj].astype(np.int64)}
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64")}
         )
 
-    return assigned.groupby("ivf_bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return (
+        assigned.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_pairs, batch_format="pandas")
+    )
 
 
 def q_subword_counts(sf_dir: str):

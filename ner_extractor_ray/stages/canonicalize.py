@@ -202,20 +202,61 @@ def _rename_project(t: pa.Table, cols: list[tuple[str, str]]) -> pa.Table:
     return pa.table({dst: t.column(src) for src, dst in cols})
 
 
+def _driver_union_find(pairs_ds: "ray.data.Dataset", nodes_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Small-graph plan: collect (small) pairs + nodes, union-find on the
+    driver with lexicographic-min representatives — byte-identical labels to
+    the distributed plan at a fraction of the fixed cost."""
+    import ray.data as _rd
+
+    nodes = [r["node"] for r in nodes_ds.select_columns(["node"]).take_all()]
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs_ds.take_all():
+        a, b = r["a"], r["b"]
+        if a not in parent or b not in parent:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "comp": pa.array([find(n) for n in nodes], pa.string()),
+            }
+        )
+    )
+
+
 def connected_components(
     pairs_ds: "ray.data.Dataset",
     nodes_ds: "ray.data.Dataset",
     *,
-    max_rounds: int = 8,
+    max_rounds: int = 64,
     num_partitions: int = 8,
+    driver_threshold: int = 200_000,
 ) -> "ray.data.Dataset":
-    """Distributed min-label propagation → (node, comp) labels.
+    """Distributed min-label propagation with pointer doubling → (node, comp).
 
-    Each round: comp(dst) = min over {comp(src) | (src,dst) ∈ E ∪ self-loops}.
-    Labels are materialized per round (they are the small distinct-surface
-    table, not the corpus) so the lazy lineage doesn't re-execute; converges in
-    O(log n) rounds on alias-graph components, with a checksum-based fixpoint
-    test (SURVEY.md §7.3 "connected components on Ray Data").
+    Each round: (1) edge relax — comp(dst) = min over {comp(src) | (src,dst) ∈
+    E ∪ self-loops}; (2) pointer jump — comp(x) = comp(comp(x)) (every label is
+    itself a node, so the lookup is total). The jump doubles the effective
+    propagation distance per round, so convergence is O(log diameter) — the
+    bucket-cap fallback deliberately emits sorted CHAINS for hot LSH buckets
+    (paths 64+ hops long), which plain relaxation would need O(diameter)
+    rounds to collapse. Labels decrease monotonically, so the checksum-based
+    fixpoint test terminates; ``max_rounds`` (default 64 ≈ components of
+    diameter 2**64) is a safety valve that RAISES rather than silently
+    returning non-converged labels. Labels are materialized per round (they
+    are the small distinct-surface table, not the corpus) so the lazy lineage
+    doesn't re-execute (SURVEY.md §7.3 "connected components on Ray Data").
     """
     nodes_only = nodes_ds.select_columns(["node"])
     identity = nodes_only.map_batches(
@@ -227,6 +268,12 @@ def connected_components(
     # avoids schema-less empty blocks poisoning the union/join below.
     if pairs_ds.count() == 0:
         return identity.materialize()
+    # Small graphs: every distributed round costs several fixed Dataset
+    # executions (joins, shuffles, checksum passes) regardless of data size —
+    # below the threshold the driver union-find is strictly faster and
+    # produces identical labels (same min-representative rule).
+    if driver_threshold and nodes_only.count() <= driver_threshold:
+        return _driver_union_find(pairs_ds, nodes_ds)
     fwd = pairs_ds.map_batches(
         lambda t: _rename_project(t, [("a", "src"), ("b", "dst")]),
         batch_format="pyarrow",
@@ -262,7 +309,10 @@ def connected_components(
             batch_format="pyarrow",
         )
         joined = hash_join(edges, lab_src, on=("src",), num_partitions=num_partitions)
-        new_labels = (
+        # materialize: the relax result feeds the convergence check AND both
+        # sides of the jump join — an unmaterialized lineage would re-execute
+        # this shuffle up to 4× per round
+        relaxed = (
             joined.groupby("dst")
             .aggregate(Min("comp", alias_name="comp"))
             .map_batches(
@@ -271,12 +321,37 @@ def connected_components(
             )
             .materialize()
         )
-        cur = checksum(new_labels)
-        labels = new_labels
+        cur = checksum(relaxed)
         if cur == prev:
-            break
+            # Labels decrease monotonically per node, so equal successive
+            # relax outputs squeeze the jump state in between: the state is a
+            # relax fixpoint ⇒ labels constant along every edge ⇒ converged.
+            # (One checksum per round; a post-jump checksum would be a whole
+            # extra pass for no earlier detection.)
+            return relaxed
+        # pointer jump: comp(x) ← comp(comp(x)). comp values are node ids (min
+        # over node-id labels), so joining labels against themselves is total.
         prev = cur
-    return labels
+        jump_left = relaxed.map_batches(
+            lambda t: _rename_project(t, [("node", "node"), ("comp", "jk")]),
+            batch_format="pyarrow",
+        )
+        jump_right = relaxed.map_batches(
+            lambda t: _rename_project(t, [("node", "jk"), ("comp", "comp")]),
+            batch_format="pyarrow",
+        )
+        labels = (
+            hash_join(jump_left, jump_right, on=("jk",), num_partitions=num_partitions)
+            .map_batches(
+                lambda t: _rename_project(t, [("node", "node"), ("comp", "comp")]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds — "
+        "component diameter exceeds 2**rounds; raise max_rounds"
+    )
 
 
 def canonicalize_nodes(
@@ -299,7 +374,10 @@ def canonicalize_nodes(
     n = nodes_distinct.count()
     if n > driver_threshold:
         pairs = candidate_pairs(nodes_distinct, threshold=threshold, bucket_cap=bucket_cap)
-        labels = connected_components(pairs, nodes_distinct, num_partitions=num_partitions)
+        labels = connected_components(
+            pairs, nodes_distinct, num_partitions=num_partitions,
+            driver_threshold=driver_threshold,
+        )
         return entity_assignments(labels, nodes_distinct, num_partitions=num_partitions)
 
     rows = nodes_distinct.take_all()

@@ -65,6 +65,28 @@ def test_entity_assignments_shape():
     assert all(a["canonical_name"] == "alpha" for a in asg)
 
 
+def test_connected_components_long_chain_converges():
+    # a path graph (diameter n-1) — the shape the bucket-cap chain fallback
+    # emits for hot LSH buckets. Plain min-relaxation capped at 8 rounds (the
+    # old behavior) would silently return a SPLIT component for this graph;
+    # pointer doubling must converge in O(log d) rounds to the global min.
+    n = 12
+    names = [f"node{i:04d}" for i in range(n)]
+    nd = ray.data.from_items(
+        [{"node": m, "type": "ORG", "norm_key": m, "n_mentions": 1} for m in names]
+    )
+    pairs = ray.data.from_items(
+        [{"a": names[i], "b": names[i + 1]} for i in range(n - 1)]
+    )
+    # driver_threshold=0 forces the distributed pointer-doubling plan
+    labels = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs, nd, driver_threshold=0).take_all()
+    }
+    assert len(labels) == n
+    assert set(labels.values()) == {"node0000"}
+
+
 def test_pre_aggregated_count_skew():
     # one hot key = 50% of rows (FIXTURES.md §4 skew fixture): result exact
     rows = [{"k": "hot"} for _ in range(500)] + [{"k": f"cold{i}"} for i in range(500)]

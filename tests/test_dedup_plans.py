@@ -27,6 +27,67 @@ def test_near_dup_keep_ids_components():
     assert keep[4] == 4                   # unrelated doc keeps itself
 
 
+def test_lsh_pairs_match_driver_oracle():
+    """The narrow-shuffle plan (band rows = (bucket, id); texts re-joined for
+    candidates only) must produce the IDENTICAL verified pair set as a
+    single-process replication of the text-carrying plan: same bands, same
+    bucket cap/chaining, same exact-Jaccard verify."""
+    from ner_extractor_ray.functions.dedup import SHINGLERS
+    from ner_extractor_ray.functions.textfns import (
+        band_keys,
+        jaccard,
+        minhash_signature,
+    )
+    from ner_extractor_ray.stages.canonicalize import _bucket_key
+
+    docs_dir = "/root/testdata/sf0.01/documents.parquet"
+    ds = ray.data.read_parquet(docs_dir, columns=["doc_id", "text"])
+    rows = ds.take_all()
+
+    shingler = SHINGLERS["word3"]
+    threshold, n_bands, num_perm, bucket_cap = 0.8, 16, 64, 64
+    buckets: dict[int, list[int]] = {}
+    texts = {}
+    for r in rows:
+        texts[r["doc_id"]] = r["text"]
+        sig = minhash_signature(shingler(r["text"] or ""), num_perm)
+        for b, h in enumerate(band_keys(sig, n_bands)):
+            buckets.setdefault(_bucket_key(b, h), []).append(r["doc_id"])
+    expected = set()
+    for members in buckets.values():
+        ids = sorted(set(members))
+        n = len(ids)
+        if n < 2:
+            continue
+        prs = (
+            [(i, j) for i in range(n) for j in range(i + 1, n)]
+            if n <= bucket_cap
+            else [(i, i + 1) for i in range(n - 1)]
+        )
+        for i, j in prs:
+            jv = jaccard(set(shingler(texts[ids[i]] or "")), set(shingler(texts[ids[j]] or "")))
+            if jv >= threshold:
+                expected.add((ids[i], ids[j]))
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(
+            ds, "text", "doc_id", shingle="word3", threshold=threshold
+        ).take_all()
+    }
+    assert got == expected
+    assert expected  # the fixture must actually contain near-dups
+
+
+def test_lsh_pairs_empty_corpus():
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"totally unique sentence number {i} with word salad {i*7}"}
+         for i in range(8)]
+    )
+    out = lsh_near_dup_pairs(docs, "text", "doc_id", shingle="word3", threshold=0.95)
+    assert out.take_all() == []
+
+
 def test_exact_dedup_counts():
     docs = ray.data.from_items(
         [{"doc_id": i, "text": "same text" if i < 3 else f"unique {i}"} for i in range(6)]
@@ -34,6 +95,47 @@ def test_exact_dedup_counts():
     out = {r["keep_id"]: r["n_dups"] for r in exact_dedup_groups(docs, "text", "doc_id").take_all()}
     assert out[0] == 3
     assert all(v == 1 for k, v in out.items() if k != 0)
+
+
+def _write_embeddings(tmp_path, n=64, dim=16):
+    """Synthetic embeddings table with a PLANTED near-identical pair
+    (vec_id 10 and 11) and otherwise well-separated vectors."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[11] = vecs[10] + 1e-4 * rng.normal(size=dim).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_embedding_neardup_finds_planted_pair(tmp_path):
+    from ner_extractor_ray.pipelines.queries import q_embedding_neardup
+
+    d = _write_embeddings(tmp_path)
+    pairs = {(r["id_a"], r["id_b"]) for r in q_embedding_neardup(d).take_all()}
+    assert (10, 11) in pairs
+    # random gaussian vectors in 16-d are nowhere near cos > 0.95
+    assert pairs == {(10, 11)}
+
+
+def test_embedding_neardup_bucket_cap_chain(tmp_path):
+    """With a tiny bucket_cap every bucket takes the chain fallback; the
+    planted pair has ADJACENT ids, so the O(n) consecutive scan keeps it."""
+    from ner_extractor_ray.pipelines.queries import q_embedding_neardup
+
+    d = _write_embeddings(tmp_path)
+    pairs = {(r["id_a"], r["id_b"]) for r in q_embedding_neardup(d, bucket_cap=2).take_all()}
+    assert (10, 11) in pairs
 
 
 def _nodes(keys):
