@@ -42,11 +42,35 @@ def cmd_kg(args) -> int:
     from .pipelines.kg import pages_dataset, run_kg
 
     cfg = PipelineConfig.load(args.config)
+    # fail fast on config keys the kg command cannot honor (the reference's
+    # reserved-toggle discipline, src/modeling.py:70-79): silently ignoring a
+    # knob the user set is worse than refusing to run
+    if cfg.augment_rate:
+        raise NotImplementedError(
+            "augment_rate applies to the training-data pipeline (stages/augment), "
+            "not the kg command; set it to 0 for kg runs"
+        )
+    if cfg.label_all_tokens:
+        raise NotImplementedError(
+            "label_all_tokens affects training-label alignment (stages/tokenize); "
+            "the kg taggers use first-subword alignment only"
+        )
+    scorer = None
+    scorer_kwargs: dict = {}
+    include_subwords = False
+    use_actors = cfg.use_actors
     if cfg.tagger == "hf":
         from .stages.tagger import HFTagger
 
         if HFTagger is None:
             raise RuntimeError("tagger='hf' requires torch+transformers installed")
+        scorer = HFTagger
+        scorer_kwargs = {
+            "checkpoint_path": cfg.hf_checkpoint,
+            "max_length": cfg.max_seq_length,
+        }
+        include_subwords = True
+        use_actors = True  # heavy weights: actor pool, loaded once per actor
     res = run_kg(
         pages_dataset(args.pages),
         out_dir=args.out,
@@ -54,7 +78,15 @@ def cmd_kg(args) -> int:
         n_partitions=cfg.n_partitions,
         broadcast_limit=cfg.broadcast_limit,
         resume=cfg.resume,
-        use_actors=cfg.use_actors,
+        use_actors=use_actors,
+        tagger_concurrency=cfg.tagger_concurrency,
+        lang_filter=cfg.lang_filter,
+        scorer=scorer,
+        scorer_kwargs=scorer_kwargs,
+        include_subwords=include_subwords,
+        lsh_threshold=cfg.lsh_threshold,
+        lsh_bucket_cap=cfg.lsh_bucket_cap,
+        canon_driver_threshold=cfg.canon_driver_threshold,
     )
     summary = {
         "nodes": res["nodes"].count(),

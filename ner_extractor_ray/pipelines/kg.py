@@ -161,6 +161,13 @@ def run_kg(
     resume: bool = True,
     use_actors: bool = False,
     write_tagged: bool = False,
+    lang_filter: str | None = "en",
+    scorer=None,
+    scorer_kwargs: dict | None = None,
+    include_subwords: bool = False,
+    lsh_threshold: float = 0.6,
+    lsh_bucket_cap: int = 64,
+    canon_driver_threshold: int = 200_000,
 ) -> dict:
     """Run the full KG-construction pipeline; returns the result datasets.
 
@@ -190,6 +197,9 @@ def run_kg(
             "n_partitions": n_partitions,
             "use_actors": use_actors,
             "broadcast_limit": broadcast_limit,
+            "lang_filter": lang_filter,
+            "lsh_threshold": lsh_threshold,
+            "lsh_bucket_cap": lsh_bucket_cap,
         },
     }
 
@@ -224,7 +234,8 @@ def run_kg(
         # ---- S1-S4 (+ optional tagged checkpoint)
         tagged = tag_sentences(
             pages, tagger_concurrency=tagger_concurrency, batch_size=batch_size,
-            use_actors=use_actors,
+            use_actors=use_actors, lang_filter=lang_filter, scorer=scorer,
+            scorer_kwargs=scorer_kwargs, include_subwords=include_subwords,
         )
         if write_tagged and out_dir:
             tagged_dir = os.path.join(out_dir, "tagged")
@@ -277,7 +288,9 @@ def run_kg(
     # corpus); physical plan chosen by vocabulary size (canonicalize_nodes)
     nodes_distinct = distinct_nodes(mentions).materialize()
     assignments = canonicalize_nodes(
-        nodes_distinct, num_partitions=n_partitions
+        nodes_distinct, num_partitions=n_partitions,
+        threshold=lsh_threshold, bucket_cap=lsh_bucket_cap,
+        driver_threshold=canon_driver_threshold,
     ).materialize()
 
     # ---- S7b: resolve mentions/triples to entity ids (broadcast or hash join)

@@ -73,8 +73,15 @@ def grouped_aggregate(ds: "ray.data.Dataset", keys: list[str], *aggs) -> "ray.da
     Ray's sort-based shuffle on a MULTI-column string groupby is ~10× slower
     than on a single column (11.9s vs 1.2s on identical 86k-row data — bench
     profile); since the key columns are functionally dependent on their
-    concatenation, we group by ``"\\x00"``-joined strings and carry the
-    originals through with Min (constant within a group → exact)."""
+    concatenation, we group by joined strings and carry the originals
+    through with Min (constant within a group → exact).
+
+    Key encoding: every component is length-prefixed (``<len>:<value>``), so
+    components containing the separator can never collide across groups, and
+    NULL components get an explicit ``N:`` marker distinct from any string
+    value (plain ``binary_join_element_wise`` default null handling would
+    emit a NULL joined key, collapsing all any-null-key rows into one
+    group)."""
     if len(keys) == 1:
         return ds.groupby(keys[0]).aggregate(*aggs)
 
@@ -83,8 +90,14 @@ def grouped_aggregate(ds: "ray.data.Dataset", keys: list[str], *aggs) -> "ray.da
     def add_key(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not set(keys) <= set(t.column_names):
             return t
-        cols = [pc.cast(t.column(k), pa.string()) for k in keys]
-        gk = pc.binary_join_element_wise(*cols, "\x00")  # vectorized, not row-wise
+        cols = []
+        for k in keys:
+            c = pc.cast(t.column(k), pa.string())
+            lp = pc.binary_join_element_wise(
+                pc.cast(pc.binary_length(c), pa.string()), c, ":"
+            )  # "<len>:<value>" — length prefix kills separator ambiguity
+            cols.append(pc.fill_null(lp, "N:"))
+        gk = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, "\x00")
         return t.append_column("__gk", gk)
 
     carried = [Min(k, alias_name=k) for k in keys]

@@ -87,6 +87,30 @@ def test_connected_components_long_chain_converges():
     assert set(labels.values()) == {"node0000"}
 
 
+def test_grouped_aggregate_null_and_separator_keys():
+    from ray.data.aggregate import Sum
+
+    from ner_extractor_ray.stages.canonicalize import grouped_aggregate
+
+    rows = [
+        {"k1": "a", "k2": "b", "v": 1},
+        {"k1": "a\x00b", "k2": "", "v": 2},   # separator inside a component
+        {"k1": "a", "k2": None, "v": 4},      # null key component
+        {"k1": None, "k2": "b", "v": 8},      # null in the other component
+        {"k1": "a", "k2": None, "v": 16},     # second row of the null group
+    ]
+    ds = ray.data.from_items(rows)
+    out = {
+        (r["k1"], r["k2"]): r["v"]
+        for r in grouped_aggregate(ds, ["k1", "k2"], Sum("v", alias_name="v")).take_all()
+    }
+    assert out[("a", "b")] == 1
+    assert out[("a\x00b", "")] == 2      # must NOT merge with ("a", "b")
+    assert out[("a", None)] == 20        # nulls group together…
+    assert out[(None, "b")] == 8         # …but only per distinct key tuple
+    assert len(out) == 4
+
+
 def test_pre_aggregated_count_skew():
     # one hot key = 50% of rows (FIXTURES.md §4 skew fixture): result exact
     rows = [{"k": "hot"} for _ in range(500)] + [{"k": f"cold{i}"} for i in range(500)]

@@ -48,6 +48,42 @@ def test_stage_registry():
         get_stage("nope")
 
 
+def test_cli_rejects_unhonorable_keys(tmp_path):
+    """Config keys the kg command cannot honor must fail fast, not be
+    silently ignored (ADVICE round 1)."""
+    from ner_extractor_ray.cli import cmd_kg
+
+    class A:
+        pages, out = str(tmp_path), str(tmp_path / "o")
+
+    for key, val in [("augment_rate", 0.5), ("label_all_tokens", True)]:
+        p = tmp_path / f"{key}.yaml"
+        p.write_text(f"{key}: {val}\n")
+        A.config = str(p)
+        with pytest.raises(NotImplementedError, match=key):
+            cmd_kg(A)
+
+
+def test_kg_threads_config_knobs(tmp_path, ray_session):
+    """lang_filter and lsh_threshold must actually change pipeline behavior
+    when passed through run_kg (they were accepted-but-ignored before)."""
+    from ner_extractor_ray.pipelines.kg import pages_dataset, run_kg
+    from ner_extractor_ray.sources.pages import write_pages
+
+    pdir = str(tmp_path / "pages")
+    write_pages(pdir, 100, n_files=2)
+    base = run_kg(pages_dataset(pdir), out_dir=None, n_partitions=4)
+    # no language filter → non-en (filler) pages join the corpus → more
+    # tagged sentences, but no new mentions (de filler has no entities)
+    nofilt = run_kg(pages_dataset(pdir), out_dir=None, n_partitions=4,
+                    lang_filter=None)
+    assert nofilt["tagged"].count() > base["tagged"].count()
+    # an impossible LSH threshold → no surface merging → ≥ as many entities
+    strict = run_kg(pages_dataset(pdir), out_dir=None, n_partitions=4,
+                    lsh_threshold=1.01)
+    assert strict["nodes"].count() >= base["nodes"].count()
+
+
 def test_cli_gen(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "ner_extractor_ray.cli", "gen",
