@@ -661,17 +661,20 @@ def q_embedding_neardup(sf_dir: str, *, bucket_cap: int = 1024):
 
 
 def q_subword_counts(sf_dir: str):
-    """BPE-ish token counting: whitespace words → deterministic WordPiece-
-    shaped subwords (functions/textfns.subword_tokenize). Rows-only."""
-    from ..functions.textfns import subword_tokenize
-
+    """Subword token counting: whitespace words → greedy longest-match
+    WordPiece against the packaged vocabulary (functions/wordpiece.py —
+    vocab loaded once per worker process). Rows-only."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
+        from ..functions.wordpiece import default_vocab, wordpiece_tokenize
+
+        vocab = default_vocab()
         ids = t.column("doc_id").to_pylist()
         texts = t.column("text").to_pylist()
         counts = [
-            sum(len(subword_tokenize(w)) for w in (txt or "").split()) for txt in texts
+            sum(len(wordpiece_tokenize(w, vocab)) for w in (txt or "").split())
+            for txt in texts
         ]
         return pa.table(
             {"doc_id": pa.array(ids, pa.int64()),

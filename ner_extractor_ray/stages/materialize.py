@@ -17,7 +17,11 @@ import ray.data
 from ray.data.aggregate import Min, Sum
 
 from ..functions.hashing import crc_bucket
-from ..state.manifest import completed_partitions, finalize_partitions
+from ..state.manifest import (
+    completed_partitions,
+    finalize_table,
+    write_partition_manifest,
+)
 from .canonicalize import pre_aggregated_count  # noqa: F401  (re-exported pattern)
 
 
@@ -66,9 +70,15 @@ def write_partitioned(
     With ``resume=True``, partitions that already have a manifest are filtered
     out BEFORE any work is written (kill-and-rerun skips finished shards).
 
-    SCALE CONTRACT: with ``sort_key`` set, one partition is compacted into one
-    block — callers must size ``n_partitions`` so table_size / n_partitions
-    fits a worker heap (at 100 TB that means thousands of partitions, not 16;
+    Writes are PARTITION-ALIGNED (one write task per partition, via a keyed
+    shuffle) and each task writes its partition's manifest the moment its
+    file lands — so a mid-write kill leaves every finished partition
+    resumable immediately, not only after the whole table completes. The
+    table manifest, written last, stays the completeness marker.
+
+    SCALE CONTRACT: one partition is written by one task as one block —
+    callers must size ``n_partitions`` so table_size / n_partitions fits a
+    worker heap (at 100 TB that means thousands of partitions, not 16;
     n_partitions is the knob the cluster-size config scales).
     """
 
@@ -100,30 +110,41 @@ def write_partitioned(
             ),
             batch_format="pyarrow",
         )
-    # Co-locate each output partition into one block before the hive write:
-    # a naive write_parquet(partition_cols) emits one file per (block ×
-    # partition) — 3072 ~50KB files for a 160MB table — and every downstream
-    # read then pays per-file costs. One shuffle by the (already narrow)
-    # partition key yields one file per partition, sorted WITHIN the
-    # partition (the global sort is unnecessary: order within hash partitions
-    # is the layout contract). NOTE min_rows_per_file is also not the answer:
-    # combined with partition_cols it is ~10× slower (46s vs 4.6s observed).
+    # Partition-aligned write: co-locate each output partition into one write
+    # task (groupby shuffle on the already-narrow part key), sort WITHIN the
+    # partition when requested, write the file atomically (tmp + rename, so
+    # task retries are idempotent) and emit the partition manifest right
+    # there. A naive write_parquet(partition_cols) emits one file per (block
+    # × partition) — 3072 ~50KB files for a 160MB table — and can only
+    # manifest partitions after the whole table lands. NOTE min_rows_per_file
+    # is also not the answer: combined with partition_cols it is ~10× slower
+    # (46s vs 4.6s observed).
     sk = [sort_key] if isinstance(sort_key, str) else sort_key
+    os.makedirs(table_dir, exist_ok=True)
 
-    if sk:
-        # sorted layout: co-locate each partition into one block (groupby
-        # shuffle) and sort WITHIN it — one sorted file per partition
-        def compact(t: pa.Table) -> pa.Table:
-            if t.num_rows and set(sk) <= set(t.column_names):
-                t = t.sort_by([(k, "ascending") for k in sk])
-            return t
+    def write_group(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
 
-        ds = ds.groupby("part").map_groups(compact, batch_format="pyarrow")
-    else:
-        # unsorted layout: a cheap block coalesce keeps the file count at
-        # blocks × partitions ≈ manageable without a keyed shuffle
-        from .canonicalize import _compact_blocks
+        empty = pa.table({"part": pa.array([], pa.int32()),
+                          "rows": pa.array([], pa.int64()),
+                          "bytes": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "part" not in t.column_names:
+            return empty
+        part = int(t.column("part")[0].as_py())
+        if sk and set(sk) <= set(t.column_names):
+            t = t.sort_by([(k, "ascending") for k in sk])
+        pdir = os.path.join(table_dir, f"part={part}")
+        os.makedirs(pdir, exist_ok=True)
+        fname = "data-0.parquet"
+        tmp = os.path.join(pdir, f".{fname}.tmp")
+        pq.write_table(t.drop_columns(["part"]), tmp)
+        os.replace(tmp, os.path.join(pdir, fname))
+        nbytes = os.path.getsize(os.path.join(pdir, fname))
+        write_partition_manifest(pdir, [fname], t.num_rows, nbytes)
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "rows": pa.array([t.num_rows], pa.int64()),
+                         "bytes": pa.array([nbytes], pa.int64())})
 
-        ds = ds.repartition(_compact_blocks())
-    ds.write_parquet(table_dir, partition_cols=["part"])
-    return finalize_partitions(table_dir, extra={"lineage": lineage} if lineage else None)
+    # count() drives execution; summaries also flow into logs via Ray stats
+    ds.groupby("part").map_groups(write_group, batch_format="pyarrow").count()
+    return finalize_table(table_dir, extra={"lineage": lineage} if lineage else None)

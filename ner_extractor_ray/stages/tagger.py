@@ -66,6 +66,49 @@ class DeterministicTagger:
         return batch.append_column("tags", pa.array(tags_out, pa.list_(pa.string())))
 
 
+# ---- HFTagger pure parts (importable & testable WITHOUT torch) ------------
+
+def project_emissions(emissions, label_order: list[str]):
+    """(T, model_labels) → (T, LABELS) emission matrix in our label order.
+
+    Model labels absent from our vocabulary are dropped; our labels absent
+    from the model get −1e4 (never chosen by Viterbi unless nothing else
+    fits). Mirrors the label-space adaptation of src/modeling.py:123-132."""
+    import numpy as np
+
+    out = np.full((emissions.shape[0], len(LABELS)), -1e4, dtype=np.float64)
+    for j, lab in enumerate(label_order):
+        if lab in LABELS:
+            out[:, LABELS.index(lab)] = emissions[:, j]
+    return out
+
+
+def first_subword_emissions(logits_row, word_ids):
+    """(T_subwords, L) logits + HF word_ids (None = special token) →
+    (n_words, L): the FIRST subword's logits represent each word
+    (src/data_module.py:98-110 alignment convention)."""
+    import numpy as np
+
+    first: dict[int, int] = {}
+    for pos, w in enumerate(word_ids):
+        if w is not None and w not in first:
+            first[w] = pos
+    if not first:
+        return np.zeros((0, logits_row.shape[-1]))
+    return np.stack([logits_row[first[w]] for w in sorted(first)])
+
+
+def decode_projected(em, n_tokens: int) -> list[str]:
+    """Projected emissions → BIO tags via the shared structural Viterbi;
+    words lost to truncation get "O" (src/modeling.py truncation tail)."""
+    from ..functions.viterbi import viterbi_decode
+
+    path = viterbi_decode(em) if len(em) else []
+    tags = [LABELS[k] for k in path]
+    tags += ["O"] * (n_tokens - len(tags))
+    return tags[:n_tokens]
+
+
 try:  # optional real-model scorer when torch/transformers are installed
     import torch  # noqa: F401
     import transformers  # noqa: F401
@@ -95,22 +138,8 @@ try:  # optional real-model scorer when torch/transformers are installed
             # map model label space onto our fixed vocabulary order
             self.label_order = [str(id2label[i]) for i in range(len(id2label))]
 
-        @staticmethod
-        def _project(emissions, label_order):
-            """(T, model_labels) → (T, LABELS) emission matrix in our order."""
-            import numpy as np
-
-            out = np.full((emissions.shape[0], len(LABELS)), -1e4, dtype=np.float64)
-            for j, lab in enumerate(label_order):
-                if lab in LABELS:
-                    out[:, LABELS.index(lab)] = emissions[:, j]
-            return out
-
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import numpy as np
             import torch as _t
-
-            from ..functions.viterbi import viterbi_decode
 
             tokens_col = batch.column("tokens").to_pylist()
             tags_out: list[list[str]] = []
@@ -121,19 +150,9 @@ try:  # optional real-model scorer when torch/transformers are installed
             with _t.no_grad():
                 logits = self.model(**enc).logits.cpu().numpy()
             for i, tokens in enumerate(tokens_col):
-                word_ids = enc.word_ids(batch_index=i)
-                first_subword = {}
-                for pos, w in enumerate(word_ids):
-                    if w is not None and w not in first_subword:
-                        first_subword[w] = pos
-                em = np.stack(
-                    [logits[i, first_subword[w]] for w in range(len(first_subword))]
-                ) if first_subword else np.zeros((0, logits.shape[-1]))
-                em = self._project(em, self.label_order)
-                path = viterbi_decode(em) if len(em) else []
-                tags = [LABELS[k] for k in path]
-                tags += ["O"] * (len(tokens) - len(tags))  # truncated tail
-                tags_out.append(tags[: len(tokens)])
+                em = first_subword_emissions(logits[i], enc.word_ids(batch_index=i))
+                em = project_emissions(em, self.label_order)
+                tags_out.append(decode_projected(em, len(tokens)))
             return batch.append_column("tags", pa.array(tags_out, pa.list_(pa.string())))
 
 except ImportError:  # pragma: no cover - torch not installed in this sandbox

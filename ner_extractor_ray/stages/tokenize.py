@@ -15,21 +15,38 @@ import pyarrow as pa
 
 from .. import IGNORE_LABEL_ID  # noqa: F401  (documented constant; −1 used in word_ids)
 from ..functions.textfns import subword_id, subword_tokenize
+from ..functions.wordpiece import default_vocab, wordpiece_tokenize
 
 
-def tokenize_batch(batch: pa.Table, *, label_all_tokens: bool = False) -> pa.Table:
+def tokenize_batch(
+    batch: pa.Table, *, label_all_tokens: bool = False, vocab: dict | None = None,
+    use_hash_vocab: bool = False,
+) -> pa.Table:
     """``label_all_tokens`` propagates the word index to continuation subwords
     instead of −1, mirroring the reference's config flag
-    (src/data_module.py:104-110; RoBERTa variant NER_roberta.ipynb cell 10)."""
+    (src/data_module.py:104-110; RoBERTa variant NER_roberta.ipynb cell 10).
+
+    Subwords come from the packaged greedy-longest-match WordPiece vocabulary
+    (functions/wordpiece.py; ids = vocab line index, the real tokenizer
+    contract of src/tokenization.py:11-47). ``use_hash_vocab=True`` selects
+    the vocab-free chunker+crc-id fallback (textfns.subword_tokenize) for
+    callers without a vocabulary file."""
+    if not use_hash_vocab:
+        vocab = vocab if vocab is not None else default_vocab()
     tokens_col = batch.column("tokens").to_pylist()
     ids_out, wids_out = [], []
     for words in tokens_col:
         ids: list[int] = []
         wids: list[int] = []
         for w_idx, w in enumerate(words):
-            pieces = subword_tokenize(w)
-            for p_i, p in enumerate(pieces):
-                ids.append(subword_id(p))
+            if use_hash_vocab:
+                pieces = subword_tokenize(w)
+                pids = [subword_id(p) for p in pieces]
+            else:
+                pieces = wordpiece_tokenize(w, vocab)
+                pids = [vocab.get(p, 0) for p in pieces]
+            for p_i, pid in enumerate(pids):
+                ids.append(pid)
                 if p_i == 0 or label_all_tokens:
                     wids.append(w_idx)
                 else:

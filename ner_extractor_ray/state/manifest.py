@@ -23,38 +23,46 @@ MANIFEST = "_MANIFEST.json"
 TABLE_MANIFEST = "_TABLE_MANIFEST.json"
 
 
-def finalize_partitions(table_dir: str, extra: dict | None = None) -> dict:
-    """Scan ``part=*/`` dirs, write a per-partition manifest from Parquet
-    footer metadata (no data read), then the table-level manifest."""
-    import pyarrow.parquet as pq
+def write_partition_manifest(pdir: str, files: list[str], rows: int, nbytes: int) -> None:
+    """Write one partition's manifest ATOMICALLY (tmp + rename), called from
+    the write task as soon as the partition's file lands — so a mid-write
+    kill leaves every finished partition resumable, not just finished
+    tables."""
+    info = {
+        "partition": os.path.basename(pdir),
+        "rows": int(rows),
+        "files": files,
+        "bytes": int(nbytes),
+        "written_at": time.time(),
+    }
+    tmp = os.path.join(pdir, f".{MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(info, fh, indent=1)
+    os.replace(tmp, os.path.join(pdir, MANIFEST))
 
+
+def finalize_table(table_dir: str, extra: dict | None = None) -> dict:
+    """Assemble the table-level manifest from the per-partition manifests the
+    write tasks already emitted (no data or footer re-reads)."""
     parts = {}
     for name in sorted(os.listdir(table_dir)):
         pdir = os.path.join(table_dir, name)
-        if not (os.path.isdir(pdir) and name.startswith("part=")):
+        mf = os.path.join(pdir, MANIFEST)
+        if not (name.startswith("part=") and os.path.isdir(pdir) and os.path.exists(mf)):
             continue
-        files, rows, nbytes = [], 0, 0
-        for f in sorted(os.listdir(pdir)):
-            if not f.endswith(".parquet"):
-                continue
-            fp = os.path.join(pdir, f)
-            md = pq.read_metadata(fp)
-            files.append(f)
-            rows += md.num_rows
-            nbytes += os.path.getsize(fp)
-        info = {"partition": name, "rows": rows, "files": files, "bytes": nbytes,
-                "written_at": time.time()}
-        with open(os.path.join(pdir, MANIFEST), "w") as fh:
-            json.dump(info, fh, indent=1)
-        parts[name] = {"rows": rows, "bytes": nbytes}
+        with open(mf) as fh:
+            info = json.load(fh)
+        parts[name] = {"rows": info["rows"], "bytes": info["bytes"]}
     table_info = {
         "complete": True,
         "partitions": parts,
         "total_rows": sum(p["rows"] for p in parts.values()),
         **(extra or {}),
     }
-    with open(os.path.join(table_dir, TABLE_MANIFEST), "w") as fh:
+    tmp = os.path.join(table_dir, f".{TABLE_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
         json.dump(table_info, fh, indent=1)
+    os.replace(tmp, os.path.join(table_dir, TABLE_MANIFEST))
     return table_info
 
 

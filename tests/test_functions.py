@@ -140,12 +140,21 @@ def test_label_all_tokens_variant():
 
     from ner_extractor_ray.stages.tokenize import tokenize_batch
 
-    batch = pa.table({"tokens": [["Frankfurt", "is", "big"]]})
+    # "internationalization" splits into 4 pieces under the packaged vocab
+    batch = pa.table({"tokens": [["internationalization", "is", "big"]]})
+    from ner_extractor_ray.functions.wordpiece import wordpiece_tokenize
+
+    k = len(wordpiece_tokenize("internationalization"))
+    assert k > 1
     default = tokenize_batch(batch)["word_ids"][0].as_py()
-    assert default[0] == 0 and all(w == -1 for w in default[1:3])  # continuations
+    assert default[0] == 0 and all(w == -1 for w in default[1:k])  # continuations
     propagated = tokenize_batch(batch, label_all_tokens=True)["word_ids"][0].as_py()
-    assert propagated[:3] == [0, 0, 0]
-    assert propagated.count(1) == 1 and propagated.count(2) == 1
+    assert propagated[:k] == [0] * k
+    k2 = len(wordpiece_tokenize("big"))
+    assert propagated.count(1) == 1 and propagated.count(2) == k2
+    # the hash-vocab fallback preserves the same alignment structure
+    fb = tokenize_batch(batch, use_hash_vocab=True)["word_ids"][0].as_py()
+    assert fb[0] == 0 and -1 in fb
 
 
 def test_batched_viterbi_matches_single():

@@ -95,6 +95,43 @@ def test_partition_aware_compute_skip(small_pages_dir, tmp_path):
     assert snapshot() == surviving  # completed partitions byte-identical, untouched
 
 
+def test_partition_manifests_written_eagerly(small_pages_dir, tmp_path):
+    """Every part dir must carry its own manifest (written by the write task
+    when the file lands), so a run killed BEFORE finalize still resumes at
+    partition granularity — completed_partitions must not depend on the
+    table manifest existing."""
+    out = str(tmp_path / "kg4")
+    run_kg(pages_dataset(small_pages_dir), out_dir=out, n_partitions=4)
+    adir = os.path.join(out, "annotations")
+    os.remove(os.path.join(adir, "_TABLE_MANIFEST.json"))  # as if finalize never ran
+    parts = completed_partitions(adir)
+    assert parts  # partition-level resume state survives without the table manifest
+    for p in parts:
+        assert os.path.exists(os.path.join(adir, f"part={p}", "_MANIFEST.json"))
+
+
+def test_partition_sizing_contract(tmp_path):
+    """SCALE CONTRACT (materialize.write_partitioned): n_partitions bounds
+    per-partition bytes. 64 partitions over a skewed-but-high-cardinality
+    corpus → max partition stays within a small factor of the mean, so the
+    'thousands of partitions at 100 TB' knob demonstrably controls worker
+    heap footprint."""
+    import ray.data
+
+    from ner_extractor_ray.stages.materialize import write_partitioned
+
+    rows = [
+        {"k": f"key-{i % 4000}", "payload": "x" * 200}  # 4000 distinct keys
+        for i in range(20_000)
+    ]
+    ds = ray.data.from_items(rows)
+    out = str(tmp_path / "sized")
+    info = write_partitioned(ds, out, "k", n_partitions=64, resume=False)
+    sizes = [p["bytes"] for p in info["partitions"].values()]
+    assert len(sizes) == 64
+    assert max(sizes) <= 3 * (sum(sizes) / len(sizes))
+
+
 def test_hash_join_linking_plan_matches_broadcast(small_pages_dir):
     """broadcast_limit=0 forces the partitioned hash-join resolution path
     (the 1e9-surface-vocabulary plan); output must equal the broadcast plan."""
