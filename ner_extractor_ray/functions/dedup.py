@@ -86,6 +86,7 @@ def lsh_near_dup_pairs(
     n_bands: int = 16,
     num_perm: int = 64,
     bucket_cap: int = 64,
+    broadcast_limit: int = 100_000,
 ) -> "ray.data.Dataset":
     """MinHash-LSH near-duplicate candidate pairs, Jaccard-verified.
 
@@ -149,7 +150,7 @@ def lsh_near_dup_pairs(
         part = _pc.cast(t.column("bucket"), pa.int64()).to_numpy() % _compact_blocks()
         return t.append_column("__part", pa.array(part, pa.int64()))
 
-    from ..stages.canonicalize import pre_aggregated_count
+    from ..stages.canonicalize import grouped_aggregate
 
     cands = (
         ds.select_columns([id_col, text_col])
@@ -159,10 +160,12 @@ def lsh_near_dup_pairs(
         .map_groups(part_cands, batch_format="pandas")
     )
     # dedup candidates discovered in multiple bands BEFORE fetching any text
-    cands = pre_aggregated_count(cands, ["id_a", "id_b"], count_col="_nb").select_columns(
-        ["id_a", "id_b"]
-    ).materialize()
-    if cands.count() == 0:
+    # (cands are already narrow int pairs — one groupby, no partial pass)
+    cands = grouped_aggregate(
+        cands, ["id_a", "id_b"], Count(alias_name="_nb")
+    ).select_columns(["id_a", "id_b"]).materialize()
+    n_cands = cands.count()
+    if n_cands == 0:
         import ray.data as _rd
 
         return _rd.from_arrow(
@@ -170,12 +173,60 @@ def lsh_near_dup_pairs(
                       "jaccard": pa.array([], pa.float64())})
         )
 
-    # Phase 3 — texts for CANDIDATE docs only: bloom semi-join prefilter (no
-    # false negatives; fp rate only ships a few extra texts), then partitioned
-    # hash joins pair×text. Candidate volume ≈ O(duplicate clusters), orders
-    # of magnitude below the corpus, so the text shuffle is now proportional
-    # to the dup set, not n_bands × corpus.
+    # Phase 3 — texts for CANDIDATE docs only. Two physical plans, chosen by
+    # candidate volume (the S7b broadcast-vs-hash-join switch):
+    #   small: broadcast the candidate id set, collect candidate docs' texts
+    #          once (bounded by the candidate count, not the corpus), verify
+    #          map-side against the broadcast text map — 3 cheap executions;
+    #   large: bloom semi-join prefilter (no false negatives) + partitioned
+    #          hash joins pair×text — never materializes texts on the driver.
+    # Either way the text traffic is proportional to the DUP SET, not
+    # n_bands × corpus.
     import ray as _ray
+
+    docs = ds.select_columns([id_col, text_col])
+
+    def _verify_row(ia, ib, txa, txb, a, b, jc):
+        jv = jaccard(set(shingler(txa or "")), set(shingler(txb or "")))
+        if jv >= threshold:
+            a.append(int(ia))
+            b.append(int(ib))
+            jc.append(round(jv, 6))
+
+    def _pairs_df(a, b, jc) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id_a": pd.Series(a, dtype="int64"), "id_b": pd.Series(b, dtype="int64"),
+             "jaccard": pd.Series(jc, dtype="float64")}
+        )
+
+    if n_cands <= broadcast_limit:
+        cid_set = set()
+        for r in cands.take_all():
+            cid_set.add(int(r["id_a"]))
+            cid_set.add(int(r["id_b"]))
+        idref = _ray.put(cid_set)
+
+        def pick_texts(t: pa.Table) -> pa.Table:
+            ids_in = ray.get(idref) if isinstance(idref, _ray.ObjectRef) else idref
+            mask = [int(v) in ids_in for v in t.column(id_col).to_pylist()]
+            out = t.filter(pa.array(mask, pa.bool_()))
+            return pa.table({"cid": pc.cast(out.column(id_col), pa.int64()),
+                             "txt": out.column(text_col)})
+
+        text_map = {
+            int(r["cid"]): r["txt"]
+            for r in docs.map_batches(pick_texts, batch_format="pyarrow").take_all()
+        }
+        tref = _ray.put(text_map)
+
+        def verify_bc(df: pd.DataFrame) -> pd.DataFrame:
+            tm = ray.get(tref) if isinstance(tref, _ray.ObjectRef) else tref
+            a, b, jc = [], [], []
+            for ia, ib in zip(df["id_a"], df["id_b"]):
+                _verify_row(ia, ib, tm.get(int(ia)), tm.get(int(ib)), a, b, jc)
+            return _pairs_df(a, b, jc)
+
+        return cands.map_batches(verify_bc, batch_format="pandas")
 
     from .bloom import build_bloom, semi_join_prefilter
 
@@ -188,7 +239,6 @@ def lsh_near_dup_pairs(
         batch_format="pyarrow",
     )
     bloom_ref = _ray.put(build_bloom(cand_ids, "cid"))
-    docs = ds.select_columns([id_col, text_col])
     docs_f = semi_join_prefilter(docs, id_col, bloom_ref)
     ta = docs_f.map_batches(
         lambda t: pa.table({"id_a": pc.cast(t.column(id_col), pa.int64()),
@@ -208,20 +258,11 @@ def lsh_near_dup_pairs(
     # semantics to the in-bucket verify of the text-shuffling plan)
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "text_a" not in df.columns:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
+            return _pairs_df([], [], [])
         a, b, jc = [], [], []
         for ia, ib, txa, txb in zip(df["id_a"], df["id_b"], df["text_a"], df["text_b"]):
-            jv = jaccard(set(shingler(txa or "")), set(shingler(txb or "")))
-            if jv >= threshold:
-                a.append(int(ia))
-                b.append(int(ib))
-                jc.append(round(jv, 6))
-        return pd.DataFrame(
-            {"id_a": pd.Series(a, dtype="int64"), "id_b": pd.Series(b, dtype="int64"),
-             "jaccard": pd.Series(jc, dtype="float64")}
-        )
+            _verify_row(ia, ib, txa, txb, a, b, jc)
+        return _pairs_df(a, b, jc)
 
     return joined.map_batches(verify, batch_format="pandas")
 

@@ -136,3 +136,20 @@ def span_prf_distributed(pred_ds, gold_ds, keys: list[str]) -> PRF:
     rec = tp / n_gold if n_gold else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     return PRF(prec, rec, f1, tp, n_pred, n_gold)
+
+
+def best_config(rows: list[dict], metric: str, *, maximize: bool = True,
+                tiebreak: list[str] | None = None) -> dict:
+    """A10 — grid-search argmax over per-config result rows (the driver
+    reduce of the reference's BiLSTM grid search,
+    BiLSTM-CRF/5489Project_trainv2.ipynb cells 7-8: best F1 over the
+    (hidden, lr, embedding) grid). Deterministic: ties break on the sorted
+    ``tiebreak`` columns ascending."""
+    if not rows:
+        raise ValueError("best_config: empty result set")
+    tb = tiebreak or sorted(k for k in rows[0] if k != metric)
+    # stable two-stage sort: tiebreak columns ascending first, then the
+    # metric — the first row of the best metric value wins ties
+    by_tb = sorted(rows, key=lambda r: tuple(r[t] for t in tb))
+    by_metric = sorted(by_tb, key=lambda r: r[metric], reverse=maximize)
+    return by_metric[0]

@@ -536,6 +536,21 @@ def q_user_sessions(sf_dir: str):
     )
 
 
+def q_best_fold(sf_dir: str):
+    """A10 grid-search argmax analog: the fold with the highest mean_chars
+    (tie → lowest fold), computed as a driver reduce over the tiny per-fold
+    stats table — the best-config selection of the reference's BiLSTM grid
+    search (BiLSTM-CRF/5489Project_trainv2.ipynb cells 7-8)."""
+    from ..functions.metrics import best_config
+
+    rows = q_fold_stats(sf_dir).take_all()  # 5 rows — the A10 reduce is driver-side
+    best = best_config(rows, "mean_chars", tiebreak=["fold"])
+    return pa.table(
+        {"fold": pa.array([int(best["fold"])], pa.int64()),
+         "mean_chars": pa.array([float(best["mean_chars"])], pa.float64())}
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data ops without a SQL equivalent (rows-only driver check)
 # --------------------------------------------------------------------------
@@ -771,6 +786,7 @@ def queries() -> dict:
         "nations_without_suppliers": q_nations_without_suppliers,
         "click_after_purchase": q_click_after_purchase,
         "fold_stats": q_fold_stats,
+        "best_fold": q_best_fold,
         "user_sessions": q_user_sessions,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
@@ -895,6 +911,13 @@ def oracle_sql() -> dict:
                          CAST(SUM(n_chars) AS BIGINT) AS s,
                          CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
                   FROM documents GROUP BY 1)
+        """,
+        "best_fold": """
+            SELECT fold, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_chars
+            FROM (SELECT doc_id % 5 AS fold, COUNT(*) AS n,
+                         CAST(SUM(n_chars) AS BIGINT) AS s
+                  FROM documents GROUP BY 1)
+            ORDER BY mean_chars DESC, fold LIMIT 1
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_events,

@@ -103,6 +103,63 @@ def read_conll(paths) -> "ray.data.Dataset":
     return files.map_batches(explode, batch_format="pyarrow")
 
 
+def write_conll(ds: "ray.data.Dataset", out_dir: str, *, n_files: int = 8) -> int:
+    """Sentences Dataset → CoNLL files (the S2/S9 WRITE side, Dataset-native).
+
+    Partition-aligned sink: sentences are bucketed by ``crc(doc_id) %
+    n_files`` (a document never straddles files — the GroupKFold-by-doc
+    invariant, SURVEY.md O3), each write task sorts its bucket by (doc_id,
+    sent_id), emits ``-DOCSTART-`` markers between documents and writes
+    ``part-<k>.conll`` atomically (tmp + rename; task retries idempotent).
+    Inverse of ``read_conll`` (reference serializer: src/datasets.py:75-87).
+    Returns the number of sentences written.
+    """
+    import os
+
+    from ..functions.hashing import crc_bucket
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = crc_bucket(t.column("doc_id").to_pylist(), n_files)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def write_group(t: pa.Table) -> pa.Table:
+        empty = pa.table({"part": pa.array([], pa.int32()),
+                          "n_sentences": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "part" not in t.column_names:
+            return empty
+        part = int(t.column("part")[0].as_py())
+        t = t.sort_by([("doc_id", "ascending"), ("sent_id", "ascending")])
+        lines: list[str] = []
+        prev_doc = None
+        for r in t.to_pylist():
+            if r["doc_id"] != prev_doc:
+                lines.append(f"{DOCSTART} -X- -X- O")
+                lines.append("")
+                prev_doc = r["doc_id"]
+            for tok, pos, chk, ner in zip(
+                r["tokens"], r["pos_tags"], r["chunk_tags"], r["ner_tags"]
+            ):
+                lines.append(f"{tok} {pos} {chk} {ner}")
+            lines.append("")
+        fname = f"part-{part:05d}.conll"
+        tmp = os.path.join(out_dir, f".{fname}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(tmp, os.path.join(out_dir, fname))
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "n_sentences": pa.array([t.num_rows], pa.int64())})
+
+    written = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(write_group, batch_format="pyarrow")
+        .sum("n_sentences")
+    )
+    return int(written or 0)
+
+
 def primary_label(ner_tags: list[str]) -> str:
     """First non-O tag's entity type, else "O" — the stratification key
     (src/datasets.py:40-44)."""

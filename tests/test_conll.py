@@ -83,3 +83,36 @@ def test_read_conll_dataset(tmp_path):
     rows = ds.take_all()
     assert len(rows) == 4
     assert rows[0]["tokens"] == ["EU", "rejects", "German", "call", "."]
+
+
+def test_write_conll_dataset_roundtrip(tmp_path):
+    """Dataset sink (S2/S9 write side): write_conll → read_conll must
+    reproduce every sentence's content, grouped per document, with no
+    document straddling files."""
+    import os
+
+    from ner_extractor_ray.sources.conll import write_conll
+
+    src = tmp_path / "eval.conll"
+    src.write_text(EVAL_CONLL)
+    ds = read_conll(str(src))
+    out = str(tmp_path / "sink")
+    n = write_conll(ds, out, n_files=4)
+    assert n == 4  # sentences written
+
+    back = read_conll([os.path.join(out, f) for f in sorted(os.listdir(out))
+                       if f.endswith(".conll")])
+    rows = back.take_all()
+    assert len(rows) == 4
+
+    def content(rs):
+        # doc_id strings change (path#idx), so compare per-doc sentence tuples
+        docs = {}
+        for r in rs:
+            docs.setdefault(r["doc_id"], []).append(
+                (r["sent_id"], tuple(r["tokens"]), tuple(r["pos_tags"]),
+                 tuple(r["chunk_tags"]), tuple(r["ner_tags"]))
+            )
+        return sorted(tuple(sorted(v)) for v in docs.values())
+
+    assert content(rows) == content(ds.take_all())

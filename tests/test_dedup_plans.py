@@ -79,6 +79,21 @@ def test_lsh_pairs_match_driver_oracle():
     assert expected  # the fixture must actually contain near-dups
 
 
+def test_lsh_pairs_broadcast_and_join_plans_agree():
+    """broadcast_limit=0 forces the bloom + hash-join text-fetch plan (the
+    huge-candidate-set path); its verified pair set must equal the broadcast
+    fast path's."""
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                               columns=["doc_id", "text"])
+    fast = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in lsh_near_dup_pairs(ds, "text", "doc_id").take_all()}
+    joined = {(r["id_a"], r["id_b"], r["jaccard"])
+              for r in lsh_near_dup_pairs(ds, "text", "doc_id",
+                                          broadcast_limit=0).take_all()}
+    assert fast == joined
+    assert fast
+
+
 def test_lsh_pairs_empty_corpus():
     docs = ray.data.from_items(
         [{"doc_id": i, "text": f"totally unique sentence number {i} with word salad {i*7}"}
