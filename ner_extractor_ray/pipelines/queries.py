@@ -536,6 +536,127 @@ def q_user_sessions(sf_dir: str):
     )
 
 
+def q_part_type_prefix(sf_dir: str):
+    """§2.8 string functions: split/upper on p_type + grouped exact sums."""
+    ds = _rp(sf_dir, "part", ["p_type", "p_size"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pref = [(s or "").split(" ")[0].upper() for s in t.column("p_type").to_pylist()]
+        df = pd.DataFrame(
+            {"type_prefix": pref,
+             "sum_size": pc.cast(t.column("p_size"), pa.int64()).to_numpy()}
+        )
+        g = df.groupby("type_prefix", as_index=False).agg(
+            n=("sum_size", "size"), sum_size=("sum_size", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("type_prefix")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_size", alias_name="sum_size"))
+    )
+
+
+def q_orders_priority_share(sf_dir: str):
+    """§2.8 conditional aggregation (CASE WHEN): big-order count per priority."""
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        big = (np.asarray(t.column("o_totalprice"), dtype=np.float64) > 150000.0)
+        df = pd.DataFrame(
+            {"o_orderpriority": t.column("o_orderpriority").to_pylist(),
+             "n_big": big.astype(np.int64)}
+        )
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("n_big", "size"), n_big=("n_big", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_big", alias_name="n_big"))
+    )
+
+
+def q_ship_days(sf_dir: str):
+    """§2.8 date arithmetic: days since a fixed epoch, exact integer sums."""
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_shipdate"])
+    base_us = pd.Timestamp("1995-01-01").value // 1000  # μs since Unix epoch
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy()
+        days = (us - base_us) // 86_400_000_000
+        df = pd.DataFrame(
+            {"l_returnflag": t.column("l_returnflag").to_pylist(), "sum_days": days}
+        )
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            n=("sum_days", "size"), sum_days=("sum_days", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_days", alias_name="sum_days"))
+    )
+
+
+def q_customer_order_counts(sf_dir: str):
+    """J4 LEFT join: every customer with their order count (0 kept).
+    Orders are pre-aggregated to per-custkey counts BEFORE the join, so the
+    join's right side is bounded by customer cardinality, and the left join
+    itself runs on the partitioned hash-join path (how="left")."""
+    from ..stages.joins import hash_join
+
+    cust = _rp(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t.column("c_custkey"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    orders = _rp(sf_dir, "orders", ["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c_custkey": pc.cast(t.column("o_custkey"), pa.int64()).to_numpy()})
+        g = df.groupby("c_custkey", as_index=False).size().rename(columns={"size": "n_orders"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+    joined = hash_join(cust, counts, on=("c_custkey",), how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                 "n_orders": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"].astype("int64"),
+             "n_orders": df["n_orders"].fillna(0).astype("int64")}
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_customers_with_orders(sf_dir: str):
+    """J-family semi join: customers having ≥1 order — exact broadcast key
+    set (the Bloom filter is the at-scale PREfilter; the exact set keeps the
+    oracle comparison exact)."""
+    okeys = set(_rp(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    kref = ray.put(okeys)
+    ds = _rp(sf_dir, "customer", ["c_custkey"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ids = pc.cast(t.column("c_custkey"), pa.int64())
+        mask = [k in ks for k in ids.to_pylist()]
+        return pa.table({"c_custkey": ids.filter(pa.array(mask, pa.bool_()))})
+
+    return ds.map_batches(semi, batch_format="pyarrow")
+
+
 def q_best_fold(sf_dir: str):
     """A10 grid-search argmax analog: the fold with the highest mean_chars
     (tie → lowest fold), computed as a driver reduce over the tiny per-fold
@@ -787,6 +908,11 @@ def queries() -> dict:
         "click_after_purchase": q_click_after_purchase,
         "fold_stats": q_fold_stats,
         "best_fold": q_best_fold,
+        "part_type_prefix": q_part_type_prefix,
+        "orders_priority_share": q_orders_priority_share,
+        "ship_days": q_ship_days,
+        "customer_order_counts": q_customer_order_counts,
+        "customers_with_orders": q_customers_with_orders,
         "user_sessions": q_user_sessions,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
@@ -918,6 +1044,33 @@ def oracle_sql() -> dict:
                          CAST(SUM(n_chars) AS BIGINT) AS s
                   FROM documents GROUP BY 1)
             ORDER BY mean_chars DESC, fold LIMIT 1
+        """,
+        "part_type_prefix": """
+            SELECT upper(split_part(p_type, ' ', 1)) AS type_prefix,
+                   COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size
+            FROM part GROUP BY 1
+        """,
+        "orders_priority_share": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_big
+            FROM orders GROUP BY 1
+        """,
+        "ship_days": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(date_diff('day', TIMESTAMP '1995-01-01',
+                                           l_shipdate) AS BIGINT)) AS BIGINT) AS sum_days
+            FROM lineitem GROUP BY 1
+        """,
+        "customer_order_counts": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                   CAST(COUNT(o_custkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "customers_with_orders": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_events,
