@@ -820,6 +820,27 @@ def q_subword_counts(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_image_features(sf_dir: str):
+    """Multimodal binary-column stage (stages/multimodal.py): the documents
+    table's text bytes stand in as an opaque binary payload column; decode +
+    resize + feature-extract runs with the deterministic FakeCodec (real
+    codec is a documented plug — the libs are absent here). Exercises the
+    fat-row plumbing: small batch_size, payload dropped on output. Rows-only."""
+    from ..stages.multimodal import image_features
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {"id": pc.cast(t.column("doc_id"), pa.int64()),
+             "payload": pa.array([(s or "").encode("utf-8") for s in texts],
+                                  pa.binary())}
+        )
+
+    return image_features(ds.map_batches(to_payload, batch_format="pyarrow"))
+
+
 def q_cluster_homogeneity(sf_dir: str):
     """A9 — clustering quality: homogeneity of deterministic IVF clusters vs
     the embeddings table's labels (the KMeans-homogeneity analog,
@@ -922,6 +943,7 @@ def queries() -> dict:
         "fingerprint": q_fingerprint,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "image_features": q_image_features,
         "cluster_homogeneity": q_cluster_homogeneity,
         "subword_counts": q_subword_counts,
         "mention_confusion": q_mention_confusion,
