@@ -1103,6 +1103,71 @@ def oracle_sql() -> dict:
                   FROM events)
             GROUP BY user_id
         """,
+        # the stopword-profile language heuristic is an argmax over four
+        # occurrence counts — ties prefer the earlier profile (en,de,fr,es),
+        # all-zero → 'und', exactly the lang_id() loop semantics
+        "langid": """
+            SELECT doc_id, CASE
+                WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS detected_lang
+            FROM (
+                SELECT doc_id,
+                       len(list_filter(ws, x -> list_contains(
+                           ['the','and','of','to','is','was','in','for','that','with'], x))) AS s_en,
+                       len(list_filter(ws, x -> list_contains(
+                           ['der','die','das','und','ist','von','mit','für','nicht','ein'], x))) AS s_de,
+                       len(list_filter(ws, x -> list_contains(
+                           ['le','la','les','et','est','des','dans','pour','une','que'], x))) AS s_fr,
+                       len(list_filter(ws, x -> list_contains(
+                           ['el','la','los','y','es','de','en','por','una','que'], x))) AS s_es
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-zäöüßéèêàçñ]+') AS ws
+                      FROM documents)
+            )
+        """,
+        # quality features are plain arithmetic over regex token lists —
+        # expressible in SQL with identical IEEE double expressions
+        "quality": """
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / n_tokens
+                        ELSE 0.0 END AS mean_token_len,
+                   CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alpha AS DOUBLE) / n_chars
+                        ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
+                        ELSE 0.0 END AS stopword_ratio,
+                   (n_tokens >= 20
+                    AND (CASE WHEN n_chars > 0
+                         THEN CAST(n_chars - n_alpha AS DOUBLE) / n_chars
+                         ELSE 0.0 END) <= 0.5
+                    AND (CASE WHEN n_tokens > 0
+                         THEN CAST(n_stop AS DOUBLE) / n_tokens
+                         ELSE 0.0 END) >= 0.01) AS keep
+            FROM (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(toks) AS n_tokens,
+                       COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                           AS n_alpha,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','and','of','to','is','was','in','for','that',
+                            'with','a','an','it','on','at','by'], lower(x))))
+                           AS n_stop
+                FROM (SELECT doc_id, text,
+                             regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+                      FROM documents)
+            )
+        """,
+        # NOTE ngram_jaccard_neardup deliberately has NO SQL oracle: an
+        # all-pairs Jaccard oracle returns 9,020 pairs at sf0.01 where the
+        # banded plan returns 942 — the bucket_cap chain fallback prunes
+        # non-consecutive pairs inside template-heavy near-dup clusters by
+        # DESIGN (connectivity-preserving for the downstream keep-id CC, not
+        # pair-complete). The contract is tested against a driver replication
+        # of the same plan (tests/test_dedup_plans.py).
         "knn_cosine": f"""
             SELECT vec_id, CAST(rank AS BIGINT) AS rank FROM (
                 SELECT vec_id,
