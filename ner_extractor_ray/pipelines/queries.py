@@ -903,6 +903,306 @@ def q_kg_edges(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Window / rank / rollup / interval-join family (round-2 additions)
+# --------------------------------------------------------------------------
+
+def q_order_rank(sf_dir: str):
+    """Global row-number over a total order WITHOUT a full-row global sort:
+    histogram → bucket offsets → per-bucket local sort (functions/rank.py)."""
+    from ..functions.rank import global_rank
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ranked = global_rank(
+        ds, "o_totalprice", "o_orderkey", descending=True, n_buckets=32
+    )
+    return ranked.map_batches(
+        lambda df: df[["o_orderkey", "rank"]].astype({"o_orderkey": "int64", "rank": "int64"}),
+        batch_format="pandas",
+    )
+
+
+def q_events_sliding(sf_dir: str):
+    """Hopping (sliding) event-time window: size 2 h, hop 1 h — each event in
+    exactly 2 windows (stages/windows.explode_hopping_windows), partials
+    pre-aggregated per batch so the shuffle carries k× aggregates."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.windows import explode_hopping_windows
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+    exploded = explode_hopping_windows(ds, "ts", size_s=7200, hop_s=3600)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "window_id": pc.cast(t.column("window_id"), pa.int64()).to_numpy(),
+                "event_type": t.column("event_type").to_pylist(),
+                "value_cents": _cents(np.asarray(t.column("value"))),
+            }
+        )
+        g = df.groupby(["window_id", "event_type"], as_index=False).agg(
+            n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        exploded.map_batches(partial, batch_format="pyarrow"),
+        ["window_id", "event_type"],
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_cents", alias_name="value_cents"),
+    )
+
+
+def q_value_median(sf_dir: str):
+    """Exact distributed median via value-count histogram: integer cents have
+    bounded cardinality, so groupby (type, cents) counts is a SMALL aggregate
+    regardless of corpus size; the driver walks the per-type cumulative counts
+    — the scalable exact-quantile-over-ints pattern (no per-group sort of raw
+    rows, no single-task group materialization)."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pylist(),
+                "value_cents": _cents(np.asarray(t.column("value"))),
+            }
+        )
+        g = df.groupby(["event_type", "value_cents"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "value_cents"],
+        Sum("n", alias_name="n"),
+    ).to_pandas()
+
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("value_cents")
+        vals = g["value_cents"].to_numpy(dtype=np.int64)
+        cnt = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        lo = vals[np.searchsorted(cum, (n - 1) // 2 + 1)]
+        hi = vals[np.searchsorted(cum, n // 2 + 1)]
+        rows.append((etype, n, (float(lo) + float(hi)) / 2.0))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "median_cents": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def q_orders_rollup(sf_dir: str):
+    """GROUPING SETS / rollup: aggregate once at the finest grain (priority ×
+    month — bounded cardinality, so the rollup input is tiny no matter the
+    corpus size), then derive the coarser grains from the pre-aggregate."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        months = pd.Series(t.column("o_orderdate").to_pandas()).dt.strftime("%Y-%m")
+        df = pd.DataFrame(
+            {
+                "priority": t.column("o_orderpriority").to_pylist(),
+                "month": months,
+                "total_cents": _cents(np.asarray(t.column("o_totalprice"))),
+            }
+        )
+        g = df.groupby(["priority", "month"], as_index=False).agg(
+            n_orders=("total_cents", "size"), total_cents=("total_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["priority", "month"],
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    ).to_pandas()
+
+    by_prio = fine.groupby("priority", as_index=False)[["n_orders", "total_cents"]].sum()
+    by_prio["month"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "priority": ["ALL"],
+            "month": ["ALL"],
+            "n_orders": [fine["n_orders"].sum()],
+            "total_cents": [fine["total_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_prio, total], ignore_index=True)
+    cols = ["priority", "month", "n_orders", "total_cents"]
+    out = out[cols].astype({"n_orders": "int64", "total_cents": "int64"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_running_total(sf_dir: str):
+    """Cumulative window function: per-user running sum of value ordered by
+    (ts, event_id). Coarse hash buckets (user % P), exact per-user cumsum in
+    pandas inside — same skew discipline as q_top_event_per_user."""
+    from ..stages.canonicalize import _compact_blocks
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        out = pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+                "value_cents": pa.array(_cents(np.asarray(t.column("value"))), pa.int64()),
+            }
+        )
+        return out.append_column("__part", pa.array(uid % P, pa.int64()))
+
+    def part_cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        g["running_cents"] = g.groupby("user_id", sort=False)["value_cents"].cumsum()
+        return g[["event_id", "running_cents"]].astype("int64")
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_cumsum, batch_format="pandas")
+    )
+
+
+def q_revenue_by_region(sf_dir: str):
+    """TPC-H Q5-style 4-table join: orders ⋈ customer via the partitioned
+    Arrow hash join (both sides corpus-scaled), nation+region broadcast as one
+    composed dict (tiny), then grouped exact aggregate."""
+    from ..stages.joins import hash_join
+
+    n2r = {
+        n["n_nationkey"]: n["n_regionkey"]
+        for n in _rp(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
+    }
+    rnames = {
+        r["r_regionkey"]: r["r_name"]
+        for r in _rp(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+    }
+    nation_region = {k: rnames[v] for k, v in n2r.items()}
+    nref = ray.put(nation_region)
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "total_cents": pa.array(
+                    _cents(np.asarray(t.column("o_totalprice"))), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    customer = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(orders, customer, ["c_custkey"], num_partitions=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(nref)
+        if df.empty:
+            return pd.DataFrame(
+                {"r_name": pd.Series([], dtype="object"),
+                 "n_orders": pd.Series([], dtype="int64"),
+                 "total_cents": pd.Series([], dtype="int64")}
+            )
+        df["r_name"] = [m[int(k)] for k in df["c_nationkey"]]
+        g = df.groupby("r_name", as_index=False).agg(
+            n_orders=("total_cents", "size"), total_cents=("total_cents", "sum")
+        )
+        # the join union null-pads each side's columns, which makes pandas
+        # promote int64 → float64; values are exact ints, so cast back
+        return g.astype({"n_orders": "int64", "total_cents": "int64"})
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_cents", alias_name="total_cents"))
+    )
+
+
+def q_purchase_clicks_window(sf_dir: str):
+    """Banded interval join (stages/windows.interval_join): EVERY click within
+    24 h after a same-user purchase — the all-matches counterpart of the as-of
+    join in q_click_after_purchase."""
+    from ..stages.windows import interval_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = interval_join(
+        clicks, purchases, on="user_id", ts_col="ts", window_s=86400
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"click_id": pd.Series([], dtype="int64"),
+                                 "purchase_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"click_id": df["event_id"].astype("int64"),
+             "purchase_id": df["event_id_r"].astype("int64")}
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_bigram_freq(sf_dir: str):
+    """A4 n-gram extension: corpus bigram counts with MIN_FREQ threshold,
+    per-batch dict partials before the shuffle (same plan as word_freq)."""
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column("text").to_pylist():
+            toks = _ALNUM.findall((s or "").lower())
+            for i in range(len(toks) - 1):
+                bg = toks[i] + " " + toks[i + 1]
+                counts[bg] = counts.get(bg, 0) + 1
+        return pa.table(
+            {"bigram": pa.array(list(counts), pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), 5)), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
 
 def queries() -> dict:
     return {
@@ -935,6 +1235,14 @@ def queries() -> dict:
         "customer_order_counts": q_customer_order_counts,
         "customers_with_orders": q_customers_with_orders,
         "user_sessions": q_user_sessions,
+        "order_rank": q_order_rank,
+        "events_sliding": q_events_sliding,
+        "value_median": q_value_median,
+        "orders_rollup": q_orders_rollup,
+        "running_total": q_running_total,
+        "revenue_by_region": q_revenue_by_region,
+        "purchase_clicks_window": q_purchase_clicks_window,
+        "bigram_freq": q_bigram_freq,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
@@ -1102,6 +1410,71 @@ def oracle_sql() -> dict:
                            OVER (PARTITION BY user_id ORDER BY ts) AS gap_s
                   FROM events)
             GROUP BY user_id
+        """,
+        "order_rank": """
+            SELECT o_orderkey, CAST(rn AS BIGINT) AS rank FROM (
+                SELECT o_orderkey, ROW_NUMBER() OVER (
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders)
+        """,
+        "events_sliding": """
+            SELECT window_id, event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM (
+                SELECT unnest([h, h - 1]) AS window_id, event_type, value
+                FROM (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+                             event_type, value
+                      FROM events)
+            ) GROUP BY 1, 2
+        """,
+        "value_median": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(median(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                       AS median_cents
+            FROM events GROUP BY 1
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COALESCE(month, 'ALL') AS month,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+                         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                  FROM orders)
+            GROUP BY GROUPING SETS ((o_orderpriority, month), (o_orderpriority), ())
+        """,
+        "running_total": """
+            SELECT event_id,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+            FROM events
+        """,
+        "revenue_by_region": """
+            SELECT r_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "purchase_clicks_window": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+             AND epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000
+        """,
+        "bigram_freq": """
+            SELECT bg AS bigram, COUNT(*) AS n FROM (
+                SELECT unnest(list_transform(range(1, len(ws)),
+                                             i -> ws[i] || ' ' || ws[i + 1])) AS bg
+                FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                      FROM documents)
+            ) GROUP BY bg HAVING COUNT(*) >= 5
         """,
         # the stopword-profile language heuristic is an argmax over four
         # occurrence counts — ties prefer the earlier profile (en,de,fr,es),

@@ -1,0 +1,94 @@
+"""Edge cases for the round-2 window/rank operators beyond the oracle parity
+tests (tests/test_queries_oracle.py covers the happy path vs DuckDB)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def test_global_rank_all_equal_keys():
+    # degenerate histogram: min == max → single bucket, rank = tiebreak order
+    from ner_extractor_ray.functions.rank import global_rank
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([7.0] * 10), "id": pa.array(list(range(10)), pa.int64())})
+    )
+    out = global_rank(ds, "k", "id", descending=True, n_buckets=8).to_pandas()
+    got = dict(zip(out["id"], out["rank"]))
+    assert got == {i: i + 1 for i in range(10)}
+
+
+def test_global_rank_matches_pandas_on_random_values():
+    from ner_extractor_ray.functions.rank import global_rank
+
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.uniform(0, 100, size=500), 2)
+    ids = np.arange(500, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals), "id": pa.array(ids)}))
+    out = global_rank(ds, "k", "id", descending=True, n_buckets=16).to_pandas()
+    expect = (
+        pd.DataFrame({"k": vals, "id": ids})
+        .sort_values(["k", "id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    expect["rank"] = np.arange(1, 501)
+    got = out.set_index("id")["rank"].to_dict()
+    want = expect.set_index("id")["rank"].to_dict()
+    assert got == want
+
+
+def test_hopping_windows_k3():
+    from ner_extractor_ray.stages.windows import explode_hopping_windows
+
+    ts = pa.array([pd.Timestamp("2024-01-01 05:30:00")]).cast(pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({"ts": ts, "x": pa.array([1], pa.int64())}))
+    out = explode_hopping_windows(ds, "ts", size_s=3 * 3600, hop_s=3600).to_pandas()
+    h = pd.Timestamp("2024-01-01 05:00:00").value // 10**9 // 3600
+    assert sorted(out["window_id"]) == [h - 2, h - 1, h]
+
+
+def test_interval_join_boundary_and_empty_side():
+    from ner_extractor_ray.stages.windows import interval_join
+
+    base = pd.Timestamp("2024-01-01 00:00:00").value // 10**3  # us
+    win = 3600
+    # right row at t0; left rows at dt = -1s, 0, win, win+1s
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([5, 5, 5, 5], pa.int64()),
+                "ts": pa.array(
+                    [base - 1_000_000, base, base + win * 1_000_000,
+                     base + (win + 1) * 1_000_000],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([100], pa.int64()),
+                "user_id": pa.array([5], pa.int64()),
+                "ts": pa.array([base], pa.timestamp("us")),
+            }
+        )
+    )
+    out = interval_join(
+        left, right, on="user_id", ts_col="ts", window_s=win
+    ).to_pandas()
+    assert sorted(out["event_id"].astype(int)) == [2, 3]  # inclusive both ends
+    assert set(out["event_id_r"].astype(int)) == {100}
+
+    empty = ray.data.from_arrow(
+        pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("ts", pa.timestamp("us"))]
+        ).empty_table()
+    )
+    out2 = interval_join(
+        left, empty, on="user_id", ts_col="ts", window_s=win
+    ).to_pandas()
+    assert len(out2) == 0
