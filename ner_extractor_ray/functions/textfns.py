@@ -243,16 +243,28 @@ def band_keys(sig: np.ndarray, n_bands: int = 16) -> list[int]:
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token hashes (unweighted)."""
+    """64-bit SimHash over token hashes (token-multiplicity weighted).
+
+    Token hash = top 8 bytes of md5 — md5 (not blake2) deliberately, so an
+    ANSI-SQL oracle can replicate the full simhash bit-for-bit (DuckDB:
+    ``('0x' || substr(md5(t), 1, 16))::UBIGINT``). Hashing is done once per
+    UNIQUE token and the bit-vote accumulation is vectorized across tokens."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = stable_hash64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    bits = (acc > 0).astype(np.uint64)
-    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+    import hashlib as _hl
+    from collections import Counter
+
+    c = Counter(tokens)
+    hs = np.array(
+        [int(_hl.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in c],
+        dtype=np.uint64,
+    )
+    w = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (w[:, None] * (2 * bits - 1)).sum(axis=0)
+    out_bits = (acc > 0).astype(np.uint64)
+    return int((out_bits << shifts).sum())
 
 
 def jaccard(a: set, b: set) -> float:

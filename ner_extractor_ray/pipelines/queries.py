@@ -741,6 +741,21 @@ def q_knn_ivf(sf_dir: str):
     return out.select_columns(["vec_id", "rank"])
 
 
+def q_knn_ivf_full(sf_dir: str):
+    """IVF with n_probe == n_centroids probes every partition, so the result
+    is EXACT by construction — this pins the whole IVF plumbing (deterministic
+    centroid build, bucket assign, probe filter, per-bucket scan) to the
+    brute-force SQL oracle. q_knn_ivf (n_probe=4) is the pruned approximate
+    variant of the same plan (rows-only check; recall is data-dependent)."""
+    from ..functions.similarity import ivf_assign, ivf_build_centroids, knn_ivf
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = ivf_build_centroids(ds, n_centroids=8, refine_rounds=1)
+    assigned = ivf_assign(ds, cent)
+    out = knn_ivf(assigned, cent, np.ones((1, EMBED_DIM)), k=10, n_probe=8)
+    return out.select_columns(["vec_id", "rank"])
+
+
 def q_embedding_neardup(sf_dir: str, *, bucket_cap: int = 1024):
     """Embedding-cosine near-dup: brute pairwise per IVF bucket.
 
@@ -1250,6 +1265,7 @@ def queries() -> dict:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_full": q_knn_ivf_full,
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
         "cluster_homogeneity": q_cluster_homogeneity,
@@ -1548,5 +1564,43 @@ def oracle_sql() -> dict:
                            ORDER BY list_cosine_similarity(embedding, {_ONES}) DESC, vec_id
                        ) AS rank
                 FROM embeddings) WHERE rank <= 10
+        """,
+        # full-probe IVF == exact: same oracle as the brute-force scan
+        "knn_ivf_full": f"""
+            SELECT vec_id, CAST(rank AS BIGINT) AS rank FROM (
+                SELECT vec_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY list_cosine_similarity(embedding, {_ONES}) DESC, vec_id
+                       ) AS rank
+                FROM embeddings) WHERE rank <= 10
+        """,
+        # full 64-bit SimHash replicated in SQL: per-token md5-top-8-byte
+        # hash (the Python side uses the same), per-bit majority vote over
+        # the token multiset, bit 63 masked off (int63 for Arrow int64);
+        # docs with no whitespace tokens hash to 0
+        "simhash": r"""
+            SELECT d.doc_id,
+                   COALESCE(s.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN cnt > 0
+                                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                            AS BIGINT) AS simhash
+                FROM (
+                    SELECT doc_id, b,
+                           SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+                    FROM (
+                        SELECT doc_id,
+                               ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                        FROM (
+                            SELECT doc_id,
+                                   unnest(list_filter(
+                                       string_split_regex(lower(text), '\s+'),
+                                       x -> x <> '')) AS tok
+                            FROM documents)
+                    ) CROSS JOIN (SELECT unnest(range(0, 63)) AS b)
+                    GROUP BY doc_id, b
+                ) GROUP BY doc_id
+            ) s ON d.doc_id = s.doc_id
         """,
     }
