@@ -1565,6 +1565,31 @@ def oracle_sql() -> dict:
                        ) AS rank
                 FROM embeddings) WHERE rank <= 10
         """,
+        # winnowing fingerprint replicated in SQL: per-window polynomial hash
+        # (base 257 mod 2^61-1, window 16 — list_reduce in HUGEINT so the
+        # per-step product never overflows), keep hashes ≡ 0 mod 8, XOR them
+        # (bit_xor), mask to int63. Docs with no kept window hash to 0 (the
+        # LEFT JOIN). The Python <16-byte fallback (blake2) is NOT modeled —
+        # testdata min doc length is 47 chars, asserted in tests.
+        "fingerprint": """
+            SELECT d.doc_id, COALESCE(f.fp, 0) AS fingerprint
+            FROM documents d LEFT JOIN (
+                SELECT doc_id,
+                       bit_xor(h) & 9223372036854775807 AS fp
+                FROM (
+                    SELECT doc_id,
+                           CAST(list_reduce(
+                               list_transform(range(i, i + 16),
+                                   j -> CAST(ascii(substr(text, j, 1)) AS HUGEINT)),
+                               (a, b) -> (a * 257 + b) % 2305843009213693951)
+                            AS BIGINT) AS h
+                    FROM (SELECT doc_id, text,
+                                 unnest(range(1, length(text) - 14)) AS i
+                          FROM documents)
+                ) WHERE h % 8 = 0
+                GROUP BY doc_id
+            ) f ON d.doc_id = f.doc_id
+        """,
         # full-probe IVF == exact: same oracle as the brute-force scan
         "knn_ivf_full": f"""
             SELECT vec_id, CAST(rank AS BIGINT) AS rank FROM (

@@ -65,6 +65,13 @@ def test_query_matches_oracle(name, con):
     assert _normalize(ray_df) == _normalize(sql_df), f"{name}: value mismatch"
 
 
+def test_fingerprint_oracle_window_assumption(con):
+    # the SQL winnowing oracle doesn't model the <16-byte fallback hash;
+    # assert the testdata can never hit it (documented in oracle_sql)
+    n = con.execute("SELECT min(length(text)) FROM documents").fetchone()[0]
+    assert n >= 16
+
+
 NON_SQL = sorted(set(queries()) - set(oracle_sql()) - {"kg_edges"})
 
 
