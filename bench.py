@@ -84,6 +84,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     suite = [
         "pricing_summary", "events_hourly", "word_freq", "exact_dedup",
         "minhash_neardup", "knn_cosine", "token_stats", "customer_by_nation",
+        # round-2 additions: distributed rank + banded interval join
+        "order_rank", "purchase_clicks_window",
     ]
     if os.environ.get("GRAFT_BENCH_KG_ONLY"):
         suite = []

@@ -217,6 +217,65 @@ def generate_pages(
     return pages, gold
 
 
+def write_pages_jsonl(
+    out_dir: str, n_pages: int, seed: int = 42, n_files: int = 8,
+) -> str:
+    """Write the same deterministic corpus as JSONL shards (WARC-ish wire
+    format: one JSON object per page, ``html`` base64-encoded, ``warc_ts`` in
+    epoch microseconds). Second source format for the engine — the reader
+    below restores the exact Parquet-path schema, so every downstream stage
+    is format-agnostic."""
+    import base64
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_pages + n_files - 1) // n_files
+    for f in range(n_files):
+        lo = f * per
+        cnt = max(0, min(per, n_pages - lo))
+        if cnt == 0:
+            break
+        tbl, _ = generate_pages(cnt, seed=seed, start_index=lo)
+        with open(os.path.join(out_dir, f"pages-{f:04d}.jsonl"), "w") as fh:
+            for row in tbl.to_pylist():
+                row["html"] = base64.b64encode(row["html"]).decode("ascii")
+                row["warc_ts"] = int(row["warc_ts"].timestamp() * 1_000_000)
+                fh.write(json.dumps(row, sort_keys=True) + "\n")
+    return out_dir
+
+
+def pages_dataset_jsonl(path: str, columns: list[str] | None = None):
+    """Read JSONL pages shards into the exact schema of the Parquet path
+    (url string, html binary, text string, lang string) so ``run_kg`` and
+    every stage work unchanged. Base64 decode is vectorized per batch."""
+    import base64
+    import glob
+    import os
+
+    import ray.data
+
+    cols = columns or ["url", "html", "text", "lang"]
+    files = sorted(glob.glob(os.path.join(path, "pages-*.jsonl"))) or path
+    ds = ray.data.read_json(files)
+
+    def restore(t: pa.Table) -> pa.Table:
+        out: dict[str, pa.Array] = {}
+        for c in cols:
+            if c == "html":
+                raw = [base64.b64decode(v) for v in t.column("html").to_pylist()]
+                out[c] = pa.array(raw, pa.binary())
+            elif c == "warc_ts":
+                out[c] = pa.array(
+                    t.column("warc_ts").to_pylist(), pa.timestamp("us")
+                )
+            else:
+                out[c] = t.column(c)
+        return pa.table(out)
+
+    return ds.map_batches(restore, batch_format="pyarrow")
+
+
 def _gold_entities_table() -> pa.Table:
     alias_map = {}
     for group in ALIAS_GROUPS:
