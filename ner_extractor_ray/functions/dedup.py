@@ -20,10 +20,10 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from .textfns import (
-    band_keys,
+    band_buckets,
     char_shingles,
     jaccard,
-    minhash_signature,
+    minhash_signature_sql,
     simhash64,
     word_ngrams,
 )
@@ -94,7 +94,12 @@ def lsh_near_dup_pairs(
     (same machinery as entity canonicalization, stages/canonicalize.py).
     Oversized buckets emit a sorted chain (O(n), connectivity-preserving)
     instead of O(n²) pairs — the explicit skew cap.
-    Output: (id_a, id_b, jaccard) with id_a < id_b, deduped across bands.
+    Output: (id_a, id_b, jaccard, jaccard_ppm) with id_a < id_b, deduped
+    across bands; ``jaccard_ppm = (|∩| * 10^6) // |∪|`` is exact integer
+    arithmetic so the DuckDB oracle can hash-match it (no float rounding).
+    The whole plan — md5 base hash, uint64 permutations, FNV band polynomial,
+    bucket cap with chain fallback, exact-Jaccard verify — is replicated in
+    ANSI SQL by ``oracle_sql()['minhash_neardup' / 'ngram_jaccard_neardup']``.
     """
     shingler = SHINGLERS[shingle]
 
@@ -103,15 +108,13 @@ def lsh_near_dup_pairs(
     # by n_bands × corpus text bytes — the one true scale-killer at 100 TB —
     # so texts are re-joined for candidate pairs only (phase 3).
     def bands(t: pa.Table) -> pa.Table:
-        from ..stages.canonicalize import _bucket_key
-
         ids = t.column(id_col).to_pylist()
         texts = t.column(text_col).to_pylist()
         o_b, o_id = [], []
         for i, txt in zip(ids, texts):
-            sig = minhash_signature(shingler(txt or ""), num_perm)
-            for b, h in enumerate(band_keys(sig, n_bands)):
-                o_b.append(_bucket_key(b, h))
+            sig = minhash_signature_sql(shingler(txt or ""), num_perm)
+            for bk in band_buckets(sig, n_bands):
+                o_b.append(bk)
                 o_id.append(i)
         return pa.table(
             {
@@ -170,7 +173,8 @@ def lsh_near_dup_pairs(
 
         return _rd.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+                      "jaccard": pa.array([], pa.float64()),
+                      "jaccard_ppm": pa.array([], pa.int64())})
         )
 
     # Phase 3 — texts for CANDIDATE docs only. Two physical plans, chosen by
@@ -186,17 +190,22 @@ def lsh_near_dup_pairs(
 
     docs = ds.select_columns([id_col, text_col])
 
-    def _verify_row(ia, ib, txa, txb, a, b, jc):
-        jv = jaccard(set(shingler(txa or "")), set(shingler(txb or "")))
+    def _verify_row(ia, ib, txa, txb, a, b, jc, ppm):
+        sa, sb = set(shingler(txa or "")), set(shingler(txb or ""))
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        jv = jaccard(sa, sb)
         if jv >= threshold:
             a.append(int(ia))
             b.append(int(ib))
             jc.append(round(jv, 6))
+            ppm.append((inter * 1_000_000) // union if union else 1_000_000)
 
-    def _pairs_df(a, b, jc) -> pd.DataFrame:
+    def _pairs_df(a, b, jc, ppm) -> pd.DataFrame:
         return pd.DataFrame(
             {"id_a": pd.Series(a, dtype="int64"), "id_b": pd.Series(b, dtype="int64"),
-             "jaccard": pd.Series(jc, dtype="float64")}
+             "jaccard": pd.Series(jc, dtype="float64"),
+             "jaccard_ppm": pd.Series(ppm, dtype="int64")}
         )
 
     if n_cands <= broadcast_limit:
@@ -221,10 +230,10 @@ def lsh_near_dup_pairs(
 
         def verify_bc(df: pd.DataFrame) -> pd.DataFrame:
             tm = ray.get(tref) if isinstance(tref, _ray.ObjectRef) else tref
-            a, b, jc = [], [], []
+            a, b, jc, ppm = [], [], [], []
             for ia, ib in zip(df["id_a"], df["id_b"]):
-                _verify_row(ia, ib, tm.get(int(ia)), tm.get(int(ib)), a, b, jc)
-            return _pairs_df(a, b, jc)
+                _verify_row(ia, ib, tm.get(int(ia)), tm.get(int(ib)), a, b, jc, ppm)
+            return _pairs_df(a, b, jc, ppm)
 
         return cands.map_batches(verify_bc, batch_format="pandas")
 
@@ -258,11 +267,11 @@ def lsh_near_dup_pairs(
     # semantics to the in-bucket verify of the text-shuffling plan)
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "text_a" not in df.columns:
-            return _pairs_df([], [], [])
-        a, b, jc = [], [], []
+            return _pairs_df([], [], [], [])
+        a, b, jc, ppm = [], [], [], []
         for ia, ib, txa, txb in zip(df["id_a"], df["id_b"], df["text_a"], df["text_b"]):
-            _verify_row(ia, ib, txa, txb, a, b, jc)
-        return _pairs_df(a, b, jc)
+            _verify_row(ia, ib, txa, txb, a, b, jc, ppm)
+        return _pairs_df(a, b, jc, ppm)
 
     return joined.map_batches(verify, batch_format="pandas")
 

@@ -242,6 +242,55 @@ def band_keys(sig: np.ndarray, n_bands: int = 16) -> list[int]:
     return out
 
 
+# SQL-replicable MinHash variant (used by the dedup query family so a DuckDB
+# oracle can recompute the exact banded-LSH plan; the KG canonicalization path
+# keeps the faster crc32 scheme above and is plan-parity-tested instead).
+# Base shingle hash = top 8 bytes of md5 (DuckDB:
+# ``('0x' || substr(md5(s), 1, 16))::UBIGINT``); permutations and band keys
+# use only uint64 wraparound + Mersenne mod, both exactly expressible in
+# HUGEINT arithmetic.
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_BUCKET_BITS = 59  # bucket = band_idx << 59 | (poly & (2^59-1)) — injective int64
+
+
+def md5_hash64(s: str) -> int:
+    import hashlib as _hl
+
+    return int(_hl.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def minhash_signature_sql(shingles: list[str], num_perm: int = 64) -> np.ndarray:
+    """(num_perm,) uint64 MinHash signature with an md5 base hash.
+
+    v_p = ((md5_64(s) * a_p + b_p) mod 2^64) mod (2^61 - 1), min over distinct
+    shingles; empty shingle set → all-max sentinel (same as the crc variant).
+    """
+    if not shingles:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    base = np.array(sorted({md5_hash64(s) for s in set(shingles)}), dtype=np.uint64)
+    a, b = _MH_A[:num_perm], _MH_B[:num_perm]
+    with np.errstate(over="ignore"):
+        prod = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return prod.min(axis=0)
+
+
+def band_buckets(sig: np.ndarray, n_bands: int = 16) -> list[int]:
+    """Injective int64 LSH bucket ids: per band, FNV-style polynomial over the
+    band's signature values (uint64 wraparound), masked to 59 bits and tagged
+    with the band index in the top bits. SQL-replicable bit for bit."""
+    rows = len(sig) // n_bands
+    mask = np.uint64((1 << _BUCKET_BITS) - 1)
+    out = []
+    with np.errstate(over="ignore"):
+        for b in range(n_bands):
+            acc = _FNV_OFFSET
+            for v in sig[b * rows : (b + 1) * rows]:
+                acc = acc * _FNV_PRIME + np.uint64(v)
+            out.append((b << _BUCKET_BITS) | int(acc & mask))
+    return out
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over token hashes (token-multiplicity weighted).
 

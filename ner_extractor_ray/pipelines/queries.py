@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 _ALNUM = re.compile(r"[a-z0-9]+")
 EMBED_DIM = 64  # testdata embeddings dim (TESTDATA.md tables)
@@ -676,21 +676,25 @@ def q_best_fold(sf_dir: str):
 # Training-data ops without a SQL equivalent (rows-only driver check)
 # --------------------------------------------------------------------------
 
+def _project_pairs(pairs):
+    """(id_a, id_b, jaccard_ppm) — the exact-integer columns the DuckDB
+    oracle replicates (the float jaccard stays internal)."""
+    cols = ["id_a", "id_b", "jaccard_ppm"]
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            return pa.table({c: pc.cast(t.column(c), pa.int64()) for c in cols})
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+
+    return pairs.map_batches(fn, batch_format="pyarrow")
+
+
 def q_minhash_neardup(sf_dir: str):
     from ..functions.dedup import lsh_near_dup_pairs
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    pairs = lsh_near_dup_pairs(ds, "text", "doc_id", shingle="word3", threshold=0.8)
-    return pairs.map_batches(
-        lambda t: pa.table(
-            {
-                "id_a": pc.cast(t.column("id_a"), pa.int64()),
-                "id_b": pc.cast(t.column("id_b"), pa.int64()),
-            }
-        )
-        if t.num_rows
-        else pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}),
-        batch_format="pyarrow",
+    return _project_pairs(
+        lsh_near_dup_pairs(ds, "text", "doc_id", shingle="word3", threshold=0.8)
     )
 
 
@@ -704,7 +708,9 @@ def q_ngram_jaccard_neardup(sf_dir: str):
     from ..functions.dedup import lsh_near_dup_pairs
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return lsh_near_dup_pairs(ds, "text", "doc_id", shingle="word1", threshold=0.9)
+    return _project_pairs(
+        lsh_near_dup_pairs(ds, "text", "doc_id", shingle="word1", threshold=0.9)
+    )
 
 
 def q_langid(sf_dir: str):
@@ -1218,6 +1224,279 @@ def q_bigram_freq(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Round-2 additions: set ops, distinct-count, pivot, big×big join top-k
+# --------------------------------------------------------------------------
+
+def q_revenue_by_brand(sf_dir: str):
+    """Fact×dimension join the 100-TB way: `part` is a dimension table, so it
+    is broadcast once (ray.put dict) and the revenue aggregate happens
+    map-side on `lineitem` — no shuffle of the big side at all (contrast
+    q_revenue_by_region, which exercises the partitioned hash join)."""
+    brand = {
+        r["p_partkey"]: r["p_brand"]
+        for r in _rp(sf_dir, "part", ["p_partkey", "p_brand"]).take_all()
+    }
+    bref = ray.put(brand)
+    ds = _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(bref)
+        ep = np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(t.column("l_discount"), dtype=np.float64)
+        cents = np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"p_brand": [m.get(k) for k in t.column("l_partkey").to_pylist()],
+             "revenue_cents": cents}
+        )
+        g = df.groupby("p_brand", as_index=False).agg(
+            n_items=("revenue_cents", "size"), revenue_cents=("revenue_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: the two LARGEST tables joined via the partitioned
+    Arrow hash join (neither side broadcastable at scale), with predicate
+    pushdown at the parquet read (row-group pruning), grouped revenue, and
+    partial-top-k → tiny global sort."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from ..stages.joins import hash_join
+
+    cutoff = _dt.datetime(1998, 1, 1)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < pa.scalar(cutoff, pa.timestamp("us")),
+    ).map_batches(
+        lambda t: pa.table({"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > pa.scalar(cutoff, pa.timestamp("us")),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                "revenue_cents": pa.array(
+                    np.floor(
+                        np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+                        * (1.0 - np.asarray(t.column("l_discount"), dtype=np.float64))
+                        * 100.0
+                        + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(orders, lineitem, ["o_orderkey"], num_partitions=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # the join's schema-aligned union makes right-only columns nullable
+        # (float64 in pandas); values are exact ints < 2^53, cast back
+        g = df.groupby("o_orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+        return g.astype({"revenue_cents": "int64"})
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    return agg.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _distinct_keys(ds, col: str) -> set:
+    """Distributed distinct of one int key column (groupby shuffle on the key,
+    never the payload); the RESULT is dimension-sized, safe to collect."""
+    out = ds.map_batches(
+        lambda t: pa.table({"k": pc.unique(pc.cast(t.column(col), pa.int64()))}),
+        batch_format="pyarrow",
+    ).groupby("k").aggregate(Count(alias_name="_n"))
+    return {int(r["k"]) for r in out.take_all()}
+
+
+def q_nations_overlap(sf_dir: str):
+    """INTERSECT set op: nation keys present on BOTH fact sides."""
+    c = _distinct_keys(_rp(sf_dir, "customer", ["c_nationkey"]), "c_nationkey")
+    s = _distinct_keys(_rp(sf_dir, "supplier", ["s_nationkey"]), "s_nationkey")
+    ks = sorted(c & s)
+    return pa.table({"k": pa.array(ks, pa.int64())})
+
+
+def q_customer_only_nations(sf_dir: str):
+    """EXCEPT set op (explicit empty schema when no keys differ)."""
+    c = _distinct_keys(_rp(sf_dir, "customer", ["c_nationkey"]), "c_nationkey")
+    s = _distinct_keys(_rp(sf_dir, "supplier", ["s_nationkey"]), "s_nationkey")
+    ks = sorted(c - s)
+    return pa.table({"k": pa.array(ks, pa.int64())})
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """COUNT(DISTINCT ...) the scale-safe way: two-level aggregation — dedup
+    (type, user) pairs with a groupby on the PAIR key (splits hot types across
+    the cluster), then a tiny per-type count."""
+    ds = _rp(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t.column("event_type").to_pylist(),
+             "user_id": t.column("user_id").to_pylist()}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ..stages.canonicalize import grouped_aggregate
+
+    pairs = grouped_aggregate(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        Count(alias_name="_n"),
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist()})
+        g = df.groupby("event_type", as_index=False).size().rename(columns={"size": "n_users"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def q_orders_above_avg(sf_dir: str):
+    """Join-against-aggregate (TPC-H Q17 shape): per-customer average order
+    value computed distributed, then joined BACK to the fact table via the
+    partitioned hash join (custkey cardinality is corpus-scaled — no
+    broadcast), filter in exact integer arithmetic (2·cents·n > 3·sum ⟺
+    price > 1.5·avg, no float compare), tiny grouped count out."""
+    from ..stages.joins import hash_join
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "cents": pa.array(_cents(np.asarray(t.column("o_totalprice"))), pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    facts = orders.map_batches(cents_tbl, batch_format="pyarrow")
+
+    def agg_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"o_custkey": t.column("o_custkey").to_pylist(),
+             "s": t.column("cents").to_pylist()}
+        )
+        g = df.groupby("o_custkey", as_index=False).agg(s=("s", "sum"), c=("s", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cust_stats = (
+        facts.map_batches(agg_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    )
+    joined = hash_join(facts, cust_stats, ["o_custkey"], num_partitions=8)
+
+    def filt_count(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object"),
+                                 "n_above": pd.Series([], dtype="int64")})
+        keep = 2 * df["cents"].astype("int64") * df["c"].astype("int64") \
+            > 3 * df["s"].astype("int64")
+        g = (
+            df.loc[keep]
+            .groupby("o_orderpriority", as_index=False)
+            .size()
+            .rename(columns={"size": "n_above"})
+        )
+        g["n_above"] = g["n_above"].astype("int64")
+        return g
+
+    return (
+        joined.map_batches(filt_count, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_above", alias_name="n_above"))
+    )
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-group lag(): mean inter-event gap per user — coarse hash-bucket
+    groupby (never one Ray group per user), exact per-user sorted diff inside;
+    sums in integer microseconds so the aggregate is order-free exact."""
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    from ..stages.canonicalize import _compact_blocks
+
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(uid % P, pa.int64()))
+
+    def part_gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        # exact integer microseconds (pandas 2.x preserves Arrow's us unit;
+        # normalize explicitly rather than assuming ns)
+        g["__us"] = g["ts"].astype("datetime64[us]").astype("int64")
+        out = (
+            g.assign(__gap=g.groupby("user_id", sort=False)["__us"].diff())
+            .groupby("user_id", as_index=False, sort=False)
+            .agg(n_gaps=("__gap", "count"), sum_gap_us=("__gap", "sum"))
+        )
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        out["sum_gap_us"] = out["sum_gap_us"].fillna(0).astype("int64")
+        return out[["user_id", "n_gaps", "sum_gap_us"]]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_gaps, batch_format="pandas")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT: one row per user, one count column per event type — conditional
+    partial sums map-side, single groupby(user_id) of already-narrow rows."""
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"user_id": t.column("user_id").to_pylist(),
+             "event_type": t.column("event_type").to_pylist()}
+        )
+        for et in _EVENT_TYPES:
+            df[f"n_{et}"] = (df["event_type"] == et).astype("int64")
+        g = df.drop(columns=["event_type"]).groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{et}", alias_name=f"n_{et}") for et in _EVENT_TYPES])
+    )
+
+
+# --------------------------------------------------------------------------
 
 def queries() -> dict:
     return {
@@ -1258,6 +1537,14 @@ def queries() -> dict:
         "revenue_by_region": q_revenue_by_region,
         "purchase_clicks_window": q_purchase_clicks_window,
         "bigram_freq": q_bigram_freq,
+        "revenue_by_brand": q_revenue_by_brand,
+        "shipping_priority": q_shipping_priority,
+        "nations_overlap": q_nations_overlap,
+        "customer_only_nations": q_customer_only_nations,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "events_pivot": q_events_pivot,
+        "orders_above_avg": q_orders_above_avg,
+        "event_gaps": q_event_gaps,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
@@ -1276,6 +1563,110 @@ def queries() -> dict:
 
 
 _ONES = "[" + ", ".join(["1.0"] * EMBED_DIM) + "]"
+
+_W64 = 1 << 64          # uint64 wraparound modulus
+_B59 = 1 << 59          # bucket mask (band_buckets _BUCKET_BITS)
+_FNV_P = 1099511628211
+_FNV_O = 14695981039346656037
+
+
+def _lsh_oracle_sql(shingle_expr: str, threshold: float,
+                    n_bands: int = 16, num_perm: int = 64,
+                    bucket_cap: int = 64) -> str:
+    """DuckDB replication of functions/dedup.py lsh_near_dup_pairs, bit for
+    bit: md5-top-8-byte shingle hash, uint64 linear permutations mod the
+    Mersenne prime (minhash_signature_sql), FNV band polynomial → injective
+    bucket ids (band_buckets), bucket_cap with the sorted-chain skew fallback,
+    exact-Jaccard verify in integer ppm. Assumes no document has an empty
+    shingle set (testdata min doc length asserted in tests — same assumption
+    as the fingerprint oracle)."""
+    from ..functions.textfns import _MH_A, _MH_B
+
+    rows = num_perm // n_bands
+    perm_rows = ",\n                ".join(
+        f"({p}, {int(_MH_A[p])}, {int(_MH_B[p])})" for p in range(num_perm)
+    )
+    band_cols = ",\n                   ".join(
+        f"MAX(CASE WHEN p % {rows} = {i} THEN v END) AS v{i}" for i in range(rows)
+    )
+    poly = f"{_FNV_O}::HUGEINT"
+    for i in range(rows):
+        poly = f"(({poly}) * {_FNV_P} + v{i}) % {_W64}"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        ),
+        shing AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, unnest({shingle_expr}) AS sh FROM toks)
+        ),
+        hashes AS (
+            SELECT doc_id, ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS h
+            FROM shing
+        ),
+        perms(p, a, b) AS (VALUES
+                {perm_rows}),
+        sig AS (
+            SELECT doc_id, p,
+                   MIN(CAST(((CAST(a AS HUGEINT) * h + b) % {_W64})
+                            % 2305843009213693951 AS BIGINT)) AS v
+            FROM hashes CROSS JOIN perms GROUP BY doc_id, p
+        ),
+        bandvals AS (
+            SELECT doc_id, p // {rows} AS bj,
+                   {band_cols}
+            FROM sig GROUP BY doc_id, p // {rows}
+        ),
+        buckets AS (
+            SELECT doc_id,
+                   CAST(bj AS BIGINT) * {_B59}
+                     + CAST(({poly}) % {_B59} AS BIGINT) AS bucket
+            FROM bandvals
+        ),
+        sized AS (
+            SELECT bucket, doc_id,
+                   COUNT(*) OVER (PARTITION BY bucket) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+            FROM buckets
+        ),
+        cand AS (
+            SELECT DISTINCT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sized a JOIN sized b
+                  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+                WHERE a.n <= {bucket_cap}
+                UNION ALL
+                SELECT a.doc_id, b.doc_id
+                FROM sized a JOIN sized b
+                  ON a.bucket = b.bucket AND b.rn = a.rn + 1
+                WHERE a.n > {bucket_cap})
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS ns FROM shing GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS ni
+            FROM cand c
+            JOIN shing sa ON sa.doc_id = c.id_a
+            JOIN shing sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               CAST((ni * 1000000) // (za.ns + zb.ns - ni) AS BIGINT)
+                   AS jaccard_ppm
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE CAST(ni AS DOUBLE) / (za.ns + zb.ns - ni) >= {threshold}
+    """
+
+
+_WORD3_SHINGLES = """CASE
+                    WHEN len(ws) >= 3 THEN list_transform(
+                        range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                    WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+                    ELSE CAST([] AS VARCHAR[]) END"""
+
 
 def oracle_sql() -> dict:
     return {
@@ -1550,13 +1941,78 @@ def oracle_sql() -> dict:
                       FROM documents)
             )
         """,
-        # NOTE ngram_jaccard_neardup deliberately has NO SQL oracle: an
-        # all-pairs Jaccard oracle returns 9,020 pairs at sf0.01 where the
-        # banded plan returns 942 — the bucket_cap chain fallback prunes
-        # non-consecutive pairs inside template-heavy near-dup clusters by
-        # DESIGN (connectivity-preserving for the downstream keep-id CC, not
-        # pair-complete). The contract is tested against a driver replication
-        # of the same plan (tests/test_dedup_plans.py).
+        "revenue_by_brand": """
+            SELECT p_brand, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey
+            ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+        """,
+        "nations_overlap": """
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer
+            INTERSECT
+            SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS k FROM supplier
+        """,
+        "customer_only_nations": """
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer
+            EXCEPT
+            SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS k FROM supplier
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        # price > 1.5·avg as exact integers: 2·cents·n > 3·sum
+        "orders_above_avg": """
+            SELECT o.o_orderpriority, COUNT(*) AS n_above
+            FROM (SELECT o_custkey, o_orderpriority,
+                         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                  FROM orders) o
+            JOIN (SELECT o_custkey, SUM(cents) AS s, COUNT(*) AS c
+                  FROM (SELECT o_custkey,
+                               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                        FROM orders)
+                  GROUP BY o_custkey) a
+              ON o.o_custkey = a.o_custkey
+            WHERE 2 * o.cents * a.c > 3 * a.s
+            GROUP BY o.o_orderpriority
+        """,
+        # COUNT/COALESCE (not WHERE gap IS NOT NULL + GROUP BY) so
+        # single-event users still appear with n_gaps = 0
+        "event_gaps": """
+            SELECT user_id, CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+                   CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us
+            FROM (SELECT user_id,
+                         epoch_us(ts) - lag(epoch_us(ts))
+                             OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+                  FROM events)
+            GROUP BY user_id
+        """,
+        # banded MinHash-LSH replicated plan-for-plan in SQL (including the
+        # bucket_cap chain fallback, which is why a naive all-pairs Jaccard
+        # oracle would NOT match: the capped plan is connectivity-preserving,
+        # not pair-complete, by design)
+        "minhash_neardup": _lsh_oracle_sql(_WORD3_SHINGLES, 0.8),
+        "ngram_jaccard_neardup": _lsh_oracle_sql("ws", 0.9),
         "knn_cosine": f"""
             SELECT vec_id, CAST(rank AS BIGINT) AS rank FROM (
                 SELECT vec_id,

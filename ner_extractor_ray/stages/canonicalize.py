@@ -325,6 +325,11 @@ def connected_components(
         # materialize: the relax result feeds the convergence check AND both
         # sides of the jump join — an unmaterialized lineage would re-execute
         # this shuffle up to 4× per round
+        # repartition BEFORE materializing: each union/groupby/join pass emits
+        # ≈ (sum of input block counts) blocks, so without a cap the label
+        # table's block count doubles per round — task count (not data!) grows
+        # exponentially and round r costs 2^r. Pinning to num_partitions keeps
+        # every round the same constant number of tasks.
         relaxed = (
             joined.groupby("dst")
             .aggregate(Min("comp", alias_name="comp"))
@@ -332,6 +337,7 @@ def connected_components(
                 lambda t: _rename_project(t, [("dst", "node"), ("comp", "comp")]),
                 batch_format="pyarrow",
             )
+            .repartition(num_partitions)
             .materialize()
         )
         cur = checksum(relaxed)
@@ -359,6 +365,7 @@ def connected_components(
                 lambda t: _rename_project(t, [("node", "node"), ("comp", "comp")]),
                 batch_format="pyarrow",
             )
+            .repartition(num_partitions)
             .materialize()
         )
     raise RuntimeError(

@@ -34,11 +34,10 @@ def test_lsh_pairs_match_driver_oracle():
     bucket cap/chaining, same exact-Jaccard verify."""
     from ner_extractor_ray.functions.dedup import SHINGLERS
     from ner_extractor_ray.functions.textfns import (
-        band_keys,
+        band_buckets,
         jaccard,
-        minhash_signature,
+        minhash_signature_sql,
     )
-    from ner_extractor_ray.stages.canonicalize import _bucket_key
 
     docs_dir = "/root/testdata/sf0.01/documents.parquet"
     ds = ray.data.read_parquet(docs_dir, columns=["doc_id", "text"])
@@ -50,9 +49,9 @@ def test_lsh_pairs_match_driver_oracle():
     texts = {}
     for r in rows:
         texts[r["doc_id"]] = r["text"]
-        sig = minhash_signature(shingler(r["text"] or ""), num_perm)
-        for b, h in enumerate(band_keys(sig, n_bands)):
-            buckets.setdefault(_bucket_key(b, h), []).append(r["doc_id"])
+        sig = minhash_signature_sql(shingler(r["text"] or ""), num_perm)
+        for bk in band_buckets(sig, n_bands):
+            buckets.setdefault(bk, []).append(r["doc_id"])
     expected = set()
     for members in buckets.values():
         ids = sorted(set(members))
