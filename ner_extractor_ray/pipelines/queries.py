@@ -1660,6 +1660,76 @@ def _lsh_oracle_sql(shingle_expr: str, threshold: float,
     """
 
 
+def _wordpiece_oracle_sql() -> str:
+    """DuckDB replication of greedy longest-match WordPiece token COUNTS
+    (functions/wordpiece.py): the longest-match table is computed with a
+    bounded substring × vocab HASH join (piece lengths ≤ max vocab piece
+    length, so candidates are words × positions × ~13 — no nested-loop
+    matching), then a recursive CTE follows each word's greedy chain;
+    all-or-nothing [UNK] (chain stalls or length > 64 → 1 piece)."""
+    from ..functions.wordpiece import _DEFAULT_VOCAB
+
+    pieces, maxlen = [], 0
+    with open(_DEFAULT_VOCAB, encoding="utf-8") as fh:
+        for line in fh:
+            p = line.rstrip("\n")
+            pieces.append(p.replace("'", "''"))
+            maxlen = max(maxlen, len(p))
+    vocab_rows = ", ".join(f"('{p}')" for p in pieces)
+    len_rows = ", ".join(f"({l})" for l in range(1, maxlen + 1))
+    return f"""
+        WITH RECURSIVE vocab(piece) AS (VALUES {vocab_rows}),
+        lens(l) AS (VALUES {len_rows}),
+        doc_words AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents
+        ),
+        words AS (SELECT DISTINCT word FROM doc_words),
+        states AS (
+            SELECT word, unnest(range(0, length(word))) AS pos
+            FROM words WHERE length(word) <= 64
+        ),
+        cand AS (
+            SELECT st.word, st.pos, lens.l,
+                   CASE WHEN st.pos = 0 THEN substr(st.word, 1, lens.l)
+                        ELSE '##' || substr(st.word, st.pos + 1, lens.l)
+                   END AS key
+            FROM states st CROSS JOIN lens
+            WHERE st.pos + lens.l <= length(st.word)
+        ),
+        best AS (
+            SELECT c.word, c.pos, MAX(c.l) AS adv
+            FROM cand c JOIN vocab v ON v.piece = c.key
+            GROUP BY c.word, c.pos
+        ),
+        seg AS (
+            SELECT word, 0 AS pos, 0 AS n FROM words WHERE length(word) <= 64
+            UNION ALL
+            SELECT s.word, s.pos + b.adv, s.n + 1
+            FROM seg s JOIN best b ON b.word = s.word AND b.pos = s.pos
+            WHERE s.pos < length(s.word)
+        ),
+        wordn AS (
+            SELECT w.word,
+                   CASE WHEN length(w.word) > 64 THEN 1
+                        WHEN f.endpos = length(w.word) THEN f.n
+                        ELSE 1 END AS n_pieces
+            FROM words w LEFT JOIN (
+                SELECT word, MAX(pos) AS endpos, arg_max(n, pos) AS n
+                FROM seg GROUP BY word
+            ) f ON f.word = w.word
+        )
+        SELECT d.doc_id, CAST(COALESCE(agg.s, 0) AS BIGINT) AS n_subwords
+        FROM documents d LEFT JOIN (
+            SELECT dw.doc_id, SUM(wn.n_pieces) AS s
+            FROM doc_words dw JOIN wordn wn ON wn.word = dw.word
+            GROUP BY dw.doc_id
+        ) agg ON agg.doc_id = d.doc_id
+    """
+
+
 _WORD3_SHINGLES = """CASE
                     WHEN len(ws) >= 3 THEN list_transform(
                         range(1, len(ws) - 1),
@@ -2013,6 +2083,9 @@ def oracle_sql() -> dict:
         # not pair-complete, by design)
         "minhash_neardup": _lsh_oracle_sql(_WORD3_SHINGLES, 0.8),
         "ngram_jaccard_neardup": _lsh_oracle_sql("ws", 0.9),
+        # greedy WordPiece replicated with a hash-joined longest-match table
+        # + recursive chain-following CTE
+        "subword_counts": _wordpiece_oracle_sql(),
         "knn_cosine": f"""
             SELECT vec_id, CAST(rank AS BIGINT) AS rank FROM (
                 SELECT vec_id,
