@@ -91,3 +91,69 @@ def global_rank(
         .groupby("__rb")
         .map_groups(rank_group, batch_format="pandas")
     )
+
+
+def keyed_prefix_sum(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    *,
+    n_buckets: int = 64,
+    out: str = "prefix_sum",
+) -> "ray.data.Dataset":
+    """EXCLUSIVE prefix sum of ``val_col`` in ``key_col`` order — the
+    distributed scan primitive (sequence packing, global byte offsets,
+    watermark accounting) built with the same range-partitioned two-pass plan
+    as global_rank: value-bucket histogram of per-bucket SUMS (narrow
+    columns), driver turns B bucket sums into exclusive offsets, then ONE
+    shuffle of the rows by bucket with a local sorted cumsum inside. No
+    global sort; exactness independent of bucket balance. Requires unique
+    non-null keys (any unique id)."""
+    mm = ds.aggregate(Min(key_col), Max(key_col))
+    lo = float(mm[f"min({key_col})"])
+    hi = float(mm[f"max({key_col})"])
+    edges = np.linspace(lo, hi, n_buckets + 1)[1:-1] if hi > lo else np.empty(0)
+
+    def bucket_of(vals: np.ndarray) -> np.ndarray:
+        return np.searchsorted(edges, vals, side="right").astype(np.int64)
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        b = bucket_of(np.asarray(t.column(key_col), dtype=np.float64))
+        v = np.asarray(t.column(val_col), dtype=np.int64)
+        idx = np.unique(b)
+        sums = np.array([v[b == i].sum() for i in idx], dtype=np.int64)
+        return pa.table({"b": pa.array(idx, pa.int64()), "s": pa.array(sums, pa.int64())})
+
+    counts = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial_sums, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("s", alias_name="s"))
+        .take_all()
+    )
+    per_bucket = np.zeros(n_buckets, dtype=np.int64)
+    for r in counts:
+        per_bucket[r["b"]] = r["s"]
+    offsets = np.zeros(n_buckets, dtype=np.int64)
+    acc = 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += per_bucket[b]
+    off_list = offsets.tolist()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = bucket_of(np.asarray(t.column(key_col), dtype=np.float64))
+        return t.append_column("__rb", pa.array(b, pa.int64()))
+
+    def scan_group(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__rb"].iloc[0])
+        g = g.sort_values(key_col, kind="mergesort")
+        v = g[val_col].to_numpy(dtype=np.int64)
+        g[out] = off_list[b] + np.concatenate(([0], np.cumsum(v)[:-1]))
+        return g.drop(columns="__rb")
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__rb")
+        .map_groups(scan_group, batch_format="pandas")
+    )

@@ -1471,6 +1471,72 @@ def q_event_gaps(sf_dir: str):
     )
 
 
+SEQ_CAPACITY = 2048
+
+
+def q_seq_packing(sf_dir: str):
+    """LLM sequence packing: concatenate documents in doc_id order and cut
+    fixed-capacity training sequences — every doc gets (seq_id, seq_offset)
+    from a GLOBAL exclusive prefix sum of token counts, computed with the
+    range-partitioned two-pass scan (functions/rank.keyed_prefix_sum): no
+    global sort, one narrow histogram pass + one row shuffle."""
+    from ..functions.rank import keyed_prefix_sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = [len(_ALNUM.findall((s or "").lower())) for s in t.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    scanned = keyed_prefix_sum(
+        ds.map_batches(toks, batch_format="pyarrow"), "doc_id", "n_tokens",
+        out="cum0",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cum0 = np.asarray(t.column("cum0"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "seq_id": pa.array(cum0 // SEQ_CAPACITY, pa.int64()),
+                "seq_offset": pa.array(cum0 % SEQ_CAPACITY, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def q_term_doc_freq(sf_dir: str):
+    """Document frequency (the tf-idf denominator): since a document is one
+    row, per-doc token DEDUP is row-local (free) — partial df counts per
+    batch, one narrow groupby(token) shuffle, MIN_DF filter keeps the result
+    vocabulary-sized."""
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column("text").to_pylist():
+            for tok in set(_ALNUM.findall((s or "").lower())):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {"token": pa.array(list(counts), pa.string()),
+             "df": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("df"), 5)), batch_format="pyarrow"
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1545,6 +1611,8 @@ def queries() -> dict:
         "events_pivot": q_events_pivot,
         "orders_above_avg": q_orders_above_avg,
         "event_gaps": q_event_gaps,
+        "seq_packing": q_seq_packing,
+        "term_doc_freq": q_term_doc_freq,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
@@ -2086,6 +2154,30 @@ def oracle_sql() -> dict:
         # greedy WordPiece replicated with a hash-joined longest-match table
         # + recursive chain-following CTE
         "subword_counts": _wordpiece_oracle_sql(),
+        "term_doc_freq": """
+            SELECT token, COUNT(*) AS df FROM (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                    FROM documents)
+            ) GROUP BY token HAVING COUNT(*) >= 5
+        """,
+        "seq_packing": f"""
+            SELECT doc_id, n_tokens,
+                   CAST(cum0 // {SEQ_CAPACITY} AS BIGINT) AS seq_id,
+                   CAST(cum0 % {SEQ_CAPACITY} AS BIGINT) AS seq_offset
+            FROM (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cum0
+                FROM (SELECT doc_id,
+                             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                                  AS BIGINT) AS n_tokens
+                      FROM documents)
+            )
+        """,
         "knn_cosine": f"""
             SELECT vec_id, CAST(rank AS BIGINT) AS rank FROM (
                 SELECT vec_id,
