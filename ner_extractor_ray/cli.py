@@ -2,7 +2,8 @@
 
     python -m ner_extractor_ray.cli kg --pages DIR --out DIR [--config cfg.yaml]
     python -m ner_extractor_ray.cli gen --out DIR --n-pages 50000
-    python -m ner_extractor_ray.cli bench-info
+    python -m ner_extractor_ray.cli query NAME --sf-dir DIR [--out DIR]
+    python -m ner_extractor_ray.cli query --list
 
 Replaces the reference's env-var orchestrator→worker channel
 (NER_FOLD_* env injection, scripts/train_distilbert_crf.py:274-301;
@@ -99,6 +100,51 @@ def cmd_kg(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run one catalogue query (pipelines/queries.py) over a table dir."""
+    from .pipelines.queries import oracle_sql, queries
+
+    qmap = queries()
+    if args.list or not args.name:
+        has = set(oracle_sql())
+        for n in sorted(qmap):
+            print(f"{n}\t{'oracle' if n in has else 'rows-only'}")
+        return 0
+    if args.name not in qmap:
+        print(f"unknown query {args.name!r}; see --list", file=sys.stderr)
+        return 2
+
+    import ray as _ray_mod
+
+    owns_session = not _ray_mod.is_initialized()
+    ray = _ensure_ray()
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    res = qmap[args.name](args.sf_dir)
+    if isinstance(res, rd.Dataset):
+        res = res.materialize()  # query results are small by construction
+        n_rows = res.count()
+        if args.out:
+            res.write_parquet(args.out)
+    else:
+        tbl = pa.Table.from_pandas(res) if isinstance(res, pd.DataFrame) else res
+        n_rows = tbl.num_rows
+        if args.out:
+            import pyarrow.parquet as pq
+
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(tbl, os.path.join(args.out, "part-0.parquet"))
+    print(json.dumps({"name": args.name, "rows": n_rows, "out": args.out}))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def cmd_gen(args) -> int:
     from .sources.pages import write_pages
 
@@ -116,6 +162,13 @@ def main(argv=None) -> int:
     kg.add_argument("--out", required=True)
     kg.add_argument("--config", default=None)
     kg.set_defaults(fn=cmd_kg)
+
+    q = sub.add_parser("query", help="run a catalogue query (pipelines/queries.py)")
+    q.add_argument("name", nargs="?", default=None)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None)
+    q.add_argument("--list", action="store_true")
+    q.set_defaults(fn=cmd_query)
 
     gen = sub.add_parser("gen", help="generate the synthetic pages corpus")
     gen.add_argument("--out", required=True)

@@ -93,3 +93,39 @@ def test_cli_gen(tmp_path):
     info = json.loads(out.stdout.strip().splitlines()[-1])
     assert info["n_pages"] == 20
     assert (tmp_path / "pages" / "gold_triples.parquet").exists()
+
+
+def test_cli_query_list(capsys):
+    from ner_extractor_ray.cli import main
+
+    assert main(["query", "--list"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    names = {l.split("\t")[0] for l in lines}
+    assert {"pricing_summary", "minhash_neardup", "kg_edges"} <= names
+    # oracle/rows-only tags reflect oracle_sql()
+    tagged = dict(l.split("\t") for l in lines)
+    assert tagged["pricing_summary"] == "oracle"
+    assert tagged["kg_edges"] == "rows-only"
+
+
+def test_cli_query_runs_and_writes(tmp_path, ray_session, capsys):
+    from ner_extractor_ray.cli import main
+
+    out = str(tmp_path / "q")
+    assert main(["query", "distinct_langs",
+                 "--sf-dir", "/root/testdata/sf0.001", "--out", out]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] >= 1
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    files = _glob.glob(out + "/*.parquet")
+    assert files
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == info["rows"]
+
+
+def test_cli_query_unknown_name(capsys):
+    from ner_extractor_ray.cli import main
+
+    assert main(["query", "no_such_query"]) == 2
