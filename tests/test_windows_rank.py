@@ -92,3 +92,40 @@ def test_interval_join_boundary_and_empty_side():
         left, empty, on="user_id", ts_col="ts", window_s=win
     ).to_pandas()
     assert len(out2) == 0
+
+
+def test_keyed_prefix_sum_matches_numpy():
+    """Exclusive prefix sum over sparse, shuffled, boundary-straddling keys
+    must equal the single-process cumsum in key order — bucket balance must
+    not affect exactness."""
+    import numpy as np
+    import ray.data
+
+    from ner_extractor_ray.functions.rank import keyed_prefix_sum
+
+    rng = np.random.RandomState(3)
+    keys = rng.choice(10_000_000, size=500, replace=False).astype("int64")
+    vals = rng.randint(0, 300, size=500).astype("int64")
+    rows = [{"k": int(k), "v": int(v)} for k, v in zip(keys, vals)]
+    rng.shuffle(rows)  # arrival order != key order
+    ds = ray.data.from_items(rows).repartition(7)
+
+    out = keyed_prefix_sum(ds, "k", "v", n_buckets=8, out="ps").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    order = np.argsort(keys, kind="stable")
+    expect = np.concatenate(([0], np.cumsum(vals[order])[:-1]))
+    assert (out["ps"].to_numpy() == expect).all()
+    assert (out["k"].to_numpy() == keys[order]).all()
+
+
+def test_keyed_prefix_sum_single_value_domain():
+    """Degenerate domain (all keys distinct but lo==hi impossible; here
+    2 rows) — edges empty path."""
+    import ray.data
+
+    from ner_extractor_ray.functions.rank import keyed_prefix_sum
+
+    ds = ray.data.from_items([{"k": 5, "v": 7}, {"k": 9, "v": 3}])
+    out = {r["k"]: r["ps"] for r in
+           keyed_prefix_sum(ds, "k", "v", out="ps").take_all()}
+    assert out == {5: 0, 9: 7}
