@@ -276,6 +276,114 @@ def lsh_near_dup_pairs(
     return joined.map_batches(verify, batch_format="pandas")
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Classic unit-cost Wagner–Fischer — matches SQL ``levenshtein()``."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def fuzzy_name_pairs(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    max_dist: int = 1,
+    bucket_cap: int = 256,
+) -> "ray.data.Dataset":
+    """All DISTINCT value pairs within Levenshtein distance ``max_dist`` (= 1):
+    SymSpell-style deletion-neighborhood blocking — each name emits itself plus
+    every single-deletion variant as block keys; any two strings at distance
+    ≤ 1 share at least one key, so blocking has NO false negatives. Pairs are
+    deduped across keys before the exact edit-distance verify, and oversized
+    blocks fall back to the sorted chain (the same connectivity-preserving
+    skew cap as the LSH family). Shuffle volume = O(rows × name length) narrow
+    key rows, never O(pairs). Replicated in SQL by
+    ``oracle_sql()['fuzzy_part_names']``.
+
+    Typo-tolerant entity/alias matching at corpus scale — the fuzzy analog of
+    the reference's exact alias lookup (src/augmentation.py:92-95).
+    """
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+
+    distinct = grouped_aggregate(
+        ds.map_batches(
+            lambda t: pa.table({"name": pc.unique(t.column(col))}),
+            batch_format="pyarrow",
+        ),
+        ["name"],
+        Count(alias_name="_n"),
+    ).select_columns(["name"])
+
+    def explode_keys(t: pa.Table) -> pa.Table:
+        names, keys = [], []
+        for s in t.column("name").to_pylist():
+            s = s or ""
+            names.append(s)
+            keys.append(s)
+            for i in range(len(s)):
+                names.append(s)
+                keys.append(s[:i] + s[i + 1:])
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "name": pa.array(names, pa.string())})
+
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import zlib
+
+        part = [zlib.crc32(k.encode()) % P for k in t.column("key").to_pylist()]
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    def part_cands(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = [], []
+        for _, grp in g.groupby("key", sort=False):
+            names = sorted(set(grp["name"]))
+            n = len(names)
+            if n < 2:
+                continue
+            prs = (
+                [(i, j) for i in range(n) for j in range(i + 1, n)]
+                if n <= bucket_cap
+                else [(i, i + 1) for i in range(n - 1)]
+            )
+            for i, j in prs:
+                a.append(names[i])
+                b.append(names[j])
+        return pd.DataFrame({"name_a": pd.Series(a, dtype="object"),
+                             "name_b": pd.Series(b, dtype="object")})
+
+    cands = grouped_aggregate(
+        distinct.map_batches(explode_keys, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_cands, batch_format="pandas"),
+        ["name_a", "name_b"],
+        Count(alias_name="_nk"),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        na, nb, dd = [], [], []
+        for x, y in zip(t.column("name_a").to_pylist(), t.column("name_b").to_pylist()):
+            d = levenshtein(x, y)
+            if d <= max_dist:
+                na.append(x)
+                nb.append(y)
+                dd.append(d)
+        return pa.table({"name_a": pa.array(na, pa.string()),
+                         "name_b": pa.array(nb, pa.string()),
+                         "dist": pa.array(dd, pa.int64())})
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
 def near_dup_keep_ids(pairs_ds: "ray.data.Dataset", all_ids_ds: "ray.data.Dataset",
                       id_col: str) -> "ray.data.Dataset":
     """Resolve near-dup pairs to keep/drop decisions via connected components:

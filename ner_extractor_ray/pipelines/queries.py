@@ -1537,6 +1537,14 @@ def q_term_doc_freq(sf_dir: str):
     )
 
 
+def q_fuzzy_part_names(sf_dir: str):
+    """Fuzzy self-match: distinct part-name pairs within edit distance 1 via
+    SymSpell deletion-neighborhood blocking (functions/dedup.fuzzy_name_pairs)."""
+    from ..functions.dedup import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(_rp(sf_dir, "part", ["p_name"]), "p_name")
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1613,6 +1621,7 @@ def queries() -> dict:
         "event_gaps": q_event_gaps,
         "seq_packing": q_seq_packing,
         "term_doc_freq": q_term_doc_freq,
+        "fuzzy_part_names": q_fuzzy_part_names,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
@@ -2154,6 +2163,43 @@ def oracle_sql() -> dict:
         # greedy WordPiece replicated with a hash-joined longest-match table
         # + recursive chain-following CTE
         "subword_counts": _wordpiece_oracle_sql(),
+        # SymSpell deletion-neighborhood blocking replicated plan-for-plan
+        # (bucket_cap=256 chain fallback included), exact levenshtein verify
+        "fuzzy_part_names": """
+            WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+            del_keys AS (
+                SELECT name, substr(name, 1, i - 1) || substr(name, i + 1) AS key
+                FROM (SELECT name, unnest(range(1, length(name) + 1)) AS i
+                      FROM names)
+            ),
+            kd AS (
+                SELECT DISTINCT key, name FROM (
+                    SELECT name, name AS key FROM names
+                    UNION ALL
+                    SELECT name, key FROM del_keys)
+            ),
+            sized AS (
+                SELECT key, name,
+                       COUNT(*) OVER (PARTITION BY key) AS n,
+                       ROW_NUMBER() OVER (PARTITION BY key ORDER BY name) AS rn
+                FROM kd
+            ),
+            cand AS (
+                SELECT DISTINCT name_a, name_b FROM (
+                    SELECT a.name AS name_a, b.name AS name_b
+                    FROM sized a JOIN sized b
+                      ON a.key = b.key AND a.name < b.name
+                    WHERE a.n <= 256
+                    UNION ALL
+                    SELECT a.name, b.name
+                    FROM sized a JOIN sized b
+                      ON a.key = b.key AND b.rn = a.rn + 1
+                    WHERE a.n > 256)
+            )
+            SELECT name_a, name_b,
+                   CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+            FROM cand WHERE levenshtein(name_a, name_b) <= 1
+        """,
         "term_doc_freq": """
             SELECT token, COUNT(*) AS df FROM (
                 SELECT DISTINCT doc_id, token FROM (
