@@ -1537,6 +1537,46 @@ def q_term_doc_freq(sf_dir: str):
     )
 
 
+def q_value_p90(sf_dir: str):
+    """Exact distributed 90th percentile via the same value-count histogram
+    as value_median (integer cents ⇒ bounded-cardinality aggregate): p90 =
+    smallest v with cum_count ≥ 0.9·n, checked in pure integers
+    (10·cum ≥ 9·n) so the SQL comparison is exact."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t.column("event_type").to_pylist(),
+             "value_cents": _cents(np.asarray(t.column("value")))}
+        )
+        g = df.groupby(["event_type", "value_cents"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "value_cents"],
+        Sum("n", alias_name="n"),
+    ).to_pandas()
+
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("value_cents")
+        vals = g["value_cents"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(g["n"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        idx = int(np.argmax(10 * cum >= 9 * n))
+        rows.append((etype, n, int(vals[idx])))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n": pa.array([r[1] for r in rows], pa.int64()),
+         "p90_cents": pa.array([r[2] for r in rows], pa.int64())}
+    )
+
+
 def q_fuzzy_part_names(sf_dir: str):
     """Fuzzy self-match: distinct part-name pairs within edit distance 1 via
     SymSpell deletion-neighborhood blocking (functions/dedup.fuzzy_name_pairs)."""
@@ -1622,6 +1662,7 @@ def queries() -> dict:
         "seq_packing": q_seq_packing,
         "term_doc_freq": q_term_doc_freq,
         "fuzzy_part_names": q_fuzzy_part_names,
+        "value_p90": q_value_p90,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
@@ -2163,6 +2204,24 @@ def oracle_sql() -> dict:
         # greedy WordPiece replicated with a hash-joined longest-match table
         # + recursive chain-following CTE
         "subword_counts": _wordpiece_oracle_sql(),
+        # p90 = smallest value whose cumulative count reaches 0.9·n,
+        # exact integer comparison (10·cum ≥ 9·n)
+        "value_p90": """
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MIN(value_cents) AS BIGINT) AS p90_cents
+            FROM (
+                SELECT event_type, value_cents,
+                       SUM(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY value_cents) AS cum,
+                       SUM(cnt) OVER (PARTITION BY event_type) AS n
+                FROM (SELECT event_type,
+                             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                             COUNT(*) AS cnt
+                      FROM events GROUP BY 1, 2)
+            )
+            WHERE cum * 10 >= n * 9
+            GROUP BY event_type
+        """,
         # SymSpell deletion-neighborhood blocking replicated plan-for-plan
         # (bucket_cap=256 chain fallback included), exact levenshtein verify
         "fuzzy_part_names": """
