@@ -1537,6 +1537,35 @@ def q_term_doc_freq(sf_dir: str):
     )
 
 
+_MIX_RATES = {"en": "2", "de": "8"}  # md5-hex thresholds: en ≈ 1/8, de ≈ 1/2
+_MIX_DEFAULT = "4"                   # other langs ≈ 1/4
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling — the data-MIXING primitive: each
+    language keeps a different hash-Bernoulli fraction (downsample the
+    dominant source, upweight the rest), reproducible at any parallelism
+    because membership is a pure function of the row key, never RNG order."""
+    import hashlib as _hl
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_pylist()
+        langs = t.column("lang").to_pylist()
+        mask = [
+            _hl.md5(str(i).encode()).hexdigest() < _MIX_RATES.get(l, _MIX_DEFAULT)
+            for i, l in zip(ids, langs)
+        ]
+        out = t.filter(pa.array(mask, pa.bool_()))
+        return pa.table(
+            {"doc_id": pc.cast(out.column("doc_id"), pa.int64()),
+             "lang": out.column("lang")}
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def q_value_p90(sf_dir: str):
     """Exact distributed 90th percentile via the same value-count histogram
     as value_median (integer cents ⇒ bounded-cardinality aggregate): p90 =
@@ -1663,6 +1692,7 @@ def queries() -> dict:
         "term_doc_freq": q_term_doc_freq,
         "fuzzy_part_names": q_fuzzy_part_names,
         "value_p90": q_value_p90,
+        "stratified_sample": q_stratified_sample,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
@@ -2204,6 +2234,11 @@ def oracle_sql() -> dict:
         # greedy WordPiece replicated with a hash-joined longest-match table
         # + recursive chain-following CTE
         "subword_counts": _wordpiece_oracle_sql(),
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) <
+                  CASE lang WHEN 'en' THEN '2' WHEN 'de' THEN '8' ELSE '4' END
+        """,
         # p90 = smallest value whose cumulative count reaches 0.9·n,
         # exact integer comparison (10·cum ≥ 9·n)
         "value_p90": """
