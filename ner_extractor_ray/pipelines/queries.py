@@ -862,6 +862,27 @@ def q_image_features(sf_dir: str):
     return image_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def q_video_frames(sf_dir: str):
+    """Multimodal frame sampling (stages/multimodal.FrameSampleStage): binary
+    'video' payload → one row per sampled frame with its pixel feature —
+    flat-map shaped like sentseg, small batch_size for fat rows, payload
+    dropped on output. FakeCodec deterministic; real codec is the documented
+    plug. Rows-only."""
+    from ..stages.multimodal import frame_samples
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {"id": pc.cast(t.column("doc_id"), pa.int64()),
+             "payload": pa.array([(s or "").encode("utf-8") for s in texts],
+                                  pa.binary())}
+        )
+
+    return frame_samples(ds.map_batches(to_payload, batch_format="pyarrow"), n_frames=4)
+
+
 def q_cluster_homogeneity(sf_dir: str):
     """A9 — clustering quality: homogeneity of deterministic IVF clusters vs
     the embeddings table's labels (the KMeans-homogeneity analog,
@@ -1703,6 +1724,7 @@ def queries() -> dict:
         "knn_ivf_full": q_knn_ivf_full,
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
+        "video_frames": q_video_frames,
         "cluster_homogeneity": q_cluster_homogeneity,
         "subword_counts": q_subword_counts,
         "mention_confusion": q_mention_confusion,
