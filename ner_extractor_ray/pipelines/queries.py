@@ -1635,6 +1635,207 @@ def q_fuzzy_part_names(sf_dir: str):
     return fuzzy_name_pairs(_rp(sf_dir, "part", ["p_name"]), "p_name")
 
 
+_TFIDF_MIN_DF = 5
+_TFIDF_TOP = 3
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-``_TFIDF_TOP`` salient terms by tf·idf with the
+    reciprocal-df idf (score = tf/df): the ranking every keyword-extraction /
+    training-data-curation pass needs. Scale shape: the df table is
+    VOCABULARY-sized after the MIN_DF filter, so it is aggregated once
+    (partial df per batch → one narrow groupby) and broadcast via ray.put;
+    per-doc tf and the top-k are then row-local — no second shuffle.
+
+    Float discipline: the score is the single IEEE division tf/df computed
+    identically here and in the SQL oracle (both exactly-rounded doubles), so
+    ordering ties agree bit-for-bit; the OUTPUT carries only integers."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column("text").to_pylist():
+            for tok in set(_ALNUM.findall((s or "").lower())):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {"token": pa.array(list(counts), pa.string()),
+             "df": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()
+    )
+    df_map = {r["token"]: int(r["df"]) for r in df_tbl if r["df"] >= _TFIDF_MIN_DF}
+    dref = ray.put(df_map)
+
+    def score(t: pa.Table) -> pa.Table:
+        dm = ray.get(dref)
+        o_id, o_term, o_tf, o_df, o_rank = [], [], [], [], []
+        for did, s in zip(
+            pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            tf: dict[str, int] = {}
+            for tok in _ALNUM.findall((s or "").lower()):
+                if tok in dm:
+                    tf[tok] = tf.get(tok, 0) + 1
+            best = sorted(tf.items(), key=lambda kv: (-(kv[1] / dm[kv[0]]), kv[0]))
+            for rank, (term, n) in enumerate(best[:_TFIDF_TOP], 1):
+                o_id.append(did)
+                o_term.append(term)
+                o_tf.append(n)
+                o_df.append(dm[term])
+                o_rank.append(rank)
+        return pa.table(
+            {"doc_id": pa.array(o_id, pa.int64()),
+             "term": pa.array(o_term, pa.string()),
+             "tf": pa.array(o_tf, pa.int64()),
+             "df": pa.array(o_df, pa.int64()),
+             "rank": pa.array(o_rank, pa.int64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_normalized_dedup(sf_dir: str):
+    """C4-style exact dedup AFTER text normalization (lowercase + whitespace
+    collapse + trim): the first dedup pass of every web-text pipeline. The
+    normalization is row-local; downstream is the same 32-char-hash groupby
+    as exact_dedup — full text never crosses the shuffle."""
+    from ..functions.dedup import exact_dedup_groups
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        texts = [
+            re.sub(r"\s+", " ", (s or "").lower()).strip()
+            for s in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+
+    return exact_dedup_groups(ds.map_batches(norm, batch_format="pyarrow"),
+                              "text", "doc_id")
+
+
+_PMI_MIN_N = 5
+_PMI_TOP = 50
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Top-``_PMI_TOP`` collocations: bigrams with count ≥ ``_PMI_MIN_N``
+    ranked by PMI. With corpus-size terms constant across candidates, the PMI
+    order equals n_xy / (n_x·n_y), computed as the identical double expression
+    on both sides; output columns are integers only (counts + rank).
+
+    Scale shape: bigram and unigram counts are partial-aggregated per batch
+    before their narrow groupbys; the unigram table (vocabulary-sized) is
+    broadcast to score bigram batches map-side; the global top-k is a
+    per-batch partial top-k → tiny driver merge, never a full sort."""
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column("text").to_pylist():
+            for tok in _ALNUM.findall((s or "").lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {"token": pa.array(list(counts), pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    uni = {
+        r["token"]: int(r["n"])
+        for r in ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    }
+    uref = ray.put(uni)
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column("text").to_pylist():
+            toks = _ALNUM.findall((s or "").lower())
+            for i in range(len(toks) - 1):
+                bg = toks[i] + " " + toks[i + 1]
+                counts[bg] = counts.get(bg, 0) + 1
+        return pa.table(
+            {"bigram": pa.array(list(counts), pa.string()),
+             "n_xy": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n_xy", alias_name="n_xy"))
+    )
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        um = ray.get(uref)
+        rows = []
+        for bg, nxy in zip(t.column("bigram").to_pylist(),
+                           t.column("n_xy").to_pylist()):
+            if nxy < _PMI_MIN_N:
+                continue
+            x, y = bg.split(" ", 1)
+            nx, ny = um[x], um[y]
+            rows.append((float(nxy) / (float(nx) * float(ny)), bg, nxy, nx, ny))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        rows = rows[:_PMI_TOP]
+        return pa.table(
+            {"score": pa.array([r[0] for r in rows], pa.float64()),
+             "bigram": pa.array([r[1] for r in rows], pa.string()),
+             "n_xy": pa.array([r[2] for r in rows], pa.int64()),
+             "n_x": pa.array([r[3] for r in rows], pa.int64()),
+             "n_y": pa.array([r[4] for r in rows], pa.int64())}
+        )
+
+    cand = agg.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["score"], r["bigram"]))
+    cand = cand[:_PMI_TOP]
+    return pa.table(
+        {"bigram": pa.array([r["bigram"] for r in cand], pa.string()),
+         "n_xy": pa.array([r["n_xy"] for r in cand], pa.int64()),
+         "n_x": pa.array([r["n_x"] for r in cand], pa.int64()),
+         "n_y": pa.array([r["n_y"] for r in cand], pa.int64()),
+         "rank": pa.array(range(1, len(cand) + 1), pa.int64())}
+    )
+
+
+def q_length_buckets(sf_dir: str):
+    """Sequence-length bucketing for training-batch packing: per (lang,
+    power-of-two token-count bucket) document counts. Bucket = bit_length−1
+    (pure integer on both sides — no log2 float rounding hazard); empty docs
+    land in bucket −1. Row-local bucketing + partial counts → narrow groupby."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        buckets = [
+            len(_ALNUM.findall((s or "").lower())).bit_length() - 1
+            for s in t.column("text").to_pylist()
+        ]
+        df = pd.DataFrame({"lang": t.column("lang").to_pylist(),
+                           "bucket": np.asarray(buckets, dtype=np.int64)})
+        g = df.groupby(["lang", "bucket"], as_index=False).size().rename(
+            columns={"size": "n_docs"}
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "bucket"],
+        Sum("n_docs", alias_name="n_docs"),
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1714,6 +1915,10 @@ def queries() -> dict:
         "fuzzy_part_names": q_fuzzy_part_names,
         "value_p90": q_value_p90,
         "stratified_sample": q_stratified_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "normalized_dedup": q_normalized_dedup,
+        "pmi_bigrams": q_pmi_bigrams,
+        "length_buckets": q_length_buckets,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
@@ -2122,6 +2327,76 @@ def oracle_sql() -> dict:
                 FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
                       FROM documents)
             ) GROUP BY bg HAVING COUNT(*) >= 5
+        """,
+        # score = tf/df is ONE exactly-rounded IEEE division on both sides,
+        # so the ordering (score DESC, term ASC) agrees bit-for-bit
+        "tfidf_top_terms": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                FROM documents),
+            df AS (
+                SELECT token, COUNT(*) AS df
+                FROM (SELECT DISTINCT doc_id, token FROM tok)
+                GROUP BY token HAVING COUNT(*) >= {_TFIDF_MIN_DF}),
+            tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                GROUP BY doc_id, token)
+            SELECT doc_id, token AS term, tf, df, rank FROM (
+                SELECT t.doc_id, t.token, t.tf, d.df,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY t.doc_id
+                           ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.token
+                       ) AS rank
+                FROM tf t JOIN df d USING (token)
+            ) WHERE rank <= {_TFIDF_TOP}
+        """,
+        "normalized_dedup": r"""
+            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+                   MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        # PMI ordering with corpus-size terms constant reduces to
+        # n_xy/(n_x*n_y); the double expression is written identically on
+        # both sides (one multiply, one divide) so ties agree exactly
+        "pmi_bigrams": f"""
+            WITH toks AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            uni AS (
+                SELECT w AS token, COUNT(*) AS n
+                FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+            bi AS (
+                SELECT bg AS bigram, COUNT(*) AS n_xy FROM (
+                    SELECT unnest(list_transform(range(1, len(ws)),
+                                                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+                    FROM toks)
+                GROUP BY bg HAVING COUNT(*) >= {_PMI_MIN_N})
+            SELECT bigram, n_xy, n_x, n_y, rank FROM (
+                SELECT b.bigram, b.n_xy, ux.n AS n_x, uy.n AS n_y,
+                       ROW_NUMBER() OVER (
+                           ORDER BY CAST(b.n_xy AS DOUBLE)
+                                    / (CAST(ux.n AS DOUBLE) * CAST(uy.n AS DOUBLE))
+                                    DESC,
+                                    b.bigram
+                       ) AS rank
+                FROM bi b
+                JOIN uni ux ON ux.token = string_split(b.bigram, ' ')[1]
+                JOIN uni uy ON uy.token = string_split(b.bigram, ' ')[2]
+            ) WHERE rank <= {_PMI_TOP}
+        """,
+        # bucket = bit_length(n_tokens) - 1, pure-integer via bin();
+        # empty docs pinned to bucket -1 on both sides
+        "length_buckets": """
+            SELECT lang,
+                   CASE WHEN n_tokens = 0 THEN -1
+                        ELSE CAST(length(bin(n_tokens)) - 1 AS BIGINT)
+                   END AS bucket,
+                   COUNT(*) AS n_docs
+            FROM (SELECT lang,
+                         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+                  FROM documents)
+            GROUP BY 1, 2
         """,
         # the stopword-profile language heuristic is an argmax over four
         # occurrence counts — ties prefer the earlier profile (en,de,fr,es),
