@@ -1836,6 +1836,131 @@ def q_length_buckets(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# Graph-analytics family (functions/graph.py) over the part co-purchase
+# graph: edges (u, v, n) = parts appearing together in n orders. The KG-side
+# operators a knowledge-graph pipeline runs after materializing its edges.
+# --------------------------------------------------------------------------
+
+def _graph_edges(sf_dir: str, min_n: int = 1):
+    from ..functions.graph import co_order_edges
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return co_order_edges(li, min_n=min_n)
+
+
+def _co_edges_sql(min_n: int) -> str:
+    """SQL for the co-purchase edge table (u < v, n = co-occurring orders) —
+    DISTINCT per order first so a part repeated within one order counts once,
+    matching co_order_edges' drop_duplicates."""
+    return f"""
+        SELECT u, v, COUNT(*) AS n FROM (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        GROUP BY u, v HAVING COUNT(*) >= {int(min_n)}
+    """
+
+
+def _pagerank_sql(n_iters: int = 3) -> str:
+    """Unrolled integer power iteration replicating functions/graph.pagerank
+    op for op: pr0 = SCALE//N; pr_{{k+1}} = (15*(SCALE//N))//100 +
+    (85*Σ pr_k(u)//outdeg(u))//100. SUM promotes to HUGEINT in DuckDB, so
+    each iteration CASTs back to BIGINT (values stay ≤ SCALE ≪ 2^63)."""
+    scale = 10**12
+    parts = [f"""
+        WITH e AS ({_co_edges_sql(2)}),
+        s AS (SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v AS src, u AS dst FROM e),
+        d AS (SELECT src AS node, COUNT(*) AS outdeg FROM s GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM d),
+        p0 AS (SELECT d.node, d.outdeg,
+                      CAST({scale} // nn.n AS BIGINT) AS pr
+               FROM d CROSS JOIN nn)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+        p{i} AS (SELECT d.node, d.outdeg,
+                        CAST((15 * ({scale} // nn.n)) // 100
+                             + (85 * c{i}.contrib) // 100 AS BIGINT) AS pr
+                 FROM d CROSS JOIN nn
+                 JOIN (SELECT s2.dst AS node, SUM(p.pr // p.outdeg) AS contrib
+                       FROM p{i - 1} p JOIN s s2 ON s2.src = p.node
+                       GROUP BY s2.dst) c{i} ON c{i}.node = d.node)""")
+    parts.append(f"\n        SELECT node, pr FROM p{n_iters}")
+    return "".join(parts)
+
+
+def q_graph_degree(sf_dir: str):
+    """Degree histogram (degree, n_nodes) of the co-purchase graph — the
+    first skew diagnostic run on any KG edge table. Degrees are
+    partial-aggregated per batch, then the histogram is a second narrow
+    groupby over the (already node-sized) degree table."""
+    from ..functions.graph import degree_table
+    from ..stages.canonicalize import grouped_aggregate
+
+    deg = degree_table(_graph_edges(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("degree"), pa.int64()).to_numpy()
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {"degree": pa.array(uniq, pa.int64()),
+             "n_nodes": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    return grouped_aggregate(
+        deg.map_batches(partial, batch_format="pyarrow"),
+        ["degree"],
+        Sum("n_nodes", alias_name="n_nodes"),
+    )
+
+
+def q_graph_triangles(sf_dir: str):
+    """Global node/edge/wedge/triangle counts — one exact-integer row.
+    Degree-ordered orientation bounds wedge work at O(E^1.5) (see
+    functions/graph.py); membership tests are a hash-partitioned semi-join,
+    never a broadcast edge set."""
+    from ..functions.graph import triangle_count
+
+    return triangle_count(_graph_edges(sf_dir).materialize())
+
+
+def q_graph_components(sf_dir: str):
+    """Connected components of the min_n=3 co-purchase graph → (node, comp)
+    with comp = min node id in the component — the same distributed
+    min-label-propagation/pointer-doubling machinery that canonicalizes
+    entities (stages/canonicalize.py), here against a recursive-CTE SQL
+    oracle. min_n=3 keeps the graph sparse (threshold co-occurrence noise),
+    exactly how a production KG prunes its mention-co-occurrence edges."""
+    from ..functions.graph import degree_table
+    from ..stages.canonicalize import connected_components
+
+    edges = _graph_edges(sf_dir, min_n=3).materialize()
+    pairs = edges.map_batches(
+        lambda t: pa.table(
+            {"a": pc.cast(t.column("u"), pa.int64()),
+             "b": pc.cast(t.column("v"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = degree_table(edges).map_batches(
+        lambda t: pa.table({"node": pc.cast(t.column("node"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return connected_components(pairs, nodes)
+
+
+def q_graph_pagerank(sf_dir: str):
+    """3-iteration PageRank over the min_n=2 co-purchase graph → (node, pr)
+    with pr in exact parts-per-1e12 integers (functions/graph.py): floor
+    division makes every op order-independent, so the distributed result is
+    bit-identical to the unrolled-CTE SQL oracle — a float power iteration
+    could never be hash-compared."""
+    from ..functions.graph import pagerank
+
+    return pagerank(_graph_edges(sf_dir, min_n=2).materialize(), n_iters=3)
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1919,6 +2044,10 @@ def queries() -> dict:
         "normalized_dedup": q_normalized_dedup,
         "pmi_bigrams": q_pmi_bigrams,
         "length_buckets": q_length_buckets,
+        "graph_degree": q_graph_degree,
+        "graph_triangles": q_graph_triangles,
+        "graph_components": q_graph_components,
+        "graph_pagerank": q_graph_pagerank,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
@@ -2398,6 +2527,50 @@ def oracle_sql() -> dict:
                   FROM documents)
             GROUP BY 1, 2
         """,
+        # graph family: co-purchase edges (u, v, n) = parts sharing n orders.
+        # All outputs are exact integers; the PageRank oracle replicates the
+        # engine's scaled-integer arithmetic op for op (floor division), so
+        # even the iterative query hash-matches bit-for-bit.
+        "graph_degree": f"""
+            WITH e AS ({_co_edges_sql(1)}),
+            d AS (SELECT node, COUNT(*) AS degree FROM
+                  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+                  GROUP BY node)
+            SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY degree
+        """,
+        # wedge count follows the engine's degree-ordered orientation
+        # (Σ C(outdeg, 2)); the triangle 3-join is orientation-independent
+        "graph_triangles": f"""
+            WITH e AS ({_co_edges_sql(1)}),
+            d AS (SELECT node, COUNT(*) AS degree FROM
+                  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+                  GROUP BY node),
+            o AS (SELECT CASE WHEN du.degree < dv.degree
+                               OR (du.degree = dv.degree AND e.u < e.v)
+                              THEN e.u ELSE e.v END AS src
+                  FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v)
+            SELECT (SELECT COUNT(*) FROM d) AS n_nodes,
+                   (SELECT COUNT(*) FROM e) AS n_edges,
+                   (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+                    FROM (SELECT COUNT(*) AS c FROM o GROUP BY src)) AS n_wedges,
+                   (SELECT COUNT(*) FROM e e1
+                    JOIN e e2 ON e2.u = e1.v
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+        """,
+        # min-label reachability fixpoint == the engine's min-label
+        # propagation/union-find (comp = min node id in the component)
+        "graph_components": f"""
+            WITH RECURSIVE e AS ({_co_edges_sql(3)}),
+            s AS (SELECT u AS src, v AS dst FROM e
+                  UNION ALL SELECT v AS src, u AS dst FROM e),
+            reach(node, lbl) AS (
+                SELECT DISTINCT src, src FROM s
+                UNION
+                SELECT s2.dst, r.lbl FROM reach r JOIN s s2 ON s2.src = r.node
+            )
+            SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node
+        """,
+        "graph_pagerank": _pagerank_sql(),
         # the stopword-profile language heuristic is an argmax over four
         # occurrence counts — ties prefer the earlier profile (en,de,fr,es),
         # all-zero → 'und', exactly the lang_id() loop semantics

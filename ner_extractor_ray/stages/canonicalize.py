@@ -221,6 +221,10 @@ def _driver_union_find(pairs_ds: "ray.data.Dataset", nodes_ds: "ray.data.Dataset
     the distributed plan at a fraction of the fixed cost."""
     import ray.data as _rd
 
+    from .joins import _as_pa_type
+
+    sch = nodes_ds.schema()
+    ntype = _as_pa_type(sch.types[sch.names.index("node")])
     nodes = [r["node"] for r in nodes_ds.select_columns(["node"]).take_all()]
     parent = {n: n for n in nodes}
 
@@ -241,8 +245,8 @@ def _driver_union_find(pairs_ds: "ray.data.Dataset", nodes_ds: "ray.data.Dataset
     return _rd.from_arrow(
         pa.table(
             {
-                "node": pa.array(nodes, pa.string()),
-                "comp": pa.array([find(n) for n in nodes], pa.string()),
+                "node": pa.array(nodes, ntype),
+                "comp": pa.array([find(n) for n in nodes], ntype),
             }
         )
     )

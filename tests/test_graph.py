@@ -1,0 +1,112 @@
+"""Graph-analytics unit tests (functions/graph.py) on tiny hand-built graphs:
+triangle counting (both membership plans), integer PageRank vs a pure-Python
+replication, co-order edge building, and integer-node connected components
+on both the driver and distributed plans."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ner_extractor_ray.functions.graph import (
+    PR_SCALE,
+    co_order_edges,
+    degree_table,
+    pagerank,
+    triangle_count,
+)
+from ner_extractor_ray.stages.canonicalize import connected_components
+
+
+def _edges(pairs):
+    u, v = zip(*pairs)
+    return ray.data.from_arrow(
+        pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+                  "n": pa.array([1] * len(u), pa.int64())})
+    )
+
+
+def test_co_order_edges_counts_orders_once():
+    # order 1: {A=1, B=2, C=3} (B listed twice → still one co-occurrence);
+    # orders 2, 3: {A, B}
+    li = ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "l_partkey": pa.array([1, 2, 3, 2, 1, 2, 1, 2], pa.int64()),
+    }))
+    got = {(r["u"], r["v"]): r["n"] for r in co_order_edges(li).take_all()}
+    assert got == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
+    got2 = {(r["u"], r["v"]): r["n"] for r in co_order_edges(li, min_n=2).take_all()}
+    assert got2 == {(1, 2): 3}
+
+
+def test_degree_table():
+    deg = {r["node"]: r["degree"]
+           for r in degree_table(_edges([(1, 2), (1, 3), (2, 3), (3, 4)])).take_all()}
+    assert deg == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+@pytest.mark.parametrize("threshold", [2_000_000, 0])  # broadcast vs shuffle plan
+def test_triangle_count_k4(threshold):
+    # K4: 4 triangles; degree-orientation = id order → outdegs 3,2,1,0 →
+    # wedges C(3,2)+C(2,2) = 4, all of them closed
+    k4 = _edges([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    row = triangle_count(k4, broadcast_threshold=threshold).to_pylist()[0]
+    assert row == {"n_nodes": 4, "n_edges": 6, "n_wedges": 4, "n_triangles": 4}
+
+
+@pytest.mark.parametrize("threshold", [2_000_000, 0])
+def test_triangle_count_open_wedge(threshold):
+    # path 1-2-3 plus pendant 3-4: no triangles; center nodes contribute
+    # wedges only where orientation gives them 2 out-edges
+    path = _edges([(1, 2), (2, 3), (3, 4)])
+    row = triangle_count(path, broadcast_threshold=threshold).to_pylist()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_edges"] == 3 and row["n_nodes"] == 4
+
+
+def _pagerank_reference(pairs, n_iters):
+    """Pure-Python replication of the scaled-integer power iteration."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    init = PR_SCALE // n
+    base = (15 * (PR_SCALE // n)) // 100
+    pr = {x: init for x in adj}
+    for _ in range(n_iters):
+        contrib = {x: 0 for x in adj}
+        for x, nbrs in adj.items():
+            share = pr[x] // len(nbrs)
+            for y in nbrs:
+                contrib[y] += share
+        pr = {x: base + (85 * contrib[x]) // 100 for x in adj}
+    return pr
+
+
+def test_pagerank_matches_integer_reference():
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    got = {r["node"]: r["pr"] for r in pagerank(_edges(pairs), n_iters=3).take_all()}
+    assert got == _pagerank_reference(pairs, 3)
+    # mass conservation within integer floor slack: N nodes lose < N units
+    # per division, 2 divisions per round
+    assert abs(sum(got.values()) - PR_SCALE) < 10 * len(got) * 3
+
+
+def test_connected_components_integer_nodes_both_plans():
+    pairs = _edges([(1, 2), (2, 3), (10, 11)])
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array([1, 2, 3, 10, 11, 99], pa.int64())})
+    )
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    ab = pairs.map_batches(
+        lambda t: pa.table({"a": t.column("u"), "b": t.column("v")}),
+        batch_format="pyarrow",
+    )
+    driver = {r["node"]: r["comp"]
+              for r in connected_components(ab, nodes).take_all()}
+    assert driver == expected
+    dist = {r["node"]: r["comp"]
+            for r in connected_components(ab, nodes, driver_threshold=0).take_all()}
+    assert dist == expected
