@@ -1836,6 +1836,96 @@ def q_length_buckets(sf_dir: str):
     )
 
 
+_DECON_N = 8          # n-gram order for decontamination
+_DECON_BENCH_IDS = 20  # docs with doc_id < this form the "benchmark" set
+
+
+def q_decontamination(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing ≥ 1 word-8-gram
+    with a (deterministic, corpus-derived) eval set — the pass every
+    training-data pipeline runs before a model ever sees the data. Output:
+    (doc_id, n_overlap) with n_overlap = distinct shared 8-grams, only for
+    contaminated docs.
+
+    Scale shape: the eval side is tiny by definition — its distinct n-gram
+    set is aggregated once and broadcast via ray.put; the corpus pass is
+    row-local set intersection, no shuffle at all. (For a benchmark too big
+    to broadcast, swap in the Bloom prefilter from functions/bloom.py.)"""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def ngrams(s: str) -> set:
+        toks = _ALNUM.findall((s or "").lower())
+        return {" ".join(toks[i:i + _DECON_N])
+                for i in range(len(toks) - _DECON_N + 1)}
+
+    bench_tbls = (
+        ds.map_batches(
+            lambda t: t.filter(
+                pc.less(pc.cast(t.column("doc_id"), pa.int64()), _DECON_BENCH_IDS)
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: pa.table({"ng": pa.array(
+                sorted(set().union(*[ngrams(s) for s in t.column("text").to_pylist()])
+                       if t.num_rows else set()),
+                pa.string())}),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    bench = {r["ng"] for r in bench_tbls}
+    bref = ray.put(bench)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_pylist()
+        o_id, o_n = [], []
+        for did, s in zip(ids, t.column("text").to_pylist()):
+            if did < _DECON_BENCH_IDS:
+                continue
+            n = len(ngrams(s) & bs)
+            if n:
+                o_id.append(did)
+                o_n.append(n)
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "n_overlap": pa.array(o_n, pa.int64())})
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition features, exact integers per doc: token count,
+    distinct-token count, and the count of the most frequent bigram — the
+    inputs to 'fraction of tokens in top bigram' repetition filters. Pure
+    row-local map, no shuffle."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        o_id, o_nt, o_nd, o_tb = [], [], [], []
+        for did, s in zip(
+            pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            toks = _ALNUM.findall((s or "").lower())
+            bi: dict[str, int] = {}
+            for i in range(len(toks) - 1):
+                bg = toks[i] + " " + toks[i + 1]
+                bi[bg] = bi.get(bg, 0) + 1
+            o_id.append(did)
+            o_nt.append(len(toks))
+            o_nd.append(len(set(toks)))
+            o_tb.append(max(bi.values()) if bi else 0)
+        return pa.table(
+            {"doc_id": pa.array(o_id, pa.int64()),
+             "n_tokens": pa.array(o_nt, pa.int64()),
+             "n_distinct": pa.array(o_nd, pa.int64()),
+             "top_bigram_n": pa.array(o_tb, pa.int64())}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Graph-analytics family (functions/graph.py) over the part co-purchase
 # graph: edges (u, v, n) = parts appearing together in n orders. The KG-side
@@ -2044,6 +2134,8 @@ def queries() -> dict:
         "normalized_dedup": q_normalized_dedup,
         "pmi_bigrams": q_pmi_bigrams,
         "length_buckets": q_length_buckets,
+        "decontamination": q_decontamination,
+        "repetition_stats": q_repetition_stats,
         "graph_degree": q_graph_degree,
         "graph_triangles": q_graph_triangles,
         "graph_components": q_graph_components,
@@ -2526,6 +2618,43 @@ def oracle_sql() -> dict:
                          len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
                   FROM documents)
             GROUP BY 1, 2
+        """,
+        # eval set = docs with doc_id < 20; 8-grams unrolled as || chains
+        "decontamination": f"""
+            WITH tok AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            ng AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - {_DECON_N - 2}),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                                || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]
+                                || ' ' || ws[i+6] || ' ' || ws[i+7])) AS g
+                FROM tok),
+            bench AS (SELECT DISTINCT g FROM ng WHERE doc_id < {_DECON_BENCH_IDS})
+            SELECT doc_id, COUNT(DISTINCT g) AS n_overlap
+            FROM ng JOIN bench USING (g)
+            WHERE doc_id >= {_DECON_BENCH_IDS}
+            GROUP BY doc_id
+        """,
+        "repetition_stats": """
+            WITH tok AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            bi AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                                             i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM tok),
+            top AS (
+                SELECT doc_id, MAX(c) AS top_bigram_n
+                FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg)
+                GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.ws) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(t.ws)) AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+            FROM tok t LEFT JOIN top USING (doc_id)
         """,
         # graph family: co-purchase edges (u, v, n) = parts sharing n orders.
         # All outputs are exact integers; the PageRank oracle replicates the
