@@ -1,0 +1,86 @@
+"""Mergeable sketches for approximate aggregates at 100 TB scale.
+
+HyperLogLog (Flajolet et al. 2007): per-batch partial register tables merged
+with an associative/commutative MAX — the canonical "pre-aggregate inside
+map_batches, then one narrow groupby" shape. The register table itself is
+deterministic (md5-based hash, no seeds), so it is exactly replicable in SQL
+(`('0x' || substr(md5(v), 1, 16))::UBIGINT`, the same convention as the
+simhash oracle) and hash-comparable — only the final estimate is approximate.
+
+At scale: distinct-counting 10^12 keys exactly needs a full shuffle of every
+key; the HLL register table is 256 rows per stage regardless of cardinality
+and merges in one tiny groupby. The estimate's standard error is
+1.04/sqrt(m) ≈ 6.5% at m=256.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Max
+
+HLL_BUCKET_BITS = 8
+HLL_M = 1 << HLL_BUCKET_BITS          # 256 registers
+_REM_BITS = 64 - HLL_BUCKET_BITS      # 56-bit remainder per hash
+
+
+def _hash64(values) -> np.ndarray:
+    """First 16 md5 hex chars of str(v) → uint64 (== the SQL convention)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+    return out
+
+
+def hll_registers(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
+    """(bucket, rho) register table for the column's distinct values.
+
+    bucket = top 8 hash bits; rho = leading-zero count of the 56-bit
+    remainder + 1 == 57 - bit_length(remainder) (the 0-remainder case folds
+    into the same formula). Only observed buckets are emitted, max-merged
+    across batches — partial registers per batch, ONE 256-row groupby."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = _hash64(t.column(col).to_pylist())
+        bucket = (h >> np.uint64(_REM_BITS)).astype(np.int64)
+        rem = h & np.uint64((1 << _REM_BITS) - 1)
+        # 57 - bit_length(rem): vectorized bit_length via float log2 is
+        # unsafe at 56 bits; use the exact integer path
+        rho = np.fromiter(
+            (57 - int(r).bit_length() for r in rem), np.int64, len(rem)
+        )
+        regs = np.zeros(HLL_M, np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.nonzero(regs)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                         "rho": pa.array(regs[nz], pa.int64())})
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"],
+        Max("rho", alias_name="rho"),
+    )
+
+
+def hll_estimate(registers: "pd.DataFrame | pa.Table") -> float:
+    """Driver-side fold of a (bucket, rho) register table → cardinality
+    estimate with the standard small-range (linear counting) correction."""
+    if isinstance(registers, pa.Table):
+        registers = registers.to_pandas()
+    regs = np.zeros(HLL_M, np.float64)
+    regs[registers["bucket"].to_numpy()] = registers["rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    raw = alpha * HLL_M * HLL_M / np.sum(np.exp2(-regs))
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * HLL_M and zeros:
+        return HLL_M * float(np.log(HLL_M / zeros))
+    return float(raw)

@@ -1836,6 +1836,17 @@ def q_length_buckets(sf_dir: str):
     )
 
 
+def q_hll_users(sf_dir: str):
+    """HyperLogLog register table for COUNT(DISTINCT user_id) — the mergeable
+    sketch that replaces an exact distinct's full key shuffle with 256 rows
+    per stage at any cardinality (functions/sketches.py). The md5-derived
+    registers are deterministic, so the TABLE is hash-checked against SQL;
+    only the final fold (hll_estimate) is approximate."""
+    from ..functions.sketches import hll_registers
+
+    return hll_registers(_rp(sf_dir, "events", ["user_id"]), "user_id")
+
+
 _DECON_N = 8          # n-gram order for decontamination
 _DECON_BENCH_IDS = 20  # docs with doc_id < this form the "benchmark" set
 
@@ -2136,6 +2147,7 @@ def queries() -> dict:
         "length_buckets": q_length_buckets,
         "decontamination": q_decontamination,
         "repetition_stats": q_repetition_stats,
+        "hll_users": q_hll_users,
         "graph_degree": q_graph_degree,
         "graph_triangles": q_graph_triangles,
         "graph_components": q_graph_components,
@@ -2618,6 +2630,22 @@ def oracle_sql() -> dict:
                          len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
                   FROM documents)
             GROUP BY 1, 2
+        """,
+        # HLL registers: bucket = top 8 md5 bits, rho = 57 - bit_length of
+        # the 56-bit remainder (bin() is minimal-width, so length(bin(x)) ==
+        # bit_length(x) for x > 0; the rem = 0 case pins rho = 57)
+        "hll_users": f"""
+            WITH h AS (
+                SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+                FROM events),
+            r AS (
+                SELECT CAST(h >> 56 AS BIGINT) AS bucket,
+                       CAST(h & CAST({(1 << 56) - 1} AS UBIGINT) AS BIGINT) AS rem
+                FROM h)
+            SELECT bucket,
+                   MAX(57 - CASE WHEN rem = 0 THEN 0
+                                 ELSE length(bin(rem)) END) AS rho
+            FROM r GROUP BY bucket
         """,
         # eval set = docs with doc_id < 20; 8-grams unrolled as || chains
         "decontamination": f"""

@@ -1,0 +1,53 @@
+"""HyperLogLog sketch tests: estimate accuracy, merge associativity, and
+determinism across batch sizes (functions/sketches.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ner_extractor_ray.functions.sketches import (
+    HLL_M,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _ds(values, override_num_blocks=4):
+    return ray.data.from_arrow(
+        pa.table({"k": pa.array(values, pa.int64())})
+    ).repartition(override_num_blocks)
+
+
+def test_hll_estimate_within_standard_error():
+    n = 20_000
+    est = hll_estimate(hll_registers(_ds(list(range(n))), "k").to_pandas())
+    # 1.04/sqrt(256) ≈ 6.5% standard error; 3 sigma ≈ 20%
+    assert abs(est - n) / n < 0.20
+
+
+def test_hll_duplicates_do_not_inflate():
+    vals = [i % 500 for i in range(10_000)]
+    est = hll_estimate(hll_registers(_ds(vals), "k").to_pandas())
+    assert abs(est - 500) / 500 < 0.25
+
+
+def test_hll_merge_is_union():
+    # registers(A ∪ B) == max-merge(registers(A), registers(B))
+    a = hll_registers(_ds(list(range(0, 5000))), "k").to_pandas()
+    b = hll_registers(_ds(list(range(2500, 8000))), "k").to_pandas()
+    u = hll_registers(_ds(list(range(0, 8000))), "k").to_pandas()
+
+    def to_regs(df):
+        regs = np.zeros(HLL_M, np.int64)
+        regs[df["bucket"].to_numpy()] = df["rho"].to_numpy()
+        return regs
+
+    assert (np.maximum(to_regs(a), to_regs(b)) == to_regs(u)).all()
+
+
+def test_hll_partition_invariance():
+    one = hll_registers(_ds(list(range(3000)), 1), "k").to_pandas()
+    many = hll_registers(_ds(list(range(3000)), 16), "k").to_pandas()
+    assert one.sort_values("bucket").reset_index(drop=True).equals(
+        many.sort_values("bucket").reset_index(drop=True)
+    )
