@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Max
+from ray.data.aggregate import Max, Sum
 
 HLL_BUCKET_BITS = 8
 HLL_M = 1 << HLL_BUCKET_BITS          # 256 registers
@@ -69,6 +69,69 @@ def hll_registers(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
         ["bucket"],
         Max("rho", alias_name="rho"),
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_hash(values, row: int) -> np.ndarray:
+    """uint64 md5 hash of 'row:value' → column index (== SQL convention
+    ('0x' || substr(md5(j || ':' || v), 1, 16))::UBIGINT % width)."""
+    out = np.empty(len(values), dtype=np.int64)
+    pre = f"{row}:".encode()
+    for i, v in enumerate(values):
+        h = int(hashlib.md5(pre + str(v).encode()).hexdigest()[:16], 16)
+        out[i] = h % CMS_WIDTH
+    return out
+
+
+def cms_counters(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
+    """Count-Min sketch counter table (j, col, n) — depth×width exact-int64
+    counters that merge by SUM: frequency estimation whose state is
+    depth·width rows at ANY key cardinality (Cormode & Muthukrishnan 2005).
+    Per-batch partial counter matrices → one narrow groupby; only observed
+    (j, col) cells are emitted (zero cells are absent on both the engine and
+    the SQL side, keeping the tables hash-comparable)."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vals = t.column(col).to_pylist()
+        js, cols, ns = [], [], []
+        for j in range(CMS_DEPTH):
+            mat = np.zeros(CMS_WIDTH, np.int64)
+            np.add.at(mat, _cms_hash(vals, j), 1)
+            nz = np.nonzero(mat)[0]
+            js.append(np.full(len(nz), j, np.int64))
+            cols.append(nz.astype(np.int64))
+            ns.append(mat[nz])
+        return pa.table({"j": pa.array(np.concatenate(js), pa.int64()),
+                         "col": pa.array(np.concatenate(cols), pa.int64()),
+                         "n": pa.array(np.concatenate(ns), pa.int64())})
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["j", "col"],
+        Sum("n", alias_name="n"),
+    )
+
+
+def cms_estimate(counters: "pd.DataFrame | pa.Table", value) -> int:
+    """Point frequency estimate: min over rows of the value's counter.
+    Never underestimates; overestimates by ≤ εN w.h.p. (ε = e/width)."""
+    if isinstance(counters, pa.Table):
+        counters = counters.to_pandas()
+    est = None
+    for j in range(CMS_DEPTH):
+        c = int(_cms_hash([value], j)[0])
+        m = counters.loc[(counters["j"] == j) & (counters["col"] == c), "n"]
+        v = int(m.iloc[0]) if len(m) else 0
+        est = v if est is None else min(est, v)
+    return int(est or 0)
 
 
 def hll_estimate(registers: "pd.DataFrame | pa.Table") -> float:

@@ -1847,6 +1847,17 @@ def q_hll_users(sf_dir: str):
     return hll_registers(_rp(sf_dir, "events", ["user_id"]), "user_id")
 
 
+def q_cms_users(sf_dir: str):
+    """Count-Min sketch counters for per-user event frequencies
+    (functions/sketches.py): depth×width exact-int64 counters merging by
+    SUM — heavy-hitter estimation whose shuffle is 4×256 cells at any key
+    cardinality. Deterministic md5 column hashing makes the counter table
+    itself hash-checkable against SQL."""
+    from ..functions.sketches import cms_counters
+
+    return cms_counters(_rp(sf_dir, "events", ["user_id"]), "user_id")
+
+
 _DECON_N = 8          # n-gram order for decontamination
 _DECON_BENCH_IDS = 20  # docs with doc_id < this form the "benchmark" set
 
@@ -2148,6 +2159,7 @@ def queries() -> dict:
         "decontamination": q_decontamination,
         "repetition_stats": q_repetition_stats,
         "hll_users": q_hll_users,
+        "cms_users": q_cms_users,
         "graph_degree": q_graph_degree,
         "graph_triangles": q_graph_triangles,
         "graph_components": q_graph_components,
@@ -2646,6 +2658,17 @@ def oracle_sql() -> dict:
                    MAX(57 - CASE WHEN rem = 0 THEN 0
                                  ELSE length(bin(rem)) END) AS rho
             FROM r GROUP BY bucket
+        """,
+        # CMS counters: column j hash = md5('j:' || value) — only observed
+        # cells emitted, matching the engine's nonzero filter
+        "cms_users": """
+            WITH rows_j AS (
+                SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                           || CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+                FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j))
+            SELECT CAST(j AS BIGINT) AS j, CAST(h % 256 AS BIGINT) AS col,
+                   COUNT(*) AS n
+            FROM rows_j GROUP BY 1, 2
         """,
         # eval set = docs with doc_id < 20; 8-grams unrolled as || chains
         "decontamination": f"""

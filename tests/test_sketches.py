@@ -45,6 +45,33 @@ def test_hll_merge_is_union():
     assert (np.maximum(to_regs(a), to_regs(b)) == to_regs(u)).all()
 
 
+def test_cms_never_underestimates_and_is_tight_for_heavy_hitters():
+    from ner_extractor_ray.functions.sketches import cms_counters, cms_estimate
+
+    # skewed stream: key 0 appears 5000 times, keys 1..500 once each
+    vals = [0] * 5000 + list(range(1, 501))
+    counters = cms_counters(_ds(vals), "k").to_pandas()
+    true = {0: 5000, 1: 1, 7: 1}
+    for k, t in true.items():
+        est = cms_estimate(counters, k)
+        assert est >= t
+        assert est <= t + int(np.e / 256 * len(vals)) + 1  # εN bound
+    # total mass per row is exact
+    assert (counters.groupby("j")["n"].sum() == len(vals)).all()
+
+
+def test_cms_partition_invariance():
+    from ner_extractor_ray.functions.sketches import cms_counters
+
+    vals = [i % 97 for i in range(4000)]
+    one = cms_counters(_ds(vals, 1), "k").to_pandas()
+    many = cms_counters(_ds(vals, 16), "k").to_pandas()
+    key = ["j", "col"]
+    assert one.sort_values(key).reset_index(drop=True).equals(
+        many.sort_values(key).reset_index(drop=True)
+    )
+
+
 def test_hll_partition_invariance():
     one = hll_registers(_ds(list(range(3000)), 1), "k").to_pandas()
     many = hll_registers(_ds(list(range(3000)), 16), "k").to_pandas()
