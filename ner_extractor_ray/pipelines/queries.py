@@ -883,6 +883,26 @@ def q_video_frames(sf_dir: str):
     return frame_samples(ds.map_batches(to_payload, batch_format="pyarrow"), n_frames=4)
 
 
+def q_audio_chunks(sf_dir: str):
+    """Multimodal audio chunking (stages/multimodal.AudioChunkStage): binary
+    'audio' payload → one row per fixed-length chunk with integer energy /
+    zero-crossing features — the VAD front-end shape. FakeCodec
+    deterministic; real codec is the documented plug. Rows-only."""
+    from ..stages.multimodal import audio_chunks
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {"id": pc.cast(t.column("doc_id"), pa.int64()),
+             "payload": pa.array([(s or "").encode("utf-8") for s in texts],
+                                  pa.binary())}
+        )
+
+    return audio_chunks(ds.map_batches(to_payload, batch_format="pyarrow"))
+
+
 def q_cluster_homogeneity(sf_dir: str):
     """A9 — clustering quality: homogeneity of deterministic IVF clusters vs
     the embeddings table's labels (the KMeans-homogeneity analog,
@@ -2175,6 +2195,7 @@ def queries() -> dict:
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
         "video_frames": q_video_frames,
+        "audio_chunks": q_audio_chunks,
         "cluster_homogeneity": q_cluster_homogeneity,
         "subword_counts": q_subword_counts,
         "mention_confusion": q_mention_confusion,

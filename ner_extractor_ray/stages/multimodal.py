@@ -42,6 +42,13 @@ class FakeCodec:
             for i in range(n_frames)
         ]
 
+    def decode_audio(self, payload: bytes, *, n_samples: int = 4096) -> np.ndarray:
+        """payload bytes → int16 PCM 'waveform' seeded by the payload hash —
+        length scales with payload size like a real compressed stream."""
+        rng = np.random.RandomState(stable_hash64(payload or b"") % (2**32))
+        n = max(256, min(n_samples, len(payload or b"") * 32))
+        return rng.randint(-(2**15), 2**15, size=n, dtype=np.int16)
+
 
 class RealCodec:  # pragma: no cover - requires image libs not in this sandbox
     def __init__(self):
@@ -125,6 +132,43 @@ class FrameSampleStage:
         )
 
 
+class AudioChunkStage:
+    """(id, payload: binary 'audio') → one row per fixed-length chunk with
+    integer energy features (sum |x|, zero-crossing count, n_samples) — the
+    VAD/segmentation front-end of an audio curation pipeline. Flat-map
+    shaped; integer features so the output is exactly order-independent."""
+
+    def __init__(self, codec=None, chunk_samples: int = 1024,
+                 id_col: str = "id", payload_col: str = "payload"):
+        self.codec = codec or FakeCodec()
+        self.chunk_samples = chunk_samples
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_pylist()
+        payloads = t.column(self.payload_col).to_pylist()
+        o_id, o_chunk, o_n, o_energy, o_zc = [], [], [], [], []
+        for i, p in zip(ids, payloads):
+            wave = self.codec.decode_audio(p)
+            for c_idx in range(0, len(wave), self.chunk_samples):
+                chunk = wave[c_idx:c_idx + self.chunk_samples].astype(np.int64)
+                o_id.append(i)
+                o_chunk.append(c_idx // self.chunk_samples)
+                o_n.append(len(chunk))
+                o_energy.append(int(np.abs(chunk).sum()))
+                o_zc.append(int((np.diff(np.signbit(chunk)) != 0).sum()))
+        return pa.table(
+            {
+                self.id_col: pa.array(o_id),
+                "chunk_id": pa.array(o_chunk, pa.int32()),
+                "n_samples": pa.array(o_n, pa.int32()),
+                "energy": pa.array(o_energy, pa.int64()),
+                "zero_crossings": pa.array(o_zc, pa.int64()),
+            }
+        )
+
+
 def image_features(
     ds: "ray.data.Dataset", *, codec=None, batch_size: int = 64,
     use_actors: bool = False, concurrency=(1, 4), **kwargs,
@@ -152,5 +196,21 @@ def frame_samples(
         )
     return ds.map_batches(
         FrameSampleStage(codec, n_frames=n_frames),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+
+
+def audio_chunks(
+    ds: "ray.data.Dataset", *, codec=None, batch_size: int = 16,
+    chunk_samples: int = 1024, use_actors: bool = False, concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    if use_actors:
+        return ds.map_batches(
+            AudioChunkStage, batch_format="pyarrow", batch_size=batch_size,
+            fn_constructor_kwargs={"codec": codec, "chunk_samples": chunk_samples},
+            concurrency=concurrency,
+        )
+    return ds.map_batches(
+        AudioChunkStage(codec, chunk_samples=chunk_samples),
         batch_format="pyarrow", batch_size=batch_size,
     )

@@ -99,3 +99,40 @@ def test_fake_codec_deterministic():
     c = FakeCodec()
     assert np.array_equal(c.decode_image(b"x"), c.decode_image(b"x"))
     assert not np.array_equal(c.decode_image(b"x"), c.decode_image(b"y"))
+
+
+def test_audio_chunks_flatmap_shape_and_determinism():
+    from ner_extractor_ray.stages.multimodal import audio_chunks
+
+    out1 = sorted(
+        audio_chunks(_payload_ds(4), chunk_samples=512).take_all(),
+        key=lambda r: (r["id"], r["chunk_id"]),
+    )
+    out2 = sorted(
+        audio_chunks(_payload_ds(4), chunk_samples=512).take_all(),
+        key=lambda r: (r["id"], r["chunk_id"]),
+    )
+    assert out1 == out2
+    r = out1[0]
+    assert set(r) == {"id", "chunk_id", "n_samples", "energy", "zero_crossings"}
+    assert "payload" not in r
+    # chunk ids are contiguous per id and full chunks carry chunk_samples rows
+    by_id = {}
+    for r in out1:
+        by_id.setdefault(r["id"], []).append(r)
+    for rows in by_id.values():
+        assert [x["chunk_id"] for x in rows] == list(range(len(rows)))
+        assert all(x["n_samples"] == 512 for x in rows[:-1])
+        assert all(x["energy"] > 0 for x in rows)
+
+
+def test_audio_chunks_actor_plan_matches():
+    from ner_extractor_ray.stages.multimodal import audio_chunks
+
+    a = sorted(audio_chunks(_payload_ds(6)).take_all(),
+               key=lambda r: (r["id"], r["chunk_id"]))
+    b = sorted(
+        audio_chunks(_payload_ds(6), use_actors=True, concurrency=(1, 2)).take_all(),
+        key=lambda r: (r["id"], r["chunk_id"]),
+    )
+    assert a == b
