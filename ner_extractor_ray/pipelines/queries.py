@@ -1867,6 +1867,50 @@ def q_hll_users(sf_dir: str):
     return hll_registers(_rp(sf_dir, "events", ["user_id"]), "user_id")
 
 
+def q_nation_presence_outer(sf_dir: str):
+    """J-family FULL OUTER join on the partitioned hash-join path
+    (how="outer"): nations of the first 50 customers vs nations of the first
+    50 suppliers — the capped key sets genuinely differ, so both sides
+    contribute null-extended rows (COALESCEd to 0 counts). Both sides are
+    pre-aggregated to nation granularity before the join."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    def side(table: str, key_col: str, id_col: str, out: str):
+        ds = _rp(sf_dir, table, [id_col, key_col])
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less_equal(pc.cast(t.column(id_col), pa.int64()), 50))
+            k = pc.cast(t.column(key_col), pa.int64()).to_numpy()
+            uniq, cnt = np.unique(k, return_counts=True)
+            return pa.table({"nationkey": pa.array(uniq.astype(np.int64), pa.int64()),
+                             out: pa.array(cnt.astype(np.int64), pa.int64())})
+
+        return grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["nationkey"],
+            Sum(out, alias_name=out),
+        )
+
+    joined = hash_join(
+        side("customer", "c_nationkey", "c_custkey", "n_cust"),
+        side("supplier", "s_nationkey", "s_suppkey", "n_supp"),
+        on=("nationkey",), how="outer",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"nationkey": pd.Series([], dtype="int64"),
+                                 "n_cust": pd.Series([], dtype="int64"),
+                                 "n_supp": pd.Series([], dtype="int64")})
+        df["nationkey"] = df["nationkey"].astype("int64")
+        df["n_cust"] = df["n_cust"].fillna(0).astype("int64")
+        df["n_supp"] = df["n_supp"].fillna(0).astype("int64")
+        return df[["nationkey", "n_cust", "n_supp"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_cms_users(sf_dir: str):
     """Count-Min sketch counters for per-user event frequencies
     (functions/sketches.py): depth×width exact-int64 counters merging by
@@ -2180,6 +2224,7 @@ def queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "hll_users": q_hll_users,
         "cms_users": q_cms_users,
+        "nation_presence_outer": q_nation_presence_outer,
         "graph_degree": q_graph_degree,
         "graph_triangles": q_graph_triangles,
         "graph_components": q_graph_components,
@@ -2679,6 +2724,17 @@ def oracle_sql() -> dict:
                    MAX(57 - CASE WHEN rem = 0 THEN 0
                                  ELSE length(bin(rem)) END) AS rho
             FROM r GROUP BY bucket
+        """,
+        "nation_presence_outer": """
+            WITH c AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_cust
+                FROM customer WHERE c_custkey <= 50 GROUP BY 1),
+            s AS (
+                SELECT CAST(s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_supp
+                FROM supplier WHERE s_suppkey <= 50 GROUP BY 1)
+            SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+                   COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+            FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
         """,
         # CMS counters: column j hash = md5('j:' || value) — only observed
         # cells emitted, matching the engine's nonzero filter
