@@ -657,6 +657,57 @@ def q_customers_with_orders(sf_dir: str):
     return ds.map_batches(semi, batch_format="pyarrow")
 
 
+def q_bloom_semi_orders(sf_dir: str):
+    """Bloom semi-join prefilter (functions/bloom.py) on the query surface:
+    order counts/revenue per priority for BUILDING-segment customers. The
+    bloom is built distributively over the small side (per-batch partial
+    bitmaps OR-merged, broadcast once via ray.put) and prunes the big orders
+    side MAP-SIDE with no false negatives; the ≤fpr false positives are then
+    removed by an exact broadcast key-set verify (at scale: partitioned
+    hash_join on the survivors — the prefilter already cut the shuffle to
+    ~the matching rows). Exact output, so the DuckDB oracle is a plain
+    IN-subquery semi join."""
+    from ..functions.bloom import build_bloom, semi_join_prefilter
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": pc.cast(
+                t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+                .column("c_custkey"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    bloom_ref = ray.put(build_bloom(cust, "c_custkey"))
+    exact_keys = ray.put({int(r["c_custkey"]) for r in cust.take_all()})
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+    survivors = semi_join_prefilter(orders, "o_custkey", bloom_ref)
+
+    def verify_and_partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(exact_keys)
+        mask = [int(k) in ks for k in t.column("o_custkey").to_pylist()]
+        t = t.filter(pa.array(mask, pa.bool_()))
+        df = pd.DataFrame(
+            {"o_orderpriority": t.column("o_orderpriority").to_pylist(),
+             "cents": _cents(np.asarray(t.column("o_totalprice")))}
+        )
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum")
+        )
+        return pa.table(
+            {"o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+             "n_orders": pa.array(g["n_orders"].astype("int64"), pa.int64()),
+             "total_cents": pa.array(g["total_cents"].astype("int64"), pa.int64())}
+        )
+
+    return (
+        survivors.map_batches(verify_and_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_cents", alias_name="total_cents"))
+    )
+
+
 def q_best_fold(sf_dir: str):
     """A10 grid-search argmax analog: the fold with the highest mean_chars
     (tie → lowest fold), computed as a driver reduce over the tiny per-fold
@@ -2194,6 +2245,7 @@ def queries() -> dict:
         "ship_days": q_ship_days,
         "customer_order_counts": q_customer_order_counts,
         "customers_with_orders": q_customers_with_orders,
+        "bloom_semi_orders": q_bloom_semi_orders,
         "user_sessions": q_user_sessions,
         "order_rank": q_order_rank,
         "events_sliding": q_events_sliding,
@@ -2564,6 +2616,16 @@ def oracle_sql() -> dict:
         "customers_with_orders": """
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "bloom_semi_orders": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY 1
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_events,
