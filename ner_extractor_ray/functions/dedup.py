@@ -20,10 +20,10 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from .textfns import (
-    band_buckets,
+    band_buckets_batch,
     char_shingles,
     jaccard,
-    minhash_signature_sql,
+    minhash_signatures_sql_batch,
     simhash64,
     word_ngrams,
 )
@@ -108,18 +108,21 @@ def lsh_near_dup_pairs(
     # by n_bands × corpus text bytes — the one true scale-killer at 100 TB —
     # so texts are re-joined for candidate pairs only (phase 3).
     def bands(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
+        import numpy as np
+
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
         texts = t.column(text_col).to_pylist()
-        o_b, o_id = [], []
-        for i, txt in zip(ids, texts):
-            sig = minhash_signature_sql(shingler(txt or ""), num_perm)
-            for bk in band_buckets(sig, n_bands):
-                o_b.append(bk)
-                o_id.append(i)
+        # batched md5-minhash: each distinct shingle hashed once per batch,
+        # signatures + band buckets fully vectorized (same values as the
+        # per-doc minhash_signature_sql/band_buckets — pinned by unit test)
+        sigs = minhash_signatures_sql_batch(
+            [shingler(txt or "") for txt in texts], num_perm
+        )
+        buckets = band_buckets_batch(sigs, n_bands)
         return pa.table(
             {
-                "bucket": pa.array(o_b, pa.int64()),
-                "doc": pa.array(o_id, pa.int64()),
+                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+                "doc": pa.array(np.repeat(ids, n_bands), pa.int64()),
             }
         )
 
@@ -298,15 +301,17 @@ def fuzzy_name_pairs(
     max_dist: int = 1,
     bucket_cap: int = 256,
 ) -> "ray.data.Dataset":
-    """All DISTINCT value pairs within Levenshtein distance ``max_dist`` (= 1):
+    """DISTINCT value pairs within Levenshtein distance ``max_dist`` (= 1):
     SymSpell-style deletion-neighborhood blocking — each name emits itself plus
     every single-deletion variant as block keys; any two strings at distance
-    ≤ 1 share at least one key, so blocking has NO false negatives. Pairs are
-    deduped across keys before the exact edit-distance verify, and oversized
-    blocks fall back to the sorted chain (the same connectivity-preserving
-    skew cap as the LSH family). Shuffle volume = O(rows × name length) narrow
-    key rows, never O(pairs). Replicated in SQL by
-    ``oracle_sql()['fuzzy_part_names']``.
+    ≤ 1 share at least one key, so the BLOCKING is exhaustive (no false
+    negatives). Blocks larger than ``bucket_cap`` degrade to a sorted
+    connectivity-preserving chain (the same skew cap as the LSH family), so
+    on skewed data the output is connectivity-complete rather than
+    pair-complete — the SQL oracle replicates the cap, so parity holds
+    either way. Pairs are deduped across keys before the exact edit-distance
+    verify. Shuffle volume = O(rows × name length) narrow key rows, never
+    O(pairs). Replicated in SQL by ``oracle_sql()['fuzzy_part_names']``.
 
     Typo-tolerant entity/alias matching at corpus scale — the fuzzy analog of
     the reference's exact alias lookup (src/augmentation.py:92-95).

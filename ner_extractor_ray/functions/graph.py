@@ -15,9 +15,10 @@ Scale discipline (100 TB contract):
     cross the shuffle, never line items;
   * triangle counting uses degree-ordered orientation, so wedge count is
     O(E^1.5) worst-case instead of Σ deg² — the standard MapReduce triangle
-    algorithm (Suri & Vassilvitskii, WWW'11); membership tests are a
-    hash-partitioned semi-join (union + groupby), never a broadcast of the
-    edge set;
+    algorithm (Suri & Vassilvitskii, WWW'11); edge-set membership tests
+    broadcast the sorted uint64 key array up to a 2M-edge threshold and
+    switch to a hash-partitioned match above it, and the degree attach has
+    the same broadcast-vs-hash-join switch on node count;
   * PageRank keeps per-node state in a (node, outdeg, pr) label table and
     propagates contributions with the same hash_join + grouped-aggregate
     machinery as connected_components — no driver-side adjacency, no
@@ -116,14 +117,18 @@ def degree_table(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
 def _encode_pair(b: np.ndarray, c: np.ndarray) -> np.ndarray:
     """Injective (b, c) → uint64 key. Node ids must fit 32 bits — true for
     any vocabulary-assigned id space (parts here, canonical entity ids in a
-    KG); asserted, not assumed."""
-    assert b.size == 0 or (b.max() < (1 << 32) and c.max() < (1 << 32)), \
-        "node ids exceed 32 bits — widen the pair encoding"
+    KG). Checked with an explicit raise (not ``assert``) so the invariant
+    survives ``python -O``; silent aliasing would corrupt triangle counts."""
+    if b.size and (int(b.max()) >= (1 << 32) or int(c.max()) >= (1 << 32)):
+        raise ValueError("node ids exceed 32 bits — widen the pair encoding")
     return (b.astype(np.uint64) << np.uint64(32)) | c.astype(np.uint64)
 
 
 def triangle_count(
-    edges_ds: "ray.data.Dataset", *, broadcast_threshold: int = 2_000_000
+    edges_ds: "ray.data.Dataset",
+    *,
+    broadcast_threshold: int = 2_000_000,
+    degree_broadcast_threshold: int = 5_000_000,
 ) -> pa.Table:
     """Global triangle/wedge/edge/node counts as ONE exact-integer row.
 
@@ -141,30 +146,73 @@ def triangle_count(
     hash-partitioned on the encoded int64 pair key and matched per partition
     in pandas — all-integer shuffle keys, no string key construction.
 
-    The degree map is node-vocabulary sized (parts here), broadcast once via
-    ``ray.put``; for corpus-sized node tables replace it with two
-    ``hash_join`` passes against ``degree_table`` (the :func:`pagerank`
-    pattern) — the wedge stage, not orientation, dominates at scale.
+    The degree attach has the same two plans: up to
+    ``degree_broadcast_threshold`` NODES the (node → degree) map is broadcast
+    once via ``ray.put``; above it (corpus-sized node vocabulary — a 10⁹-node
+    KG) degrees are attached with two partitioned ``hash_join`` passes
+    against :func:`degree_table` and the destination degree travels WITH the
+    oriented edge (column ``ddeg``), so wedge generation never consults a
+    driver-side map.
     """
-    deg_rows = degree_table(edges_ds).take_all()
-    deg = {int(r["node"]): int(r["degree"]) for r in deg_rows}
-    n_nodes = len(deg)
+    degs = degree_table(edges_ds)
+    n_nodes = degs.count()
     n_edges = edges_ds.count()
-    dref = ray.put(deg)
 
-    def orient(t: pa.Table) -> pa.Table:
-        dm = ray.get(dref)
-        u = pc.cast(t.column("u"), pa.int64()).to_numpy()
-        v = pc.cast(t.column("v"), pa.int64()).to_numpy()
-        du = np.fromiter((dm[x] for x in u), np.int64, len(u))
-        dv = np.fromiter((dm[x] for x in v), np.int64, len(v))
-        fwd = (du < dv) | ((du == dv) & (u < v))
-        return pa.table(
-            {"src": pa.array(np.where(fwd, u, v), pa.int64()),
-             "dst": pa.array(np.where(fwd, v, u), pa.int64())}
+    if n_nodes <= degree_broadcast_threshold:
+        deg = {int(r["node"]): int(r["degree"]) for r in degs.take_all()}
+        dref = ray.put(deg)
+
+        def orient(t: pa.Table) -> pa.Table:
+            dm = ray.get(dref)
+            u = pc.cast(t.column("u"), pa.int64()).to_numpy()
+            v = pc.cast(t.column("v"), pa.int64()).to_numpy()
+            du = np.fromiter((dm[x] for x in u), np.int64, len(u))
+            dv = np.fromiter((dm[x] for x in v), np.int64, len(v))
+            fwd = (du < dv) | ((du == dv) & (u < v))
+            return pa.table(
+                {"src": pa.array(np.where(fwd, u, v), pa.int64()),
+                 "dst": pa.array(np.where(fwd, v, u), pa.int64()),
+                 "ddeg": pa.array(np.where(fwd, dv, du), pa.int64())}
+            )
+
+        oriented = edges_ds.map_batches(orient, batch_format="pyarrow").materialize()
+    else:
+        # corpus-sized node table: attach deg(u), deg(v) via two partitioned
+        # hash joins (never broadcast), then orient row-locally
+        du_side = degs.map_batches(
+            lambda t: pa.table({"u": pc.cast(t.column("node"), pa.int64()),
+                                "deg_u": pc.cast(t.column("degree"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        dv_side = degs.map_batches(
+            lambda t: pa.table({"v": pc.cast(t.column("node"), pa.int64()),
+                                "deg_v": pc.cast(t.column("degree"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        with_deg = hash_join(
+            hash_join(edges_ds.select_columns(["u", "v"]), du_side, on=("u",)),
+            dv_side, on=("v",),
         )
 
-    oriented = edges_ds.map_batches(orient, batch_format="pyarrow").materialize()
+        def orient_joined(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                     "dst": pd.Series([], dtype="int64"),
+                                     "ddeg": pd.Series([], dtype="int64")})
+            u = df["u"].to_numpy(dtype=np.int64)
+            v = df["v"].to_numpy(dtype=np.int64)
+            du = df["deg_u"].to_numpy(dtype=np.int64)
+            dv = df["deg_v"].to_numpy(dtype=np.int64)
+            fwd = (du < dv) | ((du == dv) & (u < v))
+            return pd.DataFrame(
+                {"src": np.where(fwd, u, v), "dst": np.where(fwd, v, u),
+                 "ddeg": np.where(fwd, dv, du)}
+            )
+
+        oriented = with_deg.map_batches(
+            orient_joined, batch_format="pandas"
+        ).materialize()
+
     P = _compact_blocks()
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -172,15 +220,17 @@ def triangle_count(
         return t.append_column("__part", pa.array(s % P, pa.int64()))
 
     def iter_wedges(g: pd.DataFrame):
-        """Yield per-src wedge pair arrays (b, c) in (deg, id) key order."""
-        dm = ray.get(dref)
+        """Yield per-src wedge pair arrays (b, c) in (deg, id) key order.
+
+        The destination degree rides along in the ``ddeg`` column, so
+        neighbor ordering — the SAME (deg, id) total order as orientation,
+        ensuring every wedge (b, c) has key(b) < key(c) — is a local lexsort
+        with no driver-side degree map."""
         for _, grp in g.groupby("src", sort=False):
             nb = grp["dst"].to_numpy()
             if len(nb) < 2:
                 continue
-            # order neighbors by the SAME (deg, id) total order so each
-            # wedge (b, c) has key(b) < key(c), matching oriented edges
-            key = np.lexsort((nb, np.fromiter((dm[x] for x in nb), np.int64, len(nb))))
+            key = np.lexsort((nb, grp["ddeg"].to_numpy()))
             nb = nb[key]
             i, j = np.triu_indices(len(nb), k=1)
             yield nb[i], nb[j]
@@ -195,9 +245,15 @@ def triangle_count(
             )
             return pa.table({"k": pa.array(k, pa.uint64())})
 
-        # collect encoded keys driver-side once (8 B/edge), sort, broadcast
-        key_tbls = oriented.map_batches(edge_keys, batch_format="pyarrow").take_all()
-        keys = np.sort(np.fromiter((r["k"] for r in key_tbls), np.uint64, len(key_tbls)))
+        # collect encoded keys driver-side once, staying ARROW end to end
+        # (8 B/edge — take_all()'s per-row dicts would cost ~100 B/edge on
+        # the driver at the 2M-edge threshold)
+        key_chunks = [
+            b.column("k").to_numpy(zero_copy_only=False)
+            for b in oriented.map_batches(edge_keys, batch_format="pyarrow")
+            .iter_batches(batch_size=65536, batch_format="pyarrow")
+        ]
+        keys = np.sort(np.concatenate(key_chunks)) if key_chunks else np.array([], np.uint64)
         kref = ray.put(keys)
 
         def part_counts(g: pd.DataFrame) -> pd.DataFrame:
@@ -272,7 +328,7 @@ def pagerank(
     edges_ds: "ray.data.Dataset",
     *,
     n_iters: int = 3,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Integer power iteration → (node, pr) with pr in parts-per-``PR_SCALE``.
 
@@ -286,6 +342,7 @@ def pagerank(
     materializes the label table (it is node-sized, not corpus-sized) so the
     lazy lineage doesn't re-execute prior rounds.
     """
+    num_partitions = num_partitions or _compact_blocks()
     deg = degree_table(edges_ds)  # symmetric graph: outdeg == degree
     n_nodes = deg.count()
     if n_nodes == 0:

@@ -257,7 +257,7 @@ _BUCKET_BITS = 59  # bucket = band_idx << 59 | (poly & (2^59-1)) — injective i
 def md5_hash64(s: str) -> int:
     import hashlib as _hl
 
-    return int(_hl.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+    return int.from_bytes(_hl.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
 def minhash_signature_sql(shingles: list[str], num_perm: int = 64) -> np.ndarray:
@@ -273,6 +273,58 @@ def minhash_signature_sql(shingles: list[str], num_perm: int = 64) -> np.ndarray
     with np.errstate(over="ignore"):
         prod = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
     return prod.min(axis=0)
+
+
+def minhash_signatures_sql_batch(
+    shingle_lists: list[list[str]], num_perm: int = 64
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 md5-MinHash signatures — the BATCHED form of
+    :func:`minhash_signature_sql`, identical values row for row.
+
+    The driver-bench profile showed one ``hashlib.md5`` call per (doc,
+    distinct shingle) dominating the LSH stage, so the batch form (a) hashes
+    each distinct shingle ONCE per batch — near-duplicate corpora share most
+    shingles across docs — and (b) computes the universal-hash family as ONE
+    (U, num_perm) matrix, taking per-doc minima with ``np.minimum.reduceat``
+    over gathered rows instead of a per-doc outer product."""
+    n_docs = len(shingle_lists)
+    a, b = _MH_A[:num_perm], _MH_B[:num_perm]
+    sigs = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    uniq: dict[str, int] = {}
+    idx_lists: list[np.ndarray] = []
+    for sh in shingle_lists:
+        ids = [uniq.setdefault(s, len(uniq)) for s in set(sh)]
+        idx_lists.append(np.asarray(ids, dtype=np.int64))
+    if not uniq:
+        return sigs
+    base = np.fromiter((md5_hash64(s) for s in uniq), dtype=np.uint64, count=len(uniq))
+    with np.errstate(over="ignore"):
+        hmat = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    lens = np.array([len(ix) for ix in idx_lists], dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        cat = np.concatenate([ix for ix in idx_lists if len(ix)])
+        offs = np.zeros(int(nz.sum()), dtype=np.int64)
+        offs[1:] = np.cumsum(lens[nz])[:-1]
+        sigs[nz] = np.minimum.reduceat(hmat[cat], offs, axis=0)
+    return sigs
+
+
+def band_buckets_batch(sigs: np.ndarray, n_bands: int = 16) -> np.ndarray:
+    """(n_docs, n_bands) int64 bucket ids — vectorized :func:`band_buckets`
+    across a whole signature matrix (identical values row for row)."""
+    n_docs, num_perm = sigs.shape
+    rows = num_perm // n_bands
+    mask = np.uint64((1 << _BUCKET_BITS) - 1)
+    out = np.empty((n_docs, n_bands), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for bnd in range(n_bands):
+            acc = np.full(n_docs, _FNV_OFFSET, dtype=np.uint64)
+            for r in range(rows):
+                acc = acc * _FNV_PRIME + sigs[:, bnd * rows + r]
+            tagged = (np.uint64(bnd << _BUCKET_BITS)) | (acc & mask)
+            out[:, bnd] = tagged.astype(np.int64)  # < 2^63: 16 bands × 59 bits
+    return out
 
 
 def band_buckets(sig: np.ndarray, n_bands: int = 16) -> list[int]:

@@ -345,8 +345,14 @@ def q_union_nationkeys(sf_dir: str):
         lambda t: pa.table({"k": pc.cast(t.column("s_nationkey"), pa.int64())}),
         batch_format="pyarrow",
     )
-    ks = sorted(c.union(s).unique("k"))
-    return pa.table({"k": pa.array(ks, pa.int64())})
+    # distinct via the narrow key groupby; the RESULT stays a Dataset (no
+    # driver collect — the consumer decides whether to materialize)
+    return (
+        c.union(s)
+        .groupby("k")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["k"])
+    )
 
 
 def q_token_stats(sf_dir: str):
@@ -436,7 +442,7 @@ def q_click_after_purchase(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    joined = asof_join(clicks, purchases, on="user_id", ts_col="ts", num_partitions=8)
+    joined = asof_join(clicks, purchases, on="user_id", ts_col="ts")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "event_id_r" not in df.columns:
@@ -640,21 +646,62 @@ def q_customer_order_counts(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
-def q_customers_with_orders(sf_dir: str):
-    """J-family semi join: customers having ≥1 order — exact broadcast key
-    set (the Bloom filter is the at-scale PREfilter; the exact set keeps the
-    oracle comparison exact)."""
-    okeys = set(_rp(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
-    kref = ray.put(okeys)
+def q_customers_with_orders(sf_dir: str, *, broadcast_limit: int = 2_000_000):
+    """J-family semi join: customers having ≥1 order. Two physical plans
+    gated on the DISTINCT key count of the fact side (the kg.py S7b switch —
+    a fact-table-derived key set must never be broadcast unconditionally):
+
+      * ≤ ``broadcast_limit`` distinct keys: broadcast the exact key set
+        once (``ray.put``), filter map-side — zero shuffle of the big side;
+      * above it: Bloom prefilter on the probe side (no false negatives,
+        built distributively from the key side) + partitioned ``hash_join``
+        semi join against the distinct-key table — exact output, text/key
+        traffic ∝ survivors, nothing fact-sized on the driver.
+    """
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
     ds = _rp(sf_dir, "customer", ["c_custkey"])
+    okeys_ds = grouped_aggregate(
+        _rp(sf_dir, "orders", ["o_custkey"]).map_batches(
+            lambda t: pa.table(
+                {"c_custkey": pc.unique(pc.cast(t.column("o_custkey"), pa.int64()))}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["c_custkey"],
+        Count(alias_name="_n"),
+    ).select_columns(["c_custkey"]).materialize()
 
-    def semi(t: pa.Table) -> pa.Table:
-        ks = ray.get(kref)
-        ids = pc.cast(t.column("c_custkey"), pa.int64())
-        mask = [k in ks for k in ids.to_pylist()]
-        return pa.table({"c_custkey": ids.filter(pa.array(mask, pa.bool_()))})
+    if okeys_ds.count() <= broadcast_limit:
+        okeys = {
+            int(v)
+            for b in okeys_ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+            for v in b.column("c_custkey").to_pylist()
+        }
+        kref = ray.put(okeys)
 
-    return ds.map_batches(semi, batch_format="pyarrow")
+        def semi(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            ids = pc.cast(t.column("c_custkey"), pa.int64())
+            mask = [k in ks for k in ids.to_pylist()]
+            return pa.table({"c_custkey": ids.filter(pa.array(mask, pa.bool_()))})
+
+        return ds.map_batches(semi, batch_format="pyarrow")
+
+    from ..functions.bloom import build_bloom, semi_join_prefilter
+
+    bloom_ref = ray.put(build_bloom(okeys_ds, "c_custkey"))
+    cust = ds.map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t.column("c_custkey"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    survivors = semi_join_prefilter(cust, "c_custkey", bloom_ref)
+    joined = hash_join(survivors, okeys_ds, on=("c_custkey",))
+    return joined.map_batches(
+        lambda df: pd.DataFrame({"c_custkey": df["c_custkey"].astype("int64")}),
+        batch_format="pandas",
+    )
 
 
 def q_bloom_semi_orders(sf_dir: str):
@@ -1227,7 +1274,7 @@ def q_revenue_by_region(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    joined = hash_join(orders, customer, ["c_custkey"], num_partitions=8)
+    joined = hash_join(orders, customer, ["c_custkey"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(nref)
@@ -1319,34 +1366,78 @@ def q_bigram_freq(sf_dir: str):
 # Round-2 additions: set ops, distinct-count, pivot, big×big join top-k
 # --------------------------------------------------------------------------
 
-def q_revenue_by_brand(sf_dir: str):
-    """Fact×dimension join the 100-TB way: `part` is a dimension table, so it
-    is broadcast once (ray.put dict) and the revenue aggregate happens
-    map-side on `lineitem` — no shuffle of the big side at all (contrast
-    q_revenue_by_region, which exercises the partitioned hash join)."""
-    brand = {
-        r["p_partkey"]: r["p_brand"]
-        for r in _rp(sf_dir, "part", ["p_partkey", "p_brand"]).take_all()
-    }
-    bref = ray.put(brand)
+def q_revenue_by_brand(sf_dir: str, *, broadcast_limit: int = 2_000_000):
+    """Fact×dimension join the 100-TB way, with the size gate made explicit:
+    up to ``broadcast_limit`` dimension rows `part` is broadcast once
+    (ray.put dict) and the revenue aggregate happens map-side on `lineitem`
+    — no shuffle of the big side at all (contrast q_revenue_by_region, which
+    always exercises the partitioned hash join). Above the limit the
+    dimension is NOT broadcastable, so the fact side is pre-aggregated to
+    (l_partkey, n, cents) — bounded by part cardinality — and hash-joined."""
+    part = _rp(sf_dir, "part", ["p_partkey", "p_brand"])
     ds = _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        m = ray.get(bref)
+    def cents_of(t: pa.Table) -> np.ndarray:
         ep = np.asarray(t.column("l_extendedprice"), dtype=np.float64)
         disc = np.asarray(t.column("l_discount"), dtype=np.float64)
-        cents = np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
-        df = pd.DataFrame(
-            {"p_brand": [m.get(k) for k in t.column("l_partkey").to_pylist()],
-             "revenue_cents": cents}
+        return np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+
+    if part.count() <= broadcast_limit:  # parquet metadata count — no scan
+        brand = {r["p_partkey"]: r["p_brand"] for r in part.take_all()}
+        bref = ray.put(brand)
+
+        def partial(t: pa.Table) -> pa.Table:
+            m = ray.get(bref)
+            df = pd.DataFrame(
+                {"p_brand": [m.get(k) for k in t.column("l_partkey").to_pylist()],
+                 "revenue_cents": cents_of(t)}
+            )
+            g = df.groupby("p_brand", as_index=False).agg(
+                n_items=("revenue_cents", "size"),
+                revenue_cents=("revenue_cents", "sum"),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("p_brand")
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("revenue_cents", alias_name="revenue_cents"))
         )
-        g = df.groupby("p_brand", as_index=False).agg(
+
+    from ..stages.joins import hash_join
+
+    def fact_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"p_partkey": pc.cast(t.column("l_partkey"), pa.int64()).to_numpy(),
+             "revenue_cents": cents_of(t)}
+        )
+        g = df.groupby("p_partkey", as_index=False).agg(
             n_items=("revenue_cents", "size"), revenue_cents=("revenue_cents", "sum")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    per_part = (
+        ds.map_batches(fact_partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    dim = part.map_batches(
+        lambda t: pa.table({"p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                            "p_brand": t.column("p_brand")}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(per_part, dim, on=("p_partkey",))
+
+    def brand_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False).agg(
+            n_items=("n_items", "sum"), revenue_cents=("revenue_cents", "sum")
+        )
+        return g.astype({"n_items": "int64", "revenue_cents": "int64"})
+
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(brand_partial, batch_format="pandas")
         .groupby("p_brand")
         .aggregate(Sum("n_items", alias_name="n_items"),
                    Sum("revenue_cents", alias_name="revenue_cents"))
@@ -1394,7 +1485,7 @@ def q_shipping_priority(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    joined = hash_join(orders, lineitem, ["o_orderkey"], num_partitions=8)
+    joined = hash_join(orders, lineitem, ["o_orderkey"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # the join's schema-aligned union makes right-only columns nullable
@@ -1412,30 +1503,56 @@ def q_shipping_priority(sf_dir: str):
     return agg.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
 
 
-def _distinct_keys(ds, col: str) -> set:
-    """Distributed distinct of one int key column (groupby shuffle on the key,
-    never the payload); the RESULT is dimension-sized, safe to collect."""
-    out = ds.map_batches(
-        lambda t: pa.table({"k": pc.unique(pc.cast(t.column(col), pa.int64()))}),
-        batch_format="pyarrow",
-    ).groupby("k").aggregate(Count(alias_name="_n"))
-    return {int(r["k"]) for r in out.take_all()}
+def _set_op(sf_dir: str, keep: str):
+    """Distributed INTERSECT / EXCEPT over two fact-side key columns with NO
+    driver-side key set: each side emits per-batch distinct (k, side-flag)
+    partials, both union into ONE narrow groupby on the key, and presence
+    flags (Max) decide membership map-side. Nothing fact-derived is ever
+    collected — the output Dataset IS the result, whatever its cardinality.
+    ``keep``: 'both' → INTERSECT, 'left_only' → EXCEPT."""
+
+    def tag(col: str, lflag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ks = pc.unique(pc.cast(t.column(col), pa.int64()))
+            n = len(ks)
+            return pa.table(
+                {"k": ks,
+                 "in_l": pa.array(np.full(n, lflag, np.int64), pa.int64()),
+                 "in_r": pa.array(np.full(n, 1 - lflag, np.int64), pa.int64())}
+            )
+
+        return fn
+
+    c = _rp(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        tag("c_nationkey", 1), batch_format="pyarrow"
+    )
+    s = _rp(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        tag("s_nationkey", 0), batch_format="pyarrow"
+    )
+    flags = c.union(s).groupby("k").aggregate(
+        Max("in_l", alias_name="in_l"), Max("in_r", alias_name="in_r")
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64())})
+        inl = pc.equal(t.column("in_l"), 1)
+        inr = pc.equal(t.column("in_r"), 1)
+        mask = pc.and_(inl, inr) if keep == "both" else pc.and_(inl, pc.invert(inr))
+        return pa.table({"k": pc.cast(t.filter(mask).column("k"), pa.int64())})
+
+    return flags.map_batches(pick, batch_format="pyarrow")
 
 
 def q_nations_overlap(sf_dir: str):
-    """INTERSECT set op: nation keys present on BOTH fact sides."""
-    c = _distinct_keys(_rp(sf_dir, "customer", ["c_nationkey"]), "c_nationkey")
-    s = _distinct_keys(_rp(sf_dir, "supplier", ["s_nationkey"]), "s_nationkey")
-    ks = sorted(c & s)
-    return pa.table({"k": pa.array(ks, pa.int64())})
+    """INTERSECT set op: nation keys present on BOTH fact sides — fully
+    distributed (see _set_op; no exact key set ever leaves the cluster)."""
+    return _set_op(sf_dir, "both")
 
 
 def q_customer_only_nations(sf_dir: str):
-    """EXCEPT set op (explicit empty schema when no keys differ)."""
-    c = _distinct_keys(_rp(sf_dir, "customer", ["c_nationkey"]), "c_nationkey")
-    s = _distinct_keys(_rp(sf_dir, "supplier", ["s_nationkey"]), "s_nationkey")
-    ks = sorted(c - s)
-    return pa.table({"k": pa.array(ks, pa.int64())})
+    """EXCEPT set op on the same distributed presence-flag plan."""
+    return _set_op(sf_dir, "left_only")
 
 
 def q_distinct_users_per_type(sf_dir: str):
@@ -1505,7 +1622,7 @@ def q_orders_above_avg(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
     )
-    joined = hash_join(facts, cust_stats, ["o_custkey"], num_partitions=8)
+    joined = hash_join(facts, cust_stats, ["o_custkey"])
 
     def filt_count(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -1710,6 +1827,19 @@ _TFIDF_MIN_DF = 5
 _TFIDF_TOP = 3
 
 
+def _min_count_filter(count_col: str, min_n: int, key_col: str):
+    """Arrow batch filter ``count_col >= min_n``, robust to the zero-column
+    empty blocks groupby().aggregate() can emit."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or count_col not in t.column_names:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             count_col: pa.array([], pa.int64())})
+        return t.filter(pc.greater_equal(t.column(count_col), min_n))
+
+    return fn
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-document top-``_TFIDF_TOP`` salient terms by tf·idf with the
     reciprocal-df idf (score = tf/df): the ranking every keyword-extraction /
@@ -1733,13 +1863,22 @@ def q_tfidf_top_terms(sf_dir: str):
              "df": pa.array(list(counts.values()), pa.int64())}
         )
 
-    df_tbl = (
+    # MIN_DF filter runs DISTRIBUTED, right after the aggregate — only the
+    # filtered (vocabulary-sized, not raw-token-sized) table reaches the
+    # driver; collecting the unfiltered vocab first would materialize every
+    # hapax of a 100-TB corpus driver-side
+    df_kept = (
         ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
-        .take_all()
+        .map_batches(_min_count_filter("df", _TFIDF_MIN_DF, "token"),
+                     batch_format="pyarrow")
     )
-    df_map = {r["token"]: int(r["df"]) for r in df_tbl if r["df"] >= _TFIDF_MIN_DF}
+    df_map = {
+        r["token"]: int(r["df"])
+        for b in df_kept.iter_batches(batch_size=65536, batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
     dref = ray.put(df_map)
 
     def score(t: pa.Table) -> pa.Table:
@@ -1820,12 +1959,22 @@ def q_pmi_bigrams(sf_dir: str):
              "n": pa.array(list(counts.values()), pa.int64())}
         )
 
-    uni = {
-        r["token"]: int(r["n"])
-        for r in ds.map_batches(uni_partial, batch_format="pyarrow")
+    # Unigrams with n < _PMI_MIN_N are filtered DISTRIBUTED before the
+    # collect: every occurrence of a bigram (x, y) contains one of x and one
+    # of y, so n_x ≥ n_xy and n_y ≥ n_xy — a bigram passing n_xy ≥ MIN_N can
+    # only reference unigrams that survive the same threshold. The broadcast
+    # table is therefore the FILTERED vocabulary, never the raw hapax tail.
+    uni_kept = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()
+        .map_batches(_min_count_filter("n", _PMI_MIN_N, "token"),
+                     batch_format="pyarrow")
+    )
+    uni = {
+        r["token"]: int(r["n"])
+        for b in uni_kept.iter_batches(batch_size=65536, batch_format="pyarrow")
+        for r in b.to_pylist()
     }
     uref = ray.put(uni)
 
@@ -2145,8 +2294,10 @@ def q_graph_degree(sf_dir: str):
 def q_graph_triangles(sf_dir: str):
     """Global node/edge/wedge/triangle counts — one exact-integer row.
     Degree-ordered orientation bounds wedge work at O(E^1.5) (see
-    functions/graph.py); membership tests are a hash-partitioned semi-join,
-    never a broadcast edge set."""
+    functions/graph.py); edge-set membership tests broadcast the sorted
+    uint64 key array up to a 2M-edge threshold and switch to a
+    hash-partitioned match above it; the degree attach has the same
+    broadcast-vs-hash-join switch on node count."""
     from ..functions.graph import triangle_count
 
     return triangle_count(_graph_edges(sf_dir).materialize())

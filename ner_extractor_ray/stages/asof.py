@@ -31,9 +31,13 @@ def asof_join(
     on: str,
     ts_col: str,
     right_ts_col: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     suffix: str = "_r",
 ) -> "ray.data.Dataset":
+    if num_partitions is None:
+        from .canonicalize import _compact_blocks
+
+        num_partitions = _compact_blocks()
     right_ts = right_ts_col or ts_col
     lsch, rsch = left.schema(), right.schema()
     left_cols = list(lsch.names)

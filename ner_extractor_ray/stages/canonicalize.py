@@ -257,7 +257,7 @@ def connected_components(
     nodes_ds: "ray.data.Dataset",
     *,
     max_rounds: int = 64,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     driver_threshold: int = 200_000,
 ) -> "ray.data.Dataset":
     """Distributed min-label propagation with pointer doubling → (node, comp).
@@ -275,6 +275,7 @@ def connected_components(
     are the small distinct-surface table, not the corpus) so the lazy lineage
     doesn't re-execute (SURVEY.md §7.3 "connected components on Ray Data").
     """
+    num_partitions = num_partitions or _compact_blocks()
     nodes_only = nodes_ds.select_columns(["node"])
     identity = nodes_only.map_batches(
         lambda t: _rename_project(t, [("node", "node"), ("node", "comp")]),
@@ -384,7 +385,7 @@ def canonicalize_nodes(
     threshold: float = 0.6,
     bucket_cap: int = 64,
     driver_threshold: int = 200_000,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """distinct nodes → entity assignments, choosing the physical plan by size.
 
@@ -473,7 +474,7 @@ def canonicalize_nodes(
 
 
 def entity_assignments(
-    labels_ds: "ray.data.Dataset", nodes_ds: "ray.data.Dataset", num_partitions: int = 8
+    labels_ds: "ray.data.Dataset", nodes_ds: "ray.data.Dataset", num_partitions: int | None = None
 ) -> "ray.data.Dataset":
     """(node, comp) × node metadata → (node, entity_id, canonical_name, type).
 

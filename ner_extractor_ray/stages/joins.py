@@ -104,10 +104,20 @@ def hash_join(
     on: Iterable[str],
     *,
     how: str = "inner",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     use_native: bool = False,
 ) -> "ray.data.Dataset":
-    """Hash-partitioned join of two Datasets on equal column names."""
+    """Hash-partitioned join of two Datasets on equal column names.
+
+    ``num_partitions`` defaults to the cluster-sized block count
+    (``_compact_blocks()`` — min(64, max(8, CPUs))) so the hot join path
+    (CC rounds, PageRank, entity linking) scales with the cluster instead
+    of a fixed constant; pass an explicit value to pin it.
+    """
+    if num_partitions is None:
+        from .canonicalize import _compact_blocks
+
+        num_partitions = _compact_blocks()
     on = list(on)
     if use_native and hasattr(left, "join"):
         return left.join(right, join_type=how, num_partitions=num_partitions, on=tuple(on))

@@ -110,3 +110,24 @@ def test_connected_components_integer_nodes_both_plans():
     dist = {r["node"]: r["comp"]
             for r in connected_components(ab, nodes, driver_threshold=0).take_all()}
     assert dist == expected
+
+
+@pytest.mark.parametrize("edge_thr", [2_000_000, 0])
+def test_triangle_count_degree_join_path(edge_thr):
+    """degree_broadcast_threshold=0 forces the hash_join degree attach; both
+    membership plans must agree with the broadcast-degree default."""
+    g = _edges([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)])
+    want = triangle_count(g).to_pylist()[0]
+    got = triangle_count(
+        g, broadcast_threshold=edge_thr, degree_broadcast_threshold=0
+    ).to_pylist()[0]
+    assert got == want
+    assert got["n_triangles"] == 4 and got["n_nodes"] == 6
+
+
+def test_encode_pair_raises_on_wide_ids():
+    from ner_extractor_ray.functions.graph import _encode_pair
+
+    with pytest.raises(ValueError):
+        _encode_pair(np.array([1 << 32], dtype=np.int64),
+                     np.array([1], dtype=np.int64))
