@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Min, Sum
 
 from ..stages.canonicalize import _compact_blocks, grouped_aggregate
 from ..stages.joins import hash_join
@@ -322,6 +322,104 @@ def triangle_count(
          "n_wedges": pa.array([n_wedges], pa.int64()),
          "n_triangles": pa.array([n_triangles], pa.int64())}
     )
+
+
+def khop_distances(
+    edges_ds: "ray.data.Dataset",
+    *,
+    k: int = 3,
+    seed: int | None = None,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Min-hop distances (≤ k) from a seed node → (node, hops).
+
+    Bounded-round BFS — the KG neighborhood query ("everything within k
+    hops of entity X") as k relaxation rounds of the SAME join machinery as
+    connected_components: the symmetrized edge list (weight 1) is unioned
+    with per-node SELF-LOOPS (weight 0) so one hash_join + groupby-Min per
+    round both propagates hops+1 to neighbors and preserves existing labels
+    — no label∪proposal union, whose mixed block types Ray's shuffle
+    rejects. Labels are node-sized and materialized per round; edges are
+    never broadcast; every value is an int64 min, so the result is exactly
+    replicable by k unrolled SQL CTEs. ``seed`` defaults to the globally
+    minimal node id.
+    """
+    num_partitions = num_partitions or _compact_blocks()
+
+    def _sym_w(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("u"), pa.int64()).to_numpy()
+        v = pc.cast(t.column("v"), pa.int64()).to_numpy()
+        n = len(u)
+        return pa.table(
+            {"src": pa.array(np.concatenate([u, v]), pa.int64()),
+             "dst": pa.array(np.concatenate([v, u]), pa.int64()),
+             "w": pa.array(np.ones(2 * n, np.int64), pa.int64())}
+        )
+
+    def _loops(t: pa.Table) -> pa.Table:
+        nd = pc.cast(t.column("node"), pa.int64())
+        return pa.table(
+            {"src": nd, "dst": nd,
+             "w": pa.array(np.zeros(len(nd), np.int64), pa.int64())}
+        )
+
+    nodes = degree_table(edges_ds)
+    graph = (
+        edges_ds.map_batches(_sym_w, batch_format="pyarrow")
+        .union(nodes.map_batches(_loops, batch_format="pyarrow"))
+        .materialize()
+    )
+    if seed is None:
+        s = graph.min("src")
+        if s is None:
+            import ray.data as _rd
+
+            return _rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                            "hops": pa.array([], pa.int64())}))
+        seed = int(s)
+
+    import ray.data as _rd
+
+    labels = _rd.from_arrow(
+        pa.table({"node": pa.array([seed], pa.int64()),
+                  "hops": pa.array([0], pa.int64())})
+    ).materialize()
+
+    def _relax_add(df: pd.DataFrame) -> pd.DataFrame:
+        # stays PANDAS: hash_join emits pandas blocks (empty partitions
+        # included) and a pyarrow map here would skip the empty ones,
+        # poisoning the downstream shuffle with mixed block types
+        if df.empty:
+            return pd.DataFrame({"dst": pd.Series([], dtype="int64"),
+                                 "h2": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"dst": df["dst"].astype("int64"),
+             "h2": (df["hops"] + df["w"]).astype("int64")}
+        )
+
+    for _ in range(k):
+        lab_src = labels.map_batches(
+            lambda t: pa.table({"src": pc.cast(t.column("node"), pa.int64()),
+                                "hops": pc.cast(t.column("hops"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(graph, lab_src, on=("src",),
+                           num_partitions=num_partitions)
+        labels = (
+            joined.map_batches(_relax_add, batch_format="pandas")
+            .groupby("dst")
+            .aggregate(Min("h2", alias_name="hops"))
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": pc.cast(t.column("dst"), pa.int64()),
+                     "hops": pc.cast(t.column("hops"), pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(num_partitions)
+            .materialize()
+        )
+    return labels
 
 
 def pagerank(

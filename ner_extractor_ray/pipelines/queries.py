@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 _ALNUM = re.compile(r"[a-z0-9]+")
 EMBED_DIM = 64  # testdata embeddings dim (TESTDATA.md tables)
@@ -808,6 +808,92 @@ def q_ngram_jaccard_neardup(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return _project_pairs(
         lsh_near_dup_pairs(ds, "text", "doc_id", shingle="word1", threshold=0.9)
+    )
+
+
+def q_setsim_neardup(sf_dir: str):
+    """EXACT set-similarity self-join (Jaccard ≥ 3/5 over word-3 shingle
+    sets) via hash-ordered prefix filtering — the deterministic complement
+    to the MinHash family: blocking is provably lossless under any global
+    shingle order, so the oracle is the plain all-pairs exact Jaccard SQL
+    (functions/dedup.setsim_join_pairs)."""
+    from ..functions.dedup import setsim_join_pairs
+
+    return setsim_join_pairs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        threshold_num=3, threshold_den=5, shingle="word3",
+    )
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Sub-document (paragraph-granular) exact dedup — the RefinedWeb/C4
+    pass that removes boilerplate chunks repeated ACROSS documents while
+    keeping the first occurrence. Paragraph := consecutive 10-token chunk
+    (the fixture corpus has no newlines). Plan: flat-map docs → (chunk md5,
+    packed keeper key) rows; ONE narrow groupby on the 32-char hash picks
+    each content's global keeper (min (doc_id, idx)); per-doc totals and
+    kept counts then meet through a side-tagged union + int-key groupby —
+    no join, no text ever crosses a shuffle. Output: (doc_id, n_chunks,
+    n_kept)."""
+    import hashlib
+
+    CH = 10
+    KEY_BASE = 1_000_000  # keeper key = doc_id * BASE + chunk_idx
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        o_doc, o_key, o_h = [], [], []
+        for did, s in zip(
+            pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            ws = [w for w in re.split(r"\s+", s or "") if w]
+            n_chunks = (len(ws) + CH - 1) // CH
+            if n_chunks >= KEY_BASE:
+                raise ValueError("document exceeds 10M tokens — widen KEY_BASE")
+            for i in range(n_chunks):
+                chunk = " ".join(ws[i * CH:(i + 1) * CH])
+                o_doc.append(did)
+                o_key.append(did * KEY_BASE + i)
+                o_h.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+        return pa.table(
+            {"doc_id": pa.array(o_doc, pa.int64()),
+             "key": pa.array(o_key, pa.int64()),
+             "h": pa.array(o_h, pa.string())}
+        )
+
+    chunked = ds.map_batches(chunks, batch_format="pyarrow")
+    keepers = chunked.groupby("h").aggregate(Min("key", alias_name="k"))
+
+    def totals(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": t.column("doc_id").to_pylist()})
+        g = df.groupby("doc_id", as_index=False).size()
+        return pa.table(
+            {"doc_id": pa.array(g["doc_id"], pa.int64()),
+             "n_chunks": pa.array(g["size"].astype("int64"), pa.int64()),
+             "n_kept": pa.array(np.zeros(len(g), np.int64), pa.int64())}
+        )
+
+    def kept(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chunks": pa.array([], pa.int64()),
+                             "n_kept": pa.array([], pa.int64())})
+        k = pc.cast(t.column("k"), pa.int64()).to_numpy()
+        df = pd.DataFrame({"doc_id": k // KEY_BASE})
+        g = df.groupby("doc_id", as_index=False).size()
+        return pa.table(
+            {"doc_id": pa.array(g["doc_id"], pa.int64()),
+             "n_chunks": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+             "n_kept": pa.array(g["size"].astype("int64"), pa.int64())}
+        )
+
+    return (
+        chunked.map_batches(totals, batch_format="pyarrow")
+        .union(keepers.map_batches(kept, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                   Sum("n_kept", alias_name="n_kept"))
     )
 
 
@@ -2339,6 +2425,16 @@ def q_graph_pagerank(sf_dir: str):
     return pagerank(_graph_edges(sf_dir, min_n=2).materialize(), n_iters=3)
 
 
+def q_graph_khop(sf_dir: str):
+    """Nodes within ≤ 3 hops of the min node of the min_n=2 co-purchase
+    graph, with exact min-hop distances — bounded-round distributed BFS
+    (k hash_join + Min rounds, functions/graph.khop_distances), the KG
+    neighborhood query. Replicated by 3 unrolled SQL CTEs."""
+    from ..functions.graph import khop_distances
+
+    return khop_distances(_graph_edges(sf_dir, min_n=2).materialize(), k=3)
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2411,22 +2507,21 @@ def queries() -> dict:
         "seq_packing": q_seq_packing,
         # -- dedup / similarity families ------------------------------------
         "exact_dedup": q_exact_dedup,
-        "normalized_dedup": q_normalized_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
         "minhash_neardup": q_minhash_neardup,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "simhash": q_simhash,
+        "setsim_neardup": q_setsim_neardup,
         "fuzzy_part_names": q_fuzzy_part_names,
         "knn_cosine": q_knn_cosine,
         "knn_ivf_full": q_knn_ivf_full,
         # -- text curation ---------------------------------------------------
         "word_freq": q_word_freq,
         "langid": q_langid,
-        "quality": q_quality,
         "fingerprint": q_fingerprint,
         "subword_counts": q_subword_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pmi_bigrams": q_pmi_bigrams,
-        "length_buckets": q_length_buckets,
         "decontamination": q_decontamination,
         "repetition_stats": q_repetition_stats,
         # -- sketches / graph --------------------------------------------------
@@ -2436,9 +2531,13 @@ def queries() -> dict:
         "graph_triangles": q_graph_triangles,
         "graph_components": q_graph_components,
         "graph_pagerank": q_graph_pagerank,
+        "graph_khop": q_graph_khop,
         # ---- position 51+: oracle-backed near-duplicates of in-window shapes
         # (still hash-checked by tests/test_queries_oracle.py) and the
         # plan/rows-only entries ------------------------------------------------
+        "normalized_dedup": q_normalized_dedup,
+        "quality": q_quality,
+        "length_buckets": q_length_buckets,
         "top_orders": q_top_orders,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
@@ -3062,6 +3161,29 @@ def oracle_sql() -> dict:
             SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node
         """,
         "graph_pagerank": _pagerank_sql(),
+        # 3 unrolled BFS relaxation rounds from the min node — each CTE is
+        # labels ∪ (neighbors, hops+1) reduced by MIN, exactly the
+        # hash_join + grouped-Min rounds of functions/graph.khop_distances
+        "graph_khop": f"""
+            WITH e AS ({_co_edges_sql(2)}),
+            sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+            seed AS (SELECT MIN(u) AS s FROM sym),
+            d0 AS (SELECT s AS node, 0 AS hops FROM seed),
+            d1 AS (SELECT node, MIN(hops) AS hops FROM (
+                     SELECT node, hops FROM d0
+                     UNION ALL SELECT sym.v, 1 FROM sym JOIN d0 ON sym.u = d0.node)
+                   GROUP BY node),
+            d2 AS (SELECT node, MIN(hops) AS hops FROM (
+                     SELECT node, hops FROM d1
+                     UNION ALL SELECT sym.v, d1.hops + 1
+                     FROM sym JOIN d1 ON sym.u = d1.node) GROUP BY node),
+            d3 AS (SELECT node, MIN(hops) AS hops FROM (
+                     SELECT node, hops FROM d2
+                     UNION ALL SELECT sym.v, d2.hops + 1
+                     FROM sym JOIN d2 ON sym.u = d2.node) GROUP BY node)
+            SELECT CAST(node AS BIGINT) AS node, CAST(hops AS BIGINT) AS hops
+            FROM d3
+        """,
         # the stopword-profile language heuristic is an argmax over four
         # occurrence counts — ties prefer the earlier profile (en,de,fr,es),
         # all-zero → 'und', exactly the lang_id() loop semantics
@@ -3192,6 +3314,57 @@ def oracle_sql() -> dict:
         # not pair-complete, by design)
         "minhash_neardup": _lsh_oracle_sql(_WORD3_SHINGLES, 0.8),
         "ngram_jaccard_neardup": _lsh_oracle_sql("ws", 0.9),
+        # EXACT set-similarity join: prefix-filter blocking is provably
+        # lossless (the order-smallest common shingle lies in both docs'
+        # prefixes whenever J >= t), so the oracle needs NO plan
+        # replication — it is the plain all-pairs exact Jaccard join with
+        # the identical integer threshold (ni*5 >= union*3) and ppm output
+        "setsim_neardup": f"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, sh FROM (
+                    SELECT doc_id, unnest({_WORD3_SHINGLES}) AS sh FROM toks)
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   CAST((ni * 1000000) // (za.n + zb.n - ni) AS BIGINT)
+                       AS jaccard_ppm
+            FROM inter i
+            JOIN sz za ON za.doc_id = i.id_a
+            JOIN sz zb ON zb.doc_id = i.id_b
+            WHERE ni * 5 >= (za.n + zb.n - ni) * 3
+        """,
+        # paragraph(10-token chunk)-granular exact dedup: keeper = min
+        # (doc_id, idx) per distinct chunk content; group by the chunk TEXT
+        # (the Ray plan groups its md5 — identical up to md5 collisions)
+        "paragraph_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id, i AS idx,
+                       array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
+                FROM toks, unnest(range(0, (len(ws)+9)//10)) AS t(i)
+            ),
+            keep AS (SELECT chunk, MIN(doc_id*1000000+idx) AS k
+                     FROM chunks GROUP BY chunk)
+            SELECT c.doc_id, COUNT(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN k.k = c.doc_id*1000000+c.idx
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM chunks c JOIN keep k ON k.chunk = c.chunk
+            GROUP BY c.doc_id
+        """,
         # greedy WordPiece replicated with a hash-joined longest-match table
         # + recursive chain-following CTE
         "subword_counts": _wordpiece_oracle_sql(),
