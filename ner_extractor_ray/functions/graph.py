@@ -422,6 +422,176 @@ def khop_distances(
     return labels
 
 
+def common_neighbor_pairs(
+    edges_ds: "ray.data.Dataset",
+    *,
+    min_common: int = 2,
+    max_degree: int | None = None,
+) -> "ray.data.Dataset":
+    """Link prediction by common-neighbor counts: all NON-adjacent node
+    pairs (a, b), a < b, sharing ≥ ``min_common`` neighbors → (id_a, id_b,
+    common_neighbors). In a KG this is the candidate-generation step for
+    entity merging / missing-edge suggestion.
+
+    Plan: wedges are enumerated where they are generated — symmetrized
+    edges co-locate by CENTER node (coarse src-hash buckets, one Ray group
+    per bucket not per node), a vectorized pandas self-merge emits each
+    center's neighbor pairs, and pair counts are pre-aggregated inside the
+    bucket before the global groupby on the packed uint64 pair key. The
+    adjacency exclusion is a side-tagged union on the same packed key
+    (candidates carry is_edge=0, edges is_edge=1; keep groups whose edge
+    flag sums to 0) — no join, 16 B/row shuffle.
+
+    Σ deg² hazard: wedge count is quadratic in hub degree. ``max_degree``
+    (None = exact) drops CENTERS above the cap before emission — the
+    standard web-graph mitigation (hub centers connect everything to
+    everything and carry no linking signal); the SQL oracle is only exact
+    for the default None.
+    """
+    P = _compact_blocks()
+
+    def _sym(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("u"), pa.int64()).to_numpy()
+        v = pc.cast(t.column("v"), pa.int64()).to_numpy()
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64()),
+             "__part": pa.array(src % P, pa.int64())}
+        )
+
+    def bucket_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        if max_degree is not None:
+            deg = g.groupby("src")["dst"].transform("size")
+            g = g[deg <= max_degree]
+        if g.empty:
+            return pd.DataFrame({"k": pd.Series([], dtype="uint64"),
+                                 "cn": pd.Series([], dtype="int64")})
+        m = g.merge(g, on="src", suffixes=("_a", "_b"))
+        m = m[m["dst_a"] < m["dst_b"]]
+        out = (
+            m.groupby(["dst_a", "dst_b"], as_index=False, sort=False)
+            .size()
+        )
+        k = _encode_pair(out["dst_a"].to_numpy(np.int64),
+                         out["dst_b"].to_numpy(np.int64))
+        return pd.DataFrame({"k": k, "cn": out["size"].astype("int64")})
+
+    cand = (
+        edges_ds.map_batches(_sym, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(bucket_wedges, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(is_edge=np.zeros(len(df), np.int64)),
+            batch_format="pandas",
+        )
+    )
+
+    def _edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(dtype=np.int64)
+        v = df["v"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"k": _encode_pair(u, v),
+             "cn": np.zeros(len(u), np.int64),
+             "is_edge": np.ones(len(u), np.int64)}
+        )
+
+    edge_tag = edges_ds.map_batches(_edge_keys, batch_format="pandas")
+    merged = (
+        cand.union(edge_tag)
+        .groupby("k")
+        .aggregate(Sum("cn", alias_name="cn"), Sum("is_edge", alias_name="is_edge"))
+    )
+
+    m = int(min_common)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "common_neighbors": pd.Series([], dtype="int64")})
+        df = df[(df["is_edge"] == 0) & (df["cn"] >= m)]
+        k = df["k"].to_numpy(np.uint64)
+        return pd.DataFrame(
+            {"id_a": (k >> np.uint64(32)).astype(np.int64),
+             "id_b": (k & np.uint64(0xFFFFFFFF)).astype(np.int64),
+             "common_neighbors": df["cn"].to_numpy(np.int64)}
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def kcore_peel(
+    edges_ds: "ray.data.Dataset",
+    *,
+    k: int = 2,
+    rounds: int = 3,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """``rounds`` peel iterations toward the k-core: each round drops every
+    node whose CURRENT degree is < k, then the edges touching it. Output:
+    (node, degree) over the surviving subgraph. Bounded rounds (not
+    iterate-to-convergence) keep the operator exactly replicable by
+    ``rounds`` unrolled SQL CTEs and give a fixed cost bound at scale — the
+    full k-core is the fixpoint, reached when a round removes nothing.
+
+    Each round = one node-sized degree aggregate + two partitioned
+    hash_joins (semi-join edges on surviving u, then surviving v). Edges are
+    never broadcast and never leave the partitioned path; the keep table is
+    node-sized. Early-exits when the edge set empties.
+    """
+    num_partitions = num_partitions or _compact_blocks()
+
+    def _uv(t: pa.Table) -> pa.Table:
+        return pa.table({"u": pc.cast(t.column("u"), pa.int64()),
+                         "v": pc.cast(t.column("v"), pa.int64())})
+
+    def _norm(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return df[["u", "v"]].astype("int64")
+
+    def _empty_out() -> "ray.data.Dataset":
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                        "degree": pa.array([], pa.int64())}))
+
+    kk = int(k)
+    cur = edges_ds.map_batches(_uv, batch_format="pyarrow").materialize()
+    for _ in range(rounds):
+        if cur.count() == 0:
+            return _empty_out()
+        keep = degree_table(cur).map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                pc.cast(t.column("degree"), pa.int64()), kk)),
+            batch_format="pyarrow",
+        ).materialize()
+        if keep.count() == 0:
+            return _empty_out()
+        ku = keep.map_batches(
+            lambda t: pa.table({"u": pc.cast(t.column("node"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        kv = keep.map_batches(
+            lambda t: pa.table({"v": pc.cast(t.column("node"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        cur = (
+            hash_join(
+                hash_join(cur, ku, on=("u",), num_partitions=num_partitions),
+                kv, on=("v",), num_partitions=num_partitions,
+            )
+            .map_batches(_norm, batch_format="pandas")
+            .materialize()
+        )
+    if cur.count() == 0:
+        return _empty_out()
+    return degree_table(cur)
+
+
 def pagerank(
     edges_ds: "ray.data.Dataset",
     *,

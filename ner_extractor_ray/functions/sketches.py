@@ -147,3 +147,97 @@ def hll_estimate(registers: "pd.DataFrame | pa.Table") -> float:
     if raw <= 2.5 * HLL_M and zeros:
         return HLL_M * float(np.log(HLL_M / zeros))
     return float(raw)
+
+
+def heavy_hitters_exact(
+    items_ds: "ray.data.Dataset",
+    col: str,
+    *,
+    capacity: int = 40,
+) -> "ray.data.Dataset":
+    """EXACT φ-heavy hitters (φ = 1/(capacity+1)): every value whose global
+    count satisfies ``cnt · (capacity+1) > N`` with its exact count — the
+    Misra–Gries / SpaceSaving two-phase shape that avoids a full
+    vocabulary-wide shuffle at 100 TB.
+
+    Phase 1 (candidates): each batch counts locally and emits only its TOP
+    ``capacity`` values (count desc, value asc tiebreak). Misra–Gries
+    guarantee by pigeonhole: if globally cnt > N/(capacity+1) then some
+    batch has local cnt > n_batch/(capacity+1), and at most ``capacity``
+    values can exceed that bound in one batch, so every global heavy hitter
+    appears in SOME batch's top-``capacity`` — a superset with NO false
+    negatives, ≤ capacity × num_batches rows total, independent of
+    vocabulary size. The candidate set is collected (bounded) and broadcast.
+
+    Phase 2 (exact verify): one more pass counts ONLY candidate values
+    (row-local membership filter, then a candidate-sized groupby) and the
+    batch-level item total rides the same union as a tagged marker row —
+    the final filter is exact integer ``cnt·(capacity+1) > N``. The output
+    is therefore independent of batch boundaries (phase-1 candidates may
+    vary with partitioning; the verified output cannot), and the SQL oracle
+    is the plain ``HAVING cnt*(C+1) > N`` — no plan replication.
+    """
+    import ray as _ray
+
+    C = int(capacity)
+
+    def top_c(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.string())})
+        df = pd.DataFrame({"v": t.column(col).to_pylist()})
+        g = df.groupby("v", as_index=False).size()
+        g = g.sort_values(["size", "v"], ascending=[False, True]).head(C)
+        return pa.table({"v": pa.array(g["v"].astype(str), pa.string())})
+
+    cand_rows = (
+        items_ds.map_batches(top_c, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Max("v", alias_name="_m"))  # distinct-by-groupby
+    )
+    # distinct candidate values, bounded by capacity x num_batches
+    cands = set()
+    for b in cand_rows.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        cands.update(b.column("v").to_pylist())
+    cref = _ray.put(cands)
+
+    _TOTAL = "\x00__total__"
+
+    def count_cands(t: pa.Table) -> pa.Table:
+        cs = ray.get(cref)
+        vals = [str(v) for v in t.column(col).to_pylist()]
+        n = len(vals)
+        local: dict[str, int] = {}
+        for v in vals:
+            if v in cs:
+                local[v] = local.get(v, 0) + 1
+        keys = sorted(local)
+        return pa.table(
+            {"v": pa.array(keys + [_TOTAL], pa.string()),
+             "cnt": pa.array([local[k] for k in keys] + [n], pa.int64())}
+        )
+
+    counted = (
+        items_ds.map_batches(count_cands, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    total = 0
+    for b in counted.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        mask = pc.equal(b.column("v"), _TOTAL)
+        if pc.any(mask).as_py():
+            total = int(b.filter(mask).column("cnt")[0].as_py())
+            break
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(t.column("v"), _TOTAL),
+            pc.greater(pc.multiply(pc.cast(t.column("cnt"), pa.int64()),
+                                   pa.scalar(C + 1, pa.int64())),
+                       pa.scalar(total, pa.int64())),
+        )
+        out = t.filter(keep)
+        return pa.table({"word": out.column("v"),
+                         "cnt": pc.cast(out.column("cnt"), pa.int64())})
+
+    return counted.map_batches(finish, batch_format="pyarrow")

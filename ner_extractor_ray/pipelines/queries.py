@@ -2435,6 +2435,107 @@ def q_graph_khop(sf_dir: str):
     return khop_distances(_graph_edges(sf_dir, min_n=2).materialize(), k=3)
 
 
+def q_link_predict(sf_dir: str):
+    """Link prediction on the co-purchase graph: non-adjacent node pairs
+    sharing ≥ 2 common neighbors (functions/graph.common_neighbor_pairs) —
+    bucketed wedge enumeration + side-tagged adjacency exclusion, the KG
+    missing-edge / entity-merge candidate generator."""
+    from ..functions.graph import common_neighbor_pairs
+
+    return common_neighbor_pairs(
+        _graph_edges(sf_dir, min_n=2).materialize(), min_common=2
+    )
+
+
+def q_kcore(sf_dir: str):
+    """3 peel rounds toward the 2-core of the co-purchase graph →
+    (node, degree) of the surviving subgraph (functions/graph.kcore_peel).
+    Replicated by 3 unrolled SQL CTE rounds."""
+    from ..functions.graph import kcore_peel
+
+    return kcore_peel(_graph_edges(sf_dir, min_n=2).materialize(), k=2, rounds=3)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact φ-heavy-hitter words (φ = 1/41) of the corpus via the
+    Misra–Gries two-phase plan: per-batch top-C candidate generation (no
+    vocabulary-wide shuffle), broadcast candidates, one exact verify pass
+    (functions/sketches.heavy_hitters_exact). Output independent of batch
+    boundaries, so the oracle is the plain HAVING cnt*41 > N."""
+    from ..functions.sketches import heavy_hitters_exact
+
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        out: list[str] = []
+        for s in t.column("text").to_pylist():
+            out.extend(_ALNUM.findall((s or "").lower()))
+        return pa.table({"w": pa.array(out, pa.string())})
+
+    return heavy_hitters_exact(
+        ds.map_batches(words, batch_format="pyarrow"), "w", capacity=40
+    )
+
+
+def q_snapshot_delta(sf_dir: str):
+    """Incremental snapshot diff — the resumable-pipeline primitive that
+    classifies every key as added / removed / changed between two table
+    versions (derived deterministically from ``orders``: 'old' drops keys
+    ≡3 mod 10, 'new' drops keys ≡7 and bumps the price of keys ≡5). Plan:
+    ONE read, each row emits its side-tagged (key, side, rowhash) rows, one
+    narrow int-only groupby classifies — no join, unchanged keys are
+    filtered before any driver materialization. rowhash is the exact
+    integer cents*4+status_code, so SQL computes it bit-identically."""
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def sides(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy()
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        st = np.asarray(t.column("o_orderstatus").to_pylist())
+        sc = np.where(st == "F", 0, np.where(st == "O", 1, 2)).astype(np.int64)
+        h = cents * 4 + sc
+        h_new = (cents + np.where(k % 10 == 5, 100, 0)) * 4 + sc
+        old_m = k % 10 != 3
+        new_m = k % 10 != 7
+        return pa.table(
+            {"o_orderkey": pa.array(
+                np.concatenate([k[old_m], k[new_m]]), pa.int64()),
+             "side": pa.array(
+                np.concatenate([np.full(old_m.sum(), 1, np.int64),
+                                np.full(new_m.sum(), 2, np.int64)]), pa.int64()),
+             "h": pa.array(np.concatenate([h[old_m], h_new[new_m]]), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(sides, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Count(alias_name="n"), Sum("side", alias_name="s"),
+                   Min("h", alias_name="hmin"), Max("h", alias_name="hmax"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.int64()).to_numpy()
+        s = pc.cast(t.column("s"), pa.int64()).to_numpy()
+        hmin = pc.cast(t.column("hmin"), pa.int64()).to_numpy()
+        hmax = pc.cast(t.column("hmax"), pa.int64()).to_numpy()
+        status = np.where(
+            n == 1,
+            np.where(s == 2, "added", "removed"),
+            np.where(hmin != hmax, "changed", ""),
+        )
+        keep = status != ""
+        return pa.table(
+            {"o_orderkey": pa.array(
+                pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy()[keep],
+                pa.int64()),
+             "status": pa.array(status[keep], pa.string())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2487,17 +2588,14 @@ def queries() -> dict:
         "customers_with_orders": q_customers_with_orders,
         "bloom_semi_orders": q_bloom_semi_orders,
         "nations_without_suppliers": q_nations_without_suppliers,
-        "nations_overlap": q_nations_overlap,
-        "orders_above_avg": q_orders_above_avg,
+        "snapshot_delta": q_snapshot_delta,
         "orders_rollup": q_orders_rollup,
         "distinct_users_per_type": q_distinct_users_per_type,
         "events_pivot": q_events_pivot,
         "value_median": q_value_median,
         # -- window / stream shapes ----------------------------------------
         "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
         "user_sessions": q_user_sessions,
-        "running_total": q_running_total,
         "top_event_per_user": q_top_event_per_user,
         "click_after_purchase": q_click_after_purchase,
         "purchase_clicks_window": q_purchase_clicks_window,
@@ -2517,6 +2615,7 @@ def queries() -> dict:
         "knn_ivf_full": q_knn_ivf_full,
         # -- text curation ---------------------------------------------------
         "word_freq": q_word_freq,
+        "heavy_hitters": q_heavy_hitters,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "subword_counts": q_subword_counts,
@@ -2532,9 +2631,15 @@ def queries() -> dict:
         "graph_components": q_graph_components,
         "graph_pagerank": q_graph_pagerank,
         "graph_khop": q_graph_khop,
+        "link_predict": q_link_predict,
+        "kcore": q_kcore,
         # ---- position 51+: oracle-backed near-duplicates of in-window shapes
         # (still hash-checked by tests/test_queries_oracle.py) and the
         # plan/rows-only entries ------------------------------------------------
+        "nations_overlap": q_nations_overlap,
+        "orders_above_avg": q_orders_above_avg,
+        "events_sliding": q_events_sliding,
+        "running_total": q_running_total,
         "normalized_dedup": q_normalized_dedup,
         "quality": q_quality,
         "length_buckets": q_length_buckets,
@@ -3183,6 +3288,84 @@ def oracle_sql() -> dict:
                      FROM sym JOIN d2 ON sym.u = d2.node) GROUP BY node)
             SELECT CAST(node AS BIGINT) AS node, CAST(hops AS BIGINT) AS hops
             FROM d3
+        """,
+        # wedge join through shared centers, adjacency excluded — the plain
+        # relational statement of common_neighbor_pairs' bucketed plan
+        "link_predict": f"""
+            WITH e AS ({_co_edges_sql(2)}),
+            sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+            w AS (
+                SELECT s1.v AS id_a, s2.v AS id_b,
+                       CAST(COUNT(*) AS BIGINT) AS common_neighbors
+                FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, common_neighbors FROM w
+            WHERE common_neighbors >= 2
+              AND NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.u = w.id_a AND e.v = w.id_b)
+        """,
+        # 3 unrolled peel rounds: degree → keep(deg>=2) → edge semi-join,
+        # exactly kcore_peel's degree_table + two hash_join rounds
+        "kcore": f"""
+            WITH e0 AS (SELECT u, v FROM ({_co_edges_sql(2)})),
+            d1 AS (SELECT node, COUNT(*) AS deg FROM
+                     (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+                   GROUP BY node),
+            e1 AS (SELECT u, v FROM e0
+                   WHERE u IN (SELECT node FROM d1 WHERE deg >= 2)
+                     AND v IN (SELECT node FROM d1 WHERE deg >= 2)),
+            d2 AS (SELECT node, COUNT(*) AS deg FROM
+                     (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+                   GROUP BY node),
+            e2 AS (SELECT u, v FROM e1
+                   WHERE u IN (SELECT node FROM d2 WHERE deg >= 2)
+                     AND v IN (SELECT node FROM d2 WHERE deg >= 2)),
+            d3 AS (SELECT node, COUNT(*) AS deg FROM
+                     (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+                   GROUP BY node),
+            e3 AS (SELECT u, v FROM e2
+                   WHERE u IN (SELECT node FROM d3 WHERE deg >= 2)
+                     AND v IN (SELECT node FROM d3 WHERE deg >= 2))
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+            GROUP BY node
+        """,
+        # heavy_hitters_exact's verified output is batch-independent, so the
+        # oracle is the plain global threshold — no plan replication
+        "heavy_hitters": """
+            WITH w AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS word
+                FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS n FROM w),
+            c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM w GROUP BY word)
+            SELECT word, cnt FROM c, tot WHERE cnt * 41 > tot.n
+        """,
+        # the two snapshots derive deterministically from orders; the exact
+        # integer rowhash (cents*4 + status_code) makes 'changed' replicable
+        "snapshot_delta": """
+            WITH base AS (
+                SELECT o_orderkey AS k,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+                       CASE o_orderstatus WHEN 'F' THEN 0
+                                          WHEN 'O' THEN 1 ELSE 2 END AS sc
+                FROM orders
+            ),
+            oldv AS (SELECT k, c * 4 + sc AS h FROM base WHERE k % 10 != 3),
+            newv AS (SELECT k,
+                            (c + CASE WHEN k % 10 = 5 THEN 100 ELSE 0 END)
+                                * 4 + sc AS h
+                     FROM base WHERE k % 10 != 7)
+            SELECT CAST(COALESCE(o.k, n.k) AS BIGINT) AS o_orderkey,
+                   CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM oldv o FULL OUTER JOIN newv n ON o.k = n.k
+            WHERE o.k IS NULL OR n.k IS NULL OR o.h <> n.h
         """,
         # the stopword-profile language heuristic is an argmax over four
         # occurrence counts — ties prefer the earlier profile (en,de,fr,es),

@@ -131,3 +131,49 @@ def test_encode_pair_raises_on_wide_ids():
     with pytest.raises(ValueError):
         _encode_pair(np.array([1 << 32], dtype=np.int64),
                      np.array([1], dtype=np.int64))
+
+
+def test_common_neighbor_pairs_excludes_adjacent():
+    from ner_extractor_ray.functions.graph import common_neighbor_pairs
+
+    # square 1-2-4-3-1: (1,4) and (2,3) are the diagonals, each sharing the
+    # two opposite corners; adjacent pairs must NOT appear even when they
+    # share neighbors (add 5 adjacent to both 1 and 2, and edge 1-2)
+    g = _edges([(1, 2), (1, 3), (2, 4), (3, 4), (1, 5), (2, 5)])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["common_neighbors"])
+        for r in common_neighbor_pairs(g, min_common=1).take_all()
+    )
+    # 1-2 adjacent (share 5) -> excluded; (1,4): via 2,3; (2,3): via 1,4;
+    # (3,5): via 1; (4,5): via 2
+    assert got == [(1, 4, 2), (2, 3, 2), (3, 5, 1), (4, 5, 1)]
+    got2 = sorted(
+        (r["id_a"], r["id_b"])
+        for r in common_neighbor_pairs(g, min_common=2).take_all()
+    )
+    assert got2 == [(1, 4), (2, 3)]
+
+
+def test_common_neighbor_pairs_degree_cap_drops_hub_centers():
+    from ner_extractor_ray.functions.graph import common_neighbor_pairs
+
+    # star: hub 1 connected to 2..6 — every leaf pair shares only the hub
+    g = _edges([(1, x) for x in range(2, 7)])
+    assert common_neighbor_pairs(g, min_common=1, max_degree=3).take_all() == []
+    full = common_neighbor_pairs(g, min_common=1).take_all()
+    assert len(full) == 10  # C(5,2) leaf pairs via the hub
+
+
+def test_kcore_peel_rounds():
+    from ner_extractor_ray.functions.graph import kcore_peel
+
+    # triangle 1-2-3 plus a pendant path 3-4-5: round 1 drops 5, round 2
+    # drops 4; the triangle survives with degree 2 everywhere
+    g = _edges([(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)])
+    got = sorted((r["node"], r["degree"]) for r in kcore_peel(g, k=2, rounds=3).take_all())
+    assert got == [(1, 2), (2, 2), (3, 2)]
+    # k=3: nothing survives (max degree in any subgraph < 3 after peeling)
+    assert kcore_peel(g, k=3, rounds=3).take_all() == []
+    # one round only: just node 5's edge is gone, 4 still present
+    got1 = sorted((r["node"], r["degree"]) for r in kcore_peel(g, k=2, rounds=1).take_all())
+    assert got1 == [(1, 2), (2, 2), (3, 3), (4, 1)]

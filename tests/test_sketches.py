@@ -78,3 +78,38 @@ def test_hll_partition_invariance():
     assert one.sort_values("bucket").reset_index(drop=True).equals(
         many.sort_values("bucket").reset_index(drop=True)
     )
+
+
+def test_heavy_hitters_exact_planted_skew():
+    """Zipf-ish planted counts with a TINY capacity: candidates must include
+    every true φ-heavy hitter regardless of batch boundaries, and the
+    verified output must equal brute force exactly."""
+    import ray.data
+
+    from ner_extractor_ray.functions.sketches import heavy_hitters_exact
+
+    # 3 heavy values among 50 light ones; N = 300+200+100 + 50*4 = 800
+    items = (["hot"] * 300 + ["warm"] * 200 + ["mild"] * 100
+             + [f"light{i}" for i in range(50)] * 4)
+    # deterministic interleave so heavies are spread across blocks
+    items = [items[i] for i in range(0, len(items), 7)] + \
+            [items[i] for i in range(len(items)) if i % 7 != 0]
+    ds = ray.data.from_items([{"w": w} for w in items]).repartition(8)
+    C = 4  # phi = 1/5: threshold cnt*5 > 800 -> cnt >= 161 -> hot, warm
+    got = {r["word"]: r["cnt"]
+           for r in heavy_hitters_exact(ds, "w", capacity=C).take_all()}
+    assert got == {"hot": 300, "warm": 200}
+
+
+def test_heavy_hitters_threshold_boundary():
+    """cnt*(C+1) must be strictly greater than N: a value at exactly N/(C+1)
+    is NOT a heavy hitter."""
+    import ray.data
+
+    from ner_extractor_ray.functions.sketches import heavy_hitters_exact
+
+    # N=50, C=4 -> threshold cnt*5 > 50 -> cnt > 10; plant one at exactly 10
+    items = ["edge"] * 10 + ["big"] * 20 + [f"x{i}" for i in range(20)]
+    ds = ray.data.from_items([{"w": w} for w in items]).repartition(4)
+    got = {r["word"] for r in heavy_hitters_exact(ds, "w", capacity=4).take_all()}
+    assert got == {"big"}
