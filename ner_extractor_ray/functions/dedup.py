@@ -76,6 +76,47 @@ def with_simhash(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _pair_texts_joined(
+    cands: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+) -> "ray.data.Dataset":
+    """At-scale text attach for a candidate-pair table: (id_a, id_b) →
+    (id_a, id_b, text_a, text_b) via a Bloom semi-join prefilter (no false
+    negatives — only candidate docs' texts leave the corpus scan) and two
+    partitioned hash joins. Shared by the LSH and exact set-similarity
+    verifiers; never materializes any text on the driver."""
+    import ray as _ray
+
+    from .bloom import build_bloom, semi_join_prefilter
+    from ..stages.joins import hash_join
+
+    cand_ids = cands.map_batches(
+        lambda t: pa.table(
+            {"cid": pa.concat_arrays(
+                [pc.cast(t.column("id_a"), pa.int64()).combine_chunks(),
+                 pc.cast(t.column("id_b"), pa.int64()).combine_chunks()])}
+        ),
+        batch_format="pyarrow",
+    )
+    bloom_ref = _ray.put(build_bloom(cand_ids, "cid"))
+    docs_f = semi_join_prefilter(
+        docs.select_columns([id_col, text_col]), id_col, bloom_ref
+    )
+    ta = docs_f.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t.column(id_col), pa.int64()),
+                            "text_a": t.column(text_col)}),
+        batch_format="pyarrow",
+    )
+    tb = docs_f.map_batches(
+        lambda t: pa.table({"id_b": pc.cast(t.column(id_col), pa.int64()),
+                            "text_b": t.column(text_col)}),
+        batch_format="pyarrow",
+    )
+    return hash_join(hash_join(cands, ta, on=("id_a",)), tb, on=("id_b",))
+
+
 def lsh_near_dup_pairs(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -303,31 +344,7 @@ def lsh_near_dup_pairs(
 
         return cands.map_batches(verify_bc, batch_format="pandas")
 
-    from .bloom import build_bloom, semi_join_prefilter
-
-    cand_ids = cands.map_batches(
-        lambda t: pa.table(
-            {"cid": pa.concat_arrays(
-                [pc.cast(t.column("id_a"), pa.int64()).combine_chunks(),
-                 pc.cast(t.column("id_b"), pa.int64()).combine_chunks()])}
-        ),
-        batch_format="pyarrow",
-    )
-    bloom_ref = _ray.put(build_bloom(cand_ids, "cid"))
-    docs_f = semi_join_prefilter(docs, id_col, bloom_ref)
-    ta = docs_f.map_batches(
-        lambda t: pa.table({"id_a": pc.cast(t.column(id_col), pa.int64()),
-                            "text_a": t.column(text_col)}),
-        batch_format="pyarrow",
-    )
-    tb = docs_f.map_batches(
-        lambda t: pa.table({"id_b": pc.cast(t.column(id_col), pa.int64()),
-                            "text_b": t.column(text_col)}),
-        batch_format="pyarrow",
-    )
-    from ..stages.joins import hash_join
-
-    joined = hash_join(hash_join(cands, ta, on=("id_a",)), tb, on=("id_b",))
+    joined = _pair_texts_joined(cands, docs, id_col, text_col)
 
     # Phase 4 — exact Jaccard verification on the candidate pairs (identical
     # semantics to the in-bucket verify of the text-shuffling plan)
@@ -377,6 +394,12 @@ def setsim_join_pairs(
     (id_a, id_b, jaccard_ppm), id_a < id_b, ids must be < 2^32 (pair-key
     packing, as lsh_near_dup_pairs). Docs with EMPTY shingle sets are
     excluded (Jaccard undefined), matching SQL's empty unnest.
+
+    Verify text fetch is size-gated like lsh_near_dup_pairs: candidate-doc
+    ids ≤ ``broadcast_limit`` → broadcast id set + map-side text map; above
+    it → Bloom semi-join prefilter + two partitioned hash joins
+    (:func:`_pair_texts_joined`) so no text ever reaches the driver. Both
+    plans produce identical output (tested with broadcast_limit=0).
     """
     import ray as _ray
 
@@ -473,17 +496,50 @@ def setsim_join_pairs(
 
         return _rd.from_arrow(_empty_out())
 
+    def _verify_pair(ia, ib, txa, txb, memo, a, b, ppm):
+        sa = memo.get(ia)
+        if sa is None:
+            sa = memo[ia] = set(shingler(txa or ""))
+        sb = memo.get(ib)
+        if sb is None:
+            sb = memo[ib] = set(shingler(txb or ""))
+        ni = len(sa & sb)
+        union = len(sa) + len(sb) - ni
+        if union and ni * threshold_den >= union * threshold_num:
+            a.append(int(ia))
+            b.append(int(ib))
+            ppm.append((ni * 1_000_000) // union)
+
+    def _ppm_df(a, b, ppm) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id_a": pd.Series(a, dtype="int64"),
+             "id_b": pd.Series(b, dtype="int64"),
+             "jaccard_ppm": pd.Series(ppm, dtype="int64")}
+        )
+
     cid_set = set()
     for b in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
         cid_set.update(b.column("id_a").to_pylist())
         cid_set.update(b.column("id_b").to_pylist())
+        if len(cid_set) > broadcast_limit:
+            break
     if len(cid_set) > broadcast_limit:
-        # at-scale verify: same Bloom + partitioned hash-join text fetch as
-        # lsh_near_dup_pairs; the fixtures stay far below the limit
-        raise NotImplementedError(
-            "setsim verify above broadcast_limit: reuse the "
-            "lsh_near_dup_pairs Bloom + hash_join text plan"
-        )
+        # at-scale verify: the same Bloom-prefilter + two partitioned
+        # hash-join text attach as lsh_near_dup_pairs — texts ride the
+        # partitioned path, nothing corpus-sized touches the driver
+        joined = _pair_texts_joined(cands, ds, id_col, text_col)
+
+        def verify_joined(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "text_a" not in df.columns:
+                return _ppm_df([], [], [])
+            memo: dict = {}
+            a, b, ppm = [], [], []
+            for ia, ib, txa, txb in zip(df["id_a"], df["id_b"],
+                                        df["text_a"], df["text_b"]):
+                _verify_pair(ia, ib, txa, txb, memo, a, b, ppm)
+            return _ppm_df(a, b, ppm)
+
+        return joined.map_batches(verify_joined, batch_format="pandas")
     idref = _ray.put(cid_set)
 
     def pick_texts(t: pa.Table) -> pa.Table:
@@ -507,23 +563,9 @@ def setsim_join_pairs(
         memo: dict = {}
         a, b, ppm = [], [], []
         for ia, ib in zip(df["id_a"], df["id_b"]):
-            sa = memo.get(ia)
-            if sa is None:
-                sa = memo[ia] = set(shingler(tm.get(int(ia)) or ""))
-            sb = memo.get(ib)
-            if sb is None:
-                sb = memo[ib] = set(shingler(tm.get(int(ib)) or ""))
-            ni = len(sa & sb)
-            union = len(sa) + len(sb) - ni
-            if union and ni * threshold_den >= union * threshold_num:
-                a.append(int(ia))
-                b.append(int(ib))
-                ppm.append((ni * 1_000_000) // union)
-        return pd.DataFrame(
-            {"id_a": pd.Series(a, dtype="int64"),
-             "id_b": pd.Series(b, dtype="int64"),
-             "jaccard_ppm": pd.Series(ppm, dtype="int64")}
-        )
+            _verify_pair(ia, ib, tm.get(int(ia)), tm.get(int(ib)),
+                         memo, a, b, ppm)
+        return _ppm_df(a, b, ppm)
 
     return cands.map_batches(verify, batch_format="pandas")
 

@@ -2435,6 +2435,124 @@ def q_graph_khop(sf_dir: str):
     return khop_distances(_graph_edges(sf_dir, min_n=2).materialize(), k=3)
 
 
+def q_domain_dup_rate(sf_dir: str):
+    """Per-domain (source) exact-duplicate rate — the web-crawl health
+    metric: for every source, how many of its docs are byte-identical to an
+    earlier doc anywhere in the corpus (keeper = global min doc_id per md5).
+    Plan: one narrow (md5, source, doc_id) shuffle co-located by COARSE
+    hash-buckets (every doc with the same md5 lands in one bucket, groups
+    stay cluster-sized); keeper resolution and per-source partial counts
+    happen inside the bucket, then ONE tiny per-source groupby. No join, no
+    text after the first map."""
+    import hashlib
+
+    P = 64
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        hs = [hashlib.md5((s or "").encode("utf-8")).hexdigest() for s in texts]
+        hb = np.array([int(h[:8], 16) for h in hs], np.int64)
+        return pa.table(
+            {"h": pa.array(hs, pa.string()),
+             "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "source": t.column("source"),
+             "__part": pa.array(hb % P, pa.int64())}
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = g.groupby("h")["doc_id"].transform("min")
+        g = g.assign(is_dup=(g["doc_id"] != keeper).astype("int64"))
+        out = g.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_dups=("is_dup", "sum"))
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(hashed, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_dups", alias_name="n_dups"))
+    )
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-doc out-of-vocabulary rate (integer ppm) against the corpus's own
+    φ-frequent vocabulary (cnt·41 > N, the scale-free heavy-hitter
+    threshold) — the CCNet-style lexical quality score. Pass 1 aggregates
+    word counts and the token total (tagged marker row on the same narrow
+    groupby), filters the vocabulary DISTRIBUTED (before any driver
+    collect), broadcasts the bounded result; pass 2 scores each doc
+    row-locally."""
+    import ray as _ray
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    _TOTAL = "\x00__total__"
+
+    def wcounts(t: pa.Table) -> pa.Table:
+        local: dict[str, int] = {}
+        n = 0
+        for s in t.column("text").to_pylist():
+            ws = _ALNUM.findall((s or "").lower())
+            n += len(ws)
+            for w in ws:
+                local[w] = local.get(w, 0) + 1
+        keys = sorted(local)
+        return pa.table(
+            {"w": pa.array(keys + [_TOTAL], pa.string()),
+             "cnt": pa.array([local[k] for k in keys] + [n], pa.int64())}
+        )
+
+    counted = (
+        ds.map_batches(wcounts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    total = 0
+    for b in counted.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        m = pc.equal(b.column("w"), _TOTAL)
+        if pc.any(m).as_py():
+            total = int(b.filter(m).column("cnt")[0].as_py())
+            break
+
+    def vocab_filter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(t.column("w"), _TOTAL),
+            pc.greater(pc.multiply(pc.cast(t.column("cnt"), pa.int64()),
+                                   pa.scalar(41, pa.int64())),
+                       pa.scalar(total, pa.int64())),
+        )
+        return pa.table({"w": t.filter(keep).column("w")})
+
+    vocab: set[str] = set()
+    for b in counted.map_batches(vocab_filter, batch_format="pyarrow") \
+                    .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        vocab.update(b.column("w").to_pylist())
+    vref = _ray.put(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_pylist()
+        o_id, o_n, o_ppm = [], [], []
+        for i, s in zip(ids, t.column("text").to_pylist()):
+            ws = _ALNUM.findall((s or "").lower())
+            n = len(ws)
+            oov = sum(1 for w in ws if w not in vs)
+            o_id.append(i)
+            o_n.append(n)
+            o_ppm.append((oov * 1_000_000) // n if n else 0)
+        return pa.table(
+            {"doc_id": pa.array(o_id, pa.int64()),
+             "n_tokens": pa.array(o_n, pa.int64()),
+             "oov_ppm": pa.array(o_ppm, pa.int64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def q_link_predict(sf_dir: str):
     """Link prediction on the co-purchase graph: non-adjacent node pairs
     sharing ≥ 2 common neighbors (functions/graph.common_neighbor_pairs) —
@@ -2636,6 +2754,8 @@ def queries() -> dict:
         # ---- position 51+: oracle-backed near-duplicates of in-window shapes
         # (still hash-checked by tests/test_queries_oracle.py) and the
         # plan/rows-only entries ------------------------------------------------
+        "domain_dup_rate": q_domain_dup_rate,
+        "oov_rate": q_oov_rate,
         "nations_overlap": q_nations_overlap,
         "orders_above_avg": q_orders_above_avg,
         "events_sliding": q_events_sliding,
@@ -3331,6 +3451,42 @@ def oracle_sql() -> dict:
                    CAST(COUNT(*) AS BIGINT) AS degree
             FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
             GROUP BY node
+        """,
+        # keeper = global min doc_id per md5; per-source dup attribution —
+        # the Ray plan resolves keepers inside coarse md5-hash buckets
+        "domain_dup_rate": """
+            WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+            k AS (SELECT h, MIN(doc_id) AS keeper FROM h GROUP BY h)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN h.doc_id != k.keeper
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+            FROM h JOIN k USING (h) GROUP BY source
+        """,
+        # vocabulary = phi-frequent words (cnt*41 > N); per-doc OOV ppm via
+        # explode + LEFT JOIN (docs with zero tokens keep oov_ppm = 0)
+        "oov_rate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents
+            ),
+            w AS (SELECT unnest(ws) AS w FROM toks),
+            tot AS (SELECT COUNT(*) AS n FROM w),
+            v AS (SELECT c.w FROM
+                    (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w) c, tot
+                  WHERE c.cnt * 41 > tot.n),
+            t AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+            oovc AS (
+                SELECT t.doc_id, COUNT(*) AS n,
+                       SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS oov
+                FROM t LEFT JOIN v ON t.w = v.w GROUP BY t.doc_id
+            )
+            SELECT toks.doc_id,
+                   CAST(COALESCE(oovc.n, 0) AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN COALESCE(oovc.n, 0) = 0 THEN 0
+                             ELSE (oovc.oov * 1000000) // oovc.n
+                        END AS BIGINT) AS oov_ppm
+            FROM toks LEFT JOIN oovc ON toks.doc_id = oovc.doc_id
         """,
         # heavy_hitters_exact's verified output is batch-independent, so the
         # oracle is the plain global threshold — no plan replication

@@ -133,3 +133,67 @@ def test_paragraph_dedup_counts(tmp_path):
     got = {r["doc_id"]: (r["n_chunks"], r["n_kept"])
            for r in q_paragraph_dedup(str(tmp_path)).take_all()}
     assert got == {0: (2, 2), 1: (2, 0), 2: (1, 1)}
+
+
+def test_setsim_joined_verify_path_matches_broadcast():
+    """broadcast_limit=0 forces the Bloom + hash_join text-attach verify;
+    output must equal the broadcast-path result exactly."""
+    import ray.data
+
+    from ner_extractor_ray.functions.dedup import setsim_join_pairs
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "alpha beta gamma delta epsilon zeta eta iota",
+        2: "one two three four five six seven eight nine",
+        3: "completely different words in this document here",
+        4: "alpha beta gamma delta epsilon zeta eta theta",
+    }
+    ds = ray.data.from_items([{"doc_id": k, "text": v} for k, v in texts.items()])
+    kw = dict(threshold_num=3, threshold_den=5)
+    bc = sorted((r["id_a"], r["id_b"], r["jaccard_ppm"])
+                for r in setsim_join_pairs(ds, "text", "doc_id", **kw).take_all())
+    jn = sorted((r["id_a"], r["id_b"], r["jaccard_ppm"])
+                for r in setsim_join_pairs(ds, "text", "doc_id",
+                                           broadcast_limit=0, **kw).take_all())
+    assert jn == bc and len(bc) >= 1
+
+
+def test_domain_dup_rate_attribution(tmp_path):
+    """Dup attribution: the keeper's own source does NOT count its keeper doc
+    as dup, while every later identical doc counts against ITS OWN source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_extractor_ray.pipelines.queries import q_domain_dup_rate
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["same", "same", "same", "uniq a", "uniq b"]),
+        "source": pa.array(["s1", "s1", "s2", "s2", "s3"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = {r["source"]: (r["n_docs"], r["n_dups"])
+           for r in q_domain_dup_rate(str(tmp_path)).take_all()}
+    # doc0 keeper; doc1 dup (s1); doc2 dup (s2); 3,4 unique
+    assert got == {"s1": (2, 1), "s2": (2, 1), "s3": (1, 0)}
+
+
+def test_oov_rate_scores(tmp_path):
+    """Vocabulary = words with cnt*41 > N; docs of only-rare words score
+    1e6 ppm, all-frequent docs 0, empty docs 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_extractor_ray.pipelines.queries import q_oov_rate
+
+    # 'the' x 50 dominates (50*41 > N); each rare word appears once
+    common = " ".join(["the"] * 25)
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([common, common, "zebra quark axolotl", ""]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: (r["n_tokens"], r["oov_ppm"])
+           for r in q_oov_rate(str(tmp_path)).take_all()}
+    assert got == {0: (25, 0), 1: (25, 0), 2: (3, 1_000_000), 3: (0, 0)}
