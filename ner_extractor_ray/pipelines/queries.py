@@ -1025,6 +1025,212 @@ def q_subword_counts(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_kmeans_fixed(sf_dir: str):
+    """Integer-exact distributed Lloyd's k-means (functions/kmeans.py):
+    centroids broadcast per round via ray.put, assignment + per-cluster
+    partial sums in ONE vectorized int64 map_batches pass, the only shuffle
+    a k·(d+1)-row partial combine — the canonical corpus-scale clustering
+    shape (driver state bounded by k, never by n). Quantization offsets the
+    embedding range positive so ``//`` is floor on BOTH numpy and DuckDB;
+    the oracle unrolls the rounds as CTEs (same trick as graph_pagerank)."""
+    from ..functions.kmeans import kmeans_fixed
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_fixed(ds, k=8, n_iters=3)
+
+
+# Two small primes ≈ 10^6: per-row terms h%p keep the GLOBAL int64 Sum exact
+# to ~9·10^12 rows per group (2^63 / 10^6) — beyond the 10^12-document target
+# with no custom aggregate; the (p1, p2) pair gives ~10^12 combined checksum
+# space. (A 2^64 multiset sum would need mod-aware combiners at every level.)
+_CKSUM_P1, _CKSUM_P2 = 999983, 999979
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-independent per-partition content fingerprint — the 100-TB data
+    validation primitive (compare snapshots / replicas / resumed writes
+    without moving rows): each row is canonically serialized, md5-hashed,
+    and the top-8-byte hashes are multiset-summed mod two primes inside
+    map_batches; the only shuffle is the groups × 3-column partial combine."""
+    from ..functions.textfns import md5_hash64
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy()
+        ln = pc.cast(t.column("l_linenumber"), pa.int64()).to_numpy()
+        qty = _cents(np.asarray(t.column("l_quantity")))
+        hs = np.fromiter(
+            (md5_hash64(f"{o}|{l}|{q}") for o, l, q in zip(ok, ln, qty)),
+            dtype=np.uint64, count=len(ok),
+        )
+        df = pd.DataFrame(
+            {"l_returnflag": t.column("l_returnflag").to_pylist(),
+             "ck_a": (hs % np.uint64(_CKSUM_P1)).astype(np.int64),
+             "ck_b": (hs % np.uint64(_CKSUM_P2)).astype(np.int64),
+             "n_rows": np.ones(len(ok), np.int64)}
+        )
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"],
+        Sum("ck_a", alias_name="ck_a"),
+        Sum("ck_b", alias_name="ck_b"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_returnflag": t.column("l_returnflag"),
+             "n_rows": pc.cast(t.column("n_rows"), pa.int64()),
+             "ck_a": pa.array(
+                 pc.cast(t.column("ck_a"), pa.int64()).to_numpy() % _CKSUM_P1,
+                 pa.int64()),
+             "ck_b": pa.array(
+                 pc.cast(t.column("ck_b"), pa.int64()).to_numpy() % _CKSUM_P2,
+                 pa.int64())}
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_per_source_sample(sf_dir: str, *, k: int = 5):
+    """Deterministic k-per-stratum downsample (data-mix curation): keep the
+    k docs with the smallest md5(doc_id) per source. Per-batch partial
+    top-k caps the shuffle at k rows per (batch, source) — the stratified
+    variant of the partial-top-k pattern; the final per-source merge sees
+    ≤ k·n_blocks rows however large the corpus is."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+    import hashlib
+
+    def _hx(ids) -> list[str]:
+        return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": pc.cast(t.column("doc_id"), pa.int64()).to_numpy(),
+                           "source": t.column("source").to_pylist()})
+        df["h"] = _hx(df["doc_id"])
+        df = df.sort_values(["source", "h", "doc_id"]).groupby("source").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["h", "doc_id"]).head(k)
+        df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(
+            df[["source", "doc_id", "rk"]], preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def q_phrase_search(sf_dir: str, *, phrase: tuple = ("stream", "table", "hash")):
+    """Exact phrase match via a POSITIONAL inverted index: one corpus pass
+    emits (doc_id, token_pos) postings for the query tokens only (the
+    \"index probe\" — postings volume ∝ query-token frequency, not corpus
+    size), then adjacency is resolved with chained hash-partitioned joins
+    on (doc_id, pos+i) and match counts by grouped aggregate. The row-local
+    scan (decontamination-style) answers one phrase cheaper; the postings
+    join is the batch-of-phrases / index-reuse shape."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    qmap = {w: i for i, w in enumerate(phrase)}
+
+    def postings(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
+        texts = t.column("text").to_pylist()
+        o_id, o_p, o_ti = [], [], []
+        for did, txt in zip(ids, texts):
+            for p, w in enumerate(_ALNUM.findall((txt or "").lower())):
+                ti = qmap.get(w)
+                if ti is not None:
+                    o_id.append(int(did)); o_p.append(p); o_ti.append(ti)
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "p": pa.array(o_p, pa.int64()),
+                         "ti": pa.array(o_ti, pa.int64())})
+
+    post = ds.map_batches(postings, batch_format="pyarrow").materialize()
+
+    def term(ti: int):
+        # anchor coordinates: term ti at pos p matches anchor p - ti
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("ti"), ti))
+            return pa.table(
+                {"doc_id": t.column("doc_id"),
+                 "p": pc.subtract(t.column("p"), ti)})
+        return fn
+
+    cur = post.map_batches(term(0), batch_format="pyarrow")
+    for i in range(1, len(phrase)):
+        nxt = post.map_batches(term(i), batch_format="pyarrow")
+        cur = hash_join(cur, nxt, on=("doc_id", "p"))
+
+    return grouped_aggregate(
+        cur.map_batches(
+            lambda t: pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["doc_id"], Sum("one", alias_name="n_matches"),
+    )
+
+
+_HQ_BIN_CENTS = 100  # $1-wide bins over integer cents
+
+
+def q_value_hist_quantiles(sf_dir: str):
+    """Mergeable fixed-width-histogram quantiles (p50/p90/p99 lower bin
+    bounds) per event_type: the bounded-state complement to the exact
+    value_median — per-batch bincounts shuffle (type × bin) rows whose
+    cardinality is fixed by the bin width, NOT by the number of distinct
+    values, so the sketch state stays bounded on an unbounded value stream.
+    Deterministic bins ⇒ exactly SQL-replicable (approx only in the sense
+    that quantiles land on bin boundaries)."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t.column("event_type").to_pylist(),
+             "bin": _cents(np.asarray(t.column("value"))) // _HQ_BIN_CENTS}
+        )
+        g = df.groupby(["event_type", "bin"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bin"], Sum("n", alias_name="n"),
+    ).to_pandas()  # (types × bins) rows — bounded by bin width, not by data
+
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("bin")
+        bins = g["bin"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(g["n"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        # first bin with cum·100 ≥ q·n — identical to the oracle's
+        # MIN(bin) FILTER (cum*100 >= q*tot)
+        qs = [int(bins[np.searchsorted(cum * 100, q * n, side="left")])
+              * _HQ_BIN_CENTS for q in (50, 90, 99)]
+        rows.append((etype, n, *qs))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n": pa.array([r[1] for r in rows], pa.int64()),
+         "p50_lo_cents": pa.array([r[2] for r in rows], pa.int64()),
+         "p90_lo_cents": pa.array([r[3] for r in rows], pa.int64()),
+         "p99_lo_cents": pa.array([r[4] for r in rows], pa.int64())}
+    )
+
+
 def q_image_features(sf_dir: str):
     """Multimodal binary-column stage (stages/multimodal.py): the documents
     table's text bytes stand in as an opaque binary payload column; decode +
@@ -2703,14 +2909,14 @@ def queries() -> dict:
         "shipping_priority": q_shipping_priority,
         "customer_order_counts": q_customer_order_counts,
         "nation_presence_outer": q_nation_presence_outer,
-        "customers_with_orders": q_customers_with_orders,
         "bloom_semi_orders": q_bloom_semi_orders,
         "nations_without_suppliers": q_nations_without_suppliers,
         "snapshot_delta": q_snapshot_delta,
         "orders_rollup": q_orders_rollup,
         "distinct_users_per_type": q_distinct_users_per_type,
-        "events_pivot": q_events_pivot,
         "value_median": q_value_median,
+        "value_hist_quantiles": q_value_hist_quantiles,
+        "table_checksum": q_table_checksum,
         # -- window / stream shapes ----------------------------------------
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
@@ -2720,6 +2926,7 @@ def queries() -> dict:
         # -- rank / sample / packing ----------------------------------------
         "order_rank": q_order_rank,
         "stratified_sample": q_stratified_sample,
+        "per_source_sample": q_per_source_sample,
         "seq_packing": q_seq_packing,
         # -- dedup / similarity families ------------------------------------
         "exact_dedup": q_exact_dedup,
@@ -2731,16 +2938,15 @@ def queries() -> dict:
         "fuzzy_part_names": q_fuzzy_part_names,
         "knn_cosine": q_knn_cosine,
         "knn_ivf_full": q_knn_ivf_full,
+        "kmeans_fixed": q_kmeans_fixed,
         # -- text curation ---------------------------------------------------
-        "word_freq": q_word_freq,
         "heavy_hitters": q_heavy_hitters,
         "langid": q_langid,
-        "fingerprint": q_fingerprint,
+        "phrase_search": q_phrase_search,
         "subword_counts": q_subword_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pmi_bigrams": q_pmi_bigrams,
         "decontamination": q_decontamination,
-        "repetition_stats": q_repetition_stats,
         # -- sketches / graph --------------------------------------------------
         "hll_users": q_hll_users,
         "cms_users": q_cms_users,
@@ -2756,6 +2962,11 @@ def queries() -> dict:
         # plan/rows-only entries ------------------------------------------------
         "domain_dup_rate": q_domain_dup_rate,
         "oov_rate": q_oov_rate,
+        "customers_with_orders": q_customers_with_orders,
+        "events_pivot": q_events_pivot,
+        "word_freq": q_word_freq,
+        "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
         "nations_overlap": q_nations_overlap,
         "orders_above_avg": q_orders_above_avg,
         "events_sliding": q_events_sliding,
@@ -2970,6 +3181,45 @@ _WORD3_SHINGLES = """CASE
                         i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
                     WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
                     ELSE CAST([] AS VARCHAR[]) END"""
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3) -> str:
+    """DuckDB replication of functions/kmeans.py kmeans_fixed: quantize with
+    the identical IEEE double ops, seed from the k lowest vec_ids, unroll
+    ``n_iters`` (assign → update) rounds as CTEs (graph_pagerank's trick),
+    final assignment against the settled centroids. Ties broken by lowest
+    cluster index on both sides; ``//`` operands are strictly positive by
+    construction so truncation == floor."""
+    from ..functions.kmeans import KM_OFFSET, KM_SCALE
+
+    parts = [f"""q AS (
+      SELECT vec_id, dim,
+             CAST(floor((CAST(v AS DOUBLE) + {KM_OFFSET}) * {KM_SCALE}) AS BIGINT) AS x
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding) AS v FROM embeddings)),
+    seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cj
+              FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+    c0 AS (SELECT s.cj, q.dim, q.x AS c FROM seeds s JOIN q USING (vec_id))"""]
+    for r in range(1, n_iters + 1):
+        parts.append(f"""d{r} AS (
+        SELECT q.vec_id, c.cj, SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM q JOIN c{r - 1} c USING (dim) GROUP BY q.vec_id, c.cj),
+    a{r} AS (SELECT vec_id, cj FROM (
+          SELECT vec_id, cj,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cj) AS rn
+          FROM d{r}) WHERE rn = 1),
+    n{r} AS (SELECT a.cj, q.dim, CAST(SUM(q.x) // COUNT(*) AS BIGINT) AS c
+        FROM a{r} a JOIN q USING (vec_id) GROUP BY a.cj, q.dim),
+    c{r} AS (SELECT p.cj, p.dim, COALESCE(n.c, p.c) AS c
+        FROM c{r - 1} p LEFT JOIN n{r} n ON n.cj = p.cj AND n.dim = p.dim)""")
+    parts.append(f"""df AS (
+        SELECT q.vec_id, c.cj, SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM q JOIN c{n_iters} c USING (dim) GROUP BY q.vec_id, c.cj)""")
+    return "WITH " + ",\n    ".join(parts) + """
+    SELECT vec_id, cj AS cluster FROM (
+      SELECT vec_id, cj,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cj) AS rn
+      FROM df) WHERE rn = 1"""
 
 
 def oracle_sql() -> dict:
@@ -3861,5 +4111,60 @@ def oracle_sql() -> dict:
                     GROUP BY doc_id, b
                 ) GROUP BY doc_id
             ) s ON d.doc_id = s.doc_id
+        """,
+        "kmeans_fixed": _kmeans_oracle_sql(k=8, n_iters=3),
+        "table_checksum": f"""
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(h % {_CKSUM_P1}) % {_CKSUM_P1} AS BIGINT) AS ck_a,
+                   CAST(SUM(h % {_CKSUM_P2}) % {_CKSUM_P2} AS BIGINT) AS ck_b
+            FROM (SELECT l_returnflag,
+                         ('0x' || substr(md5(
+                             CAST(l_orderkey AS VARCHAR) || '|'
+                             || CAST(l_linenumber AS VARCHAR) || '|'
+                             || CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                                     AS VARCHAR)), 1, 16))::UBIGINT AS h
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        """,
+        "per_source_sample": """
+            SELECT source, doc_id, CAST(rn AS BIGINT) AS rk FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents) WHERE rn <= 5
+        """,
+        "phrase_search": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                          FROM documents),
+            pos AS (SELECT doc_id, generate_subscripts(ws, 1) AS p,
+                           unnest(ws) AS w FROM toks)
+            SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+            FROM pos t0
+            JOIN pos t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+            JOIN pos t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2
+            WHERE t0.w = 'stream' AND t1.w = 'table' AND t2.w = 'hash'
+            GROUP BY t0.doc_id
+        """,
+        "value_hist_quantiles": f"""
+            WITH b AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  // {_HQ_BIN_CENTS} AS bin,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            c AS (SELECT event_type, bin, n,
+                         SUM(n) OVER (PARTITION BY event_type
+                                      ORDER BY bin) AS cum,
+                         SUM(n) OVER (PARTITION BY event_type) AS tot
+                  FROM b)
+            SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n,
+                   CAST(MIN(CASE WHEN cum * 100 >= 50 * tot THEN bin END)
+                        * {_HQ_BIN_CENTS} AS BIGINT) AS p50_lo_cents,
+                   CAST(MIN(CASE WHEN cum * 100 >= 90 * tot THEN bin END)
+                        * {_HQ_BIN_CENTS} AS BIGINT) AS p90_lo_cents,
+                   CAST(MIN(CASE WHEN cum * 100 >= 99 * tot THEN bin END)
+                        * {_HQ_BIN_CENTS} AS BIGINT) AS p99_lo_cents
+            FROM c GROUP BY event_type
         """,
     }

@@ -93,9 +93,21 @@ def _bucket_hash(key: pa.Array, num_partitions: int) -> np.ndarray:
     pandas' ``hash_array`` is a C-implemented SipHash over the object array
     with a FIXED key — deterministic across processes (unlike builtin
     ``hash``) and no per-row Python bytecode (unlike a crc32 genexp).
+
+    ``categorize=False`` is REQUIRED for correctness, not a tuning choice:
+    the default categorize path factorizes through a C string table that
+    truncates at embedded NUL bytes, so composite keys (joined with the
+    ``\\x00`` separator) that share a prefix collapse into one category
+    whose hash is taken from whichever full value was seen FIRST — the same
+    key then lands in different buckets on the two join sides and matching
+    rows silently never meet (observed: a 2-column self join returned 131
+    of 572 expected rows). With categorize=False every element is hashed
+    from its own full bytes — verified value-stable against per-element
+    hashing.
     """
     np_keys = key.combine_chunks().to_numpy(zero_copy_only=False)
-    return (pd.util.hash_array(np_keys) % np.uint64(num_partitions)).astype(np.int64)
+    h = pd.util.hash_array(np_keys, categorize=False)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
 def hash_join(

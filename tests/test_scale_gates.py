@@ -197,3 +197,34 @@ def test_oov_rate_scores(tmp_path):
     got = {r["doc_id"]: (r["n_tokens"], r["oov_ppm"])
            for r in q_oov_rate(str(tmp_path)).take_all()}
     assert got == {0: (25, 0), 1: (25, 0), 2: (3, 1_000_000), 3: (0, 0)}
+
+
+def test_hash_join_composite_key_complete():
+    """Regression: composite join keys are '\\x00'-joined strings, and
+    pandas hash_array's DEFAULT categorize path truncates at the embedded
+    NUL — the same key then bucketed differently on the two sides and
+    matching rows silently never met (131 of 572 rows survived). joins.py
+    hashes with categorize=False; this pins completeness at several
+    partition counts against a pandas-merge oracle."""
+    import ray
+    import ray.data
+
+    from ner_extractor_ray.stages.joins import hash_join
+
+    rng = np.random.RandomState(0)
+    n = 2000
+    la = pd.DataFrame({"a": rng.randint(0, 100, n),
+                       "b": rng.randint(0, 50, n)}).drop_duplicates()
+    rb = pd.DataFrame({"a": rng.randint(0, 100, n),
+                       "b": rng.randint(0, 50, n)}).drop_duplicates()
+    expected = la.merge(rb, on=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    for nparts in (4, 32):
+        got = (
+            hash_join(ray.data.from_pandas(la).repartition(7),
+                      ray.data.from_pandas(rb).repartition(5),
+                      on=("a", "b"), num_partitions=nparts)
+            .to_pandas()[["a", "b"]]
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expected, check_dtype=False)
