@@ -94,6 +94,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "minhash_neardup", "knn_cosine", "token_stats", "customer_by_nation",
         # round-2 additions: distributed rank + banded interval join
         "order_rank", "purchase_clicks_window",
+        # round-3 additions: iterative integer k-means + graph CC + the
+        # table-fingerprint validation pass
+        "kmeans_fixed", "graph_components", "table_checksum",
     ]
     if os.environ.get("GRAFT_BENCH_KG_ONLY"):
         suite = []

@@ -145,6 +145,28 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_kg_update(args) -> int:
+    import ray as _ray_mod
+
+    owns_session = not _ray_mod.is_initialized()
+    ray = _ensure_ray()
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .pipelines.kg import pages_dataset
+    from .pipelines.kg_update import update_kg
+
+    res = update_kg(args.prev, pages_dataset(args.pages), args.out,
+                    n_partitions=args.n_partitions)
+    print(json.dumps({
+        "prev": args.prev, "out": args.out,
+        "nodes": res["nodes"].count(), "edges": res["edges"].count(),
+    }))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def cmd_gen(args) -> int:
     from .sources.pages import write_pages
 
@@ -162,6 +184,16 @@ def main(argv=None) -> int:
     kg.add_argument("--out", required=True)
     kg.add_argument("--config", default=None)
     kg.set_defaults(fn=cmd_kg)
+
+    ku = sub.add_parser(
+        "kg-update",
+        help="merge newly crawled pages into an existing KG snapshot "
+             "(frozen entity ids; writes a NEW immutable snapshot dir)")
+    ku.add_argument("--prev", required=True, help="previous snapshot dir")
+    ku.add_argument("--pages", required=True, help="NEW pages parquet dir")
+    ku.add_argument("--out", required=True, help="new snapshot dir (!= prev)")
+    ku.add_argument("--n-partitions", type=int, default=16)
+    ku.set_defaults(fn=cmd_kg_update)
 
     q = sub.add_parser("query", help="run a catalogue query (pipelines/queries.py)")
     q.add_argument("name", nargs="?", default=None)

@@ -285,13 +285,26 @@ def run_kg(
         mentions, triples = split_annotations(ann)
 
     # ---- S8: canonicalization over DISTINCT surfaces (small relative to
-    # corpus); physical plan chosen by vocabulary size (canonicalize_nodes)
-    nodes_distinct = distinct_nodes(mentions).materialize()
-    assignments = canonicalize_nodes(
-        nodes_distinct, num_partitions=n_partitions,
-        threshold=lsh_threshold, bucket_cap=lsh_bucket_cap,
-        driver_threshold=canon_driver_threshold,
-    ).materialize()
+    # corpus); physical plan chosen by vocabulary size (canonicalize_nodes).
+    # With out_dir the assignment table is its own checkpoint: resumed runs
+    # skip re-clustering, and update_kg (pipelines/kg_update.py) reads it as
+    # the FROZEN id state when merging newly crawled pages.
+    assign_dir = os.path.join(out_dir, "assignments") if out_dir else None
+    if assign_dir and table_complete(assign_dir) and resume:
+        assignments = ray.data.read_parquet(assign_dir)
+    else:
+        nodes_distinct = distinct_nodes(mentions).materialize()
+        assignments = canonicalize_nodes(
+            nodes_distinct, num_partitions=n_partitions,
+            threshold=lsh_threshold, bucket_cap=lsh_bucket_cap,
+            driver_threshold=canon_driver_threshold,
+        ).materialize()
+        if assign_dir:
+            write_partitioned(assignments, assign_dir, "node",
+                              n_partitions=n_partitions, sort_key="node",
+                              resume=resume,
+                              lineage={**lineage, "stage": "assignments"})
+            assignments = ray.data.read_parquet(assign_dir)
 
     # ---- S7b: resolve mentions/triples to entity ids (broadcast or hash join)
     n_assign = assignments.count()
