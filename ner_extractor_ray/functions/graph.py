@@ -344,8 +344,6 @@ def khop_distances(
     replicable by k unrolled SQL CTEs. ``seed`` defaults to the globally
     minimal node id.
     """
-    num_partitions = num_partitions or _compact_blocks()
-
     def _sym_w(t: pa.Table) -> pa.Table:
         u = pc.cast(t.column("u"), pa.int64()).to_numpy()
         v = pc.cast(t.column("v"), pa.int64()).to_numpy()
@@ -369,6 +367,13 @@ def khop_distances(
         .union(nodes.map_batches(_loops, batch_format="pyarrow"))
         .materialize()
     )
+    if num_partitions is None:
+        from ..stages.canonicalize import data_partitions
+
+        # DATA-sized: graph is the per-round join input — compact once so
+        # every relax round runs a constant, data-proportional task count
+        num_partitions = data_partitions(graph.size_bytes() or 0)
+    graph = graph.repartition(num_partitions).materialize()
     if seed is None:
         s = graph.min("src")
         if s is None:
@@ -540,8 +545,14 @@ def kcore_peel(
     hash_joins (semi-join edges on surviving u, then surviving v). Edges are
     never broadcast and never leave the partitioned path; the keep table is
     node-sized. Early-exits when the edge set empties.
+
+    Partitions are DATA-sized from the materialized edge table
+    (canonicalize.data_partitions), and the surviving edge set is
+    repartitioned every round BEFORE materializing — each union/sort pass
+    emits ≈ (sum of input block counts) blocks, so without the cap the
+    block count compounds across rounds and round r costs O(2^r) tiny
+    tasks (observed: 1,152 four-row tasks by round 3 on a 3.4k-edge graph).
     """
-    num_partitions = num_partitions or _compact_blocks()
 
     def _uv(t: pa.Table) -> pa.Table:
         return pa.table({"u": pc.cast(t.column("u"), pa.int64()),
@@ -561,6 +572,11 @@ def kcore_peel(
 
     kk = int(k)
     cur = edges_ds.map_batches(_uv, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        from ..stages.canonicalize import data_partitions
+
+        num_partitions = data_partitions(cur.size_bytes() or 0)
+    cur = cur.repartition(num_partitions).materialize()
     for _ in range(rounds):
         if cur.count() == 0:
             return _empty_out()
@@ -585,6 +601,7 @@ def kcore_peel(
                 kv, on=("v",), num_partitions=num_partitions,
             )
             .map_batches(_norm, batch_format="pandas")
+            .repartition(num_partitions)
             .materialize()
         )
     if cur.count() == 0:
@@ -610,7 +627,6 @@ def pagerank(
     materializes the label table (it is node-sized, not corpus-sized) so the
     lazy lineage doesn't re-execute prior rounds.
     """
-    num_partitions = num_partitions or _compact_blocks()
     deg = degree_table(edges_ds)  # symmetric graph: outdeg == degree
     n_nodes = deg.count()
     if n_nodes == 0:
@@ -631,6 +647,13 @@ def pagerank(
         )
 
     sym = edges_ds.map_batches(_sym, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        from ..stages.canonicalize import data_partitions
+
+        # DATA-sized (not cluster-sized): sym is re-joined every round, so
+        # its block count bounds each round's task count — compact it once
+        num_partitions = data_partitions(sym.size_bytes() or 0)
+    sym = sym.repartition(num_partitions).materialize()
 
     labels = deg.map_batches(
         lambda t: pa.table(

@@ -2967,6 +2967,166 @@ def q_events_pivot(sf_dir: str):
     )
 
 
+def q_price_qty_cov(sf_dir: str):
+    """Moment-sketch statistics: exact per-group covariance between quantity
+    and price from ONE pass of four mergeable integer partial sums
+    (n, Σx, Σy, Σxy) — the numerically-exact distributed form of the
+    reference's driver-side `statistics.mean/pstdev` fold reduce
+    (scripts/summarize_kfold.py:54-74) for product moments. The shuffle is
+    4 int64 cells per group per batch regardless of row count; the final
+    combine runs on the group-cardinality table with Python big ints, so no
+    intermediate overflows (at 100-TB row counts the partials themselves
+    would move to hi/lo int64 pairs — same plan). cov_num = n·Σxy − Σx·Σy is
+    emitted un-divided (exact; positive here since price = qty × unit price),
+    plus cov_avg = trunc(cov_num / n²) — truncation toward zero, NOT floor,
+    because DuckDB's ``//`` truncates and cov_num can be negative."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.floor(np.asarray(t.column("l_quantity"), dtype=np.float64) + 0.5).astype(np.int64)
+        y = np.floor(np.asarray(t.column("l_extendedprice"), dtype=np.float64)).astype(np.int64)
+        df = pd.DataFrame({"l_returnflag": t.column("l_returnflag").to_pylist(),
+                           "n_rows": np.ones(len(x), np.int64),
+                           "sx": x, "sy": y, "sxy": x * y})
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"],
+        Sum("n_rows", alias_name="n_rows"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # group-cardinality table: exact big-int combine on the driver side
+        # of the shuffle (n·Σxy and Σx·Σy exceed int64 long before the
+        # partials do)
+        out = {"l_returnflag": [], "n_rows": [], "cov_num": [], "cov_avg": []}
+        for r in df.itertuples(index=False):
+            n, sx, sy, sxy = int(r.n_rows), int(r.sx), int(r.sy), int(r.sxy)
+            num = n * sxy - sx * sy
+            d = n * n
+            out["l_returnflag"].append(r.l_returnflag)
+            out["n_rows"].append(n)
+            out["cov_num"].append(num)
+            # truncate toward zero (DuckDB // semantics), not Python floor
+            out["cov_avg"].append(-((-num) // d) if num < 0 else num // d)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64") if k != "l_returnflag"
+                             else pd.Series(v, dtype="object")
+                             for k, v in out.items()})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_price_deciles(sf_dir: str):
+    """Equi-depth decile boundaries (the engine's own range-partitioner
+    primitive): the order-price values at global ranks ⌊n·d/10⌋, d = 1..9,
+    under the total order (cents, orderkey) — computed with the
+    range-partitioned global_rank (functions/rank.py): one narrow histogram
+    pass + ONE full-row shuffle, NO global sort; the 9-element rank→decile
+    map ships in the task closure. Assumes n ≥ 10 (distinct target ranks)."""
+    from ..functions.rank import global_rank
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n = ds.count()  # parquet metadata count — no scan
+    targets = {(n * d) // 10: d for d in range(1, 10)}
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "cents": pa.array(_cents(np.asarray(t.column("o_totalprice"))), pa.int64())}
+        )
+
+    ranked = global_rank(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "cents", "o_orderkey", descending=False, out="rn",
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["rn"].isin(targets)]
+        return pd.DataFrame(
+            {"decile": pd.Series([targets[int(r)] for r in sub["rn"]], dtype="int64"),
+             "boundary_cents": sub["cents"].astype("int64").reset_index(drop=True)}
+        )
+
+    return ranked.map_batches(pick, batch_format="pandas")
+
+
+def q_hll_per_type(sf_dir: str):
+    """HyperLogLog as a GROUPBY AGGREGATE: per-event-type distinct-user
+    registers — the shape that replaces COUNT(DISTINCT) per group (a full
+    (group, key) pair shuffle at 10^12 rows) with ≤ 256 register rows per
+    group merged by MAX. Same md5 hash convention as hll_users, so the
+    grouped register table is exactly SQL-replicable."""
+    from ..functions.sketches import _REM_BITS, _hash64
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = _hash64(t.column("user_id").to_pylist())
+        bucket = (h >> np.uint64(_REM_BITS)).astype(np.int64)
+        rem = h & np.uint64((1 << _REM_BITS) - 1)
+        rho = np.fromiter(
+            (57 - int(r).bit_length() for r in rem), np.int64, len(rem))
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist(),
+                           "bucket": bucket, "rho": rho})
+        g = df.groupby(["event_type", "bucket"], as_index=False)["rho"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bucket"],
+        Max("rho", alias_name="rho"),
+    )
+
+
+def q_decayed_clicks(sf_dir: str):
+    """Freshness-decayed engagement score (ranking/curation primitive):
+    per-user Σ value_cents >> age_days over click events, age anchored at the
+    corpus max timestamp — exponential half-life decay in EXACT fixed-point
+    (right shift == floor division by 2^age for the non-negative cents, so
+    SQL replicates it bit for bit with `cents // (1 << age)`). Single pass,
+    mergeable int64 partial sums per user; the anchor is one tiny Max
+    aggregate. Shift capped at 62 to stay in int64 range."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    _US_DAY = 86_400_000_000
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+    anchor = int(
+        ds.select_columns(["ts"])
+        .map_batches(lambda t: pa.table({"us": pc.cast(t.column("ts"), pa.int64())}),
+                     batch_format="pyarrow")
+        .aggregate(Max("us"))["max(us)"]
+    )  # anchor in integer µs — same unit as the per-row cast below
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("event_type"), "click")
+        t = t.filter(m)
+        cents = _cents(np.asarray(t.column("value")))
+        ts_us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        age = np.minimum((anchor - ts_us) // _US_DAY, 62).astype(np.int64)
+        df = pd.DataFrame({"user_id": pc.cast(t.column("user_id"), pa.int64()).to_numpy(),
+                           "n_clicks": np.ones(len(age), np.int64),
+                           "decayed_cents": cents >> age})
+        g = df.groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        Sum("n_clicks", alias_name="n_clicks"),
+        Sum("decayed_cents", alias_name="decayed_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -3080,6 +3240,10 @@ def queries() -> dict:
         "term_doc_freq": q_term_doc_freq,
         "value_p90": q_value_p90,
         "bigram_freq": q_bigram_freq,
+        "price_qty_cov": q_price_qty_cov,
+        "price_deciles": q_price_deciles,
+        "hll_per_type": q_hll_per_type,
+        "decayed_clicks": q_decayed_clicks,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
@@ -3616,6 +3780,72 @@ def oracle_sql() -> dict:
                    MAX(57 - CASE WHEN rem = 0 THEN 0
                                  ELSE length(bin(rem)) END) AS rho
             FROM r GROUP BY bucket
+        """,
+        # grouped HLL: same md5/bucket/rho convention as hll_users, keyed by
+        # event_type — COUNT(DISTINCT)-per-group as a 256-row-per-group sketch
+        "hll_per_type": f"""
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+                FROM events),
+            r AS (
+                SELECT event_type, CAST(h >> 56 AS BIGINT) AS bucket,
+                       CAST(h & CAST({(1 << 56) - 1} AS UBIGINT) AS BIGINT) AS rem
+                FROM h)
+            SELECT event_type, bucket,
+                   MAX(57 - CASE WHEN rem = 0 THEN 0
+                                 ELSE length(bin(rem)) END) AS rho
+            FROM r GROUP BY event_type, bucket
+        """,
+        # exact product-moment covariance: HUGEINT combine of int64 partial
+        # sums; // truncates toward zero in DuckDB — the engine mirrors that
+        "price_qty_cov": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice) AS BIGINT) AS y
+                FROM lineitem)
+            SELECT l_returnflag,
+                   COUNT(*) AS n_rows,
+                   CAST(CAST(COUNT(*) AS HUGEINT) * SUM(x * y)
+                        - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
+                   CAST((CAST(COUNT(*) AS HUGEINT) * SUM(x * y)
+                         - SUM(x) * SUM(y))
+                        // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS BIGINT)
+                       AS cov_avg
+            FROM m GROUP BY l_returnflag
+        """,
+        # equi-depth decile boundaries at ranks floor(n*d/10) under the
+        # total order (cents, orderkey)
+        "price_deciles": """
+            WITH c AS (
+                SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                       o_orderkey
+                FROM orders),
+            r AS (
+                SELECT cents,
+                       ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn
+                FROM c),
+            n AS (SELECT COUNT(*) AS cnt FROM orders)
+            SELECT ds.d AS decile, r.cents AS boundary_cents
+            FROM (SELECT UNNEST(range(1, 10)) AS d) ds
+            CROSS JOIN n
+            JOIN r ON r.rn = (n.cnt * ds.d) // 10
+        """,
+        # fixed-point exponential decay: cents >> age == cents // 2^age for
+        # cents >= 0 (events.value > 0 in the testdata generator)
+        "decayed_clicks": """
+            WITH a AS (SELECT MAX(epoch_us(ts)) AS ts0 FROM events),
+            c AS (
+                SELECT user_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                       LEAST((a.ts0 - epoch_us(ts)) // 86400000000, 62) AS age
+                FROM events CROSS JOIN a
+                WHERE event_type = 'click')
+            SELECT user_id, COUNT(*) AS n_clicks,
+                   CAST(SUM(cents // (1::BIGINT << CAST(age AS INTEGER)))
+                        AS BIGINT) AS decayed_cents
+            FROM c GROUP BY user_id
         """,
         "nation_presence_outer": """
             WITH c AS (

@@ -67,6 +67,19 @@ def _compact_blocks() -> int:
     return max(8, min(64, cpus))
 
 
+def data_partitions(size_bytes: int, *, target_bytes: int = 64 << 20, lo: int = 2) -> int:
+    """Partition count sized to the DATA, not the cluster: ceil(bytes/64MB),
+    floored at ``lo``. For the iterative ops (CC, PageRank, k-core, BFS) the
+    per-round cost is dominated by TASK COUNT once state tables are small —
+    a 3k-row label table exchanged over 32 cluster-sized partitions costs
+    ~50ms/task × hundreds of tasks per round while moving kilobytes. Sizing
+    from the materialized ``size_bytes()`` gives 2 partitions there and grows
+    unbounded with the data (100 TB ⇒ ~1.6M partitions ≫ any cluster cap),
+    so the same code path is right at both extremes."""
+    need = -(-max(0, int(size_bytes)) // target_bytes)  # ceil div
+    return max(lo, need)
+
+
 def grouped_aggregate(ds: "ray.data.Dataset", keys: list[str], *aggs) -> "ray.data.Dataset":
     """groupby(keys).aggregate(*aggs) via ONE synthetic key column.
 
@@ -275,7 +288,6 @@ def connected_components(
     are the small distinct-surface table, not the corpus) so the lazy lineage
     doesn't re-execute (SURVEY.md §7.3 "connected components on Ray Data").
     """
-    num_partitions = num_partitions or _compact_blocks()
     nodes_only = nodes_ds.select_columns(["node"])
     identity = nodes_only.map_batches(
         lambda t: _rename_project(t, [("node", "node"), ("node", "comp")]),
@@ -305,6 +317,11 @@ def connected_components(
         batch_format="pyarrow",
     )
     edges = fwd.union(rev).union(self_loops).materialize()
+    if num_partitions is None:
+        # DATA-sized: edges is the per-round join input, so its block count
+        # bounds every round's task count — compact the 3-way union once
+        num_partitions = data_partitions(edges.size_bytes() or 0)
+    edges = edges.repartition(num_partitions).materialize()
 
     labels = identity.materialize()
 
