@@ -621,11 +621,13 @@ def pagerank(
     with BASE = (15·(SCALE//N))//100 — every op is exact int64, so the result
     is independent of block order / parallelism and replicable in SQL.
 
-    Distributed shape: label table (node, outdeg, pr) re-joined to the
-    symmetrized edge list each round via hash_join (node state never
-    broadcast), contributions partial-aggregated by destination; each round
-    materializes the label table (it is node-sized, not corpus-sized) so the
-    lazy lineage doesn't re-execute prior rounds.
+    Distributed shape: ONE hash_join per round (symmetrized edges ⋈ label
+    shares — node state never broadcast), then contributions are merged with
+    per-node zero rows carrying outdeg in a single groupby (Sum c /
+    Min outdeg), so outdeg re-attachment costs no second join — one sort
+    shuffle per round instead of two. Each round materializes the label
+    table (node-sized, not corpus-sized) so the lazy lineage doesn't
+    re-execute prior rounds.
     """
     deg = degree_table(edges_ds)  # symmetric graph: outdeg == degree
     n_nodes = deg.count()
@@ -664,6 +666,20 @@ def pagerank(
         batch_format="pyarrow",
     ).materialize()
 
+    _SENTINEL = np.int64(2**62)  # > any real degree; Min picks the real one
+
+    def _zero_rows(t: pa.Table) -> pa.Table:
+        # every node contributes a (c=0, outdeg=real) row, so the single
+        # groupby below yields ALL nodes with their outdeg attached — this
+        # replaces a second per-round hash_join (labels ⋈ contrib) with a
+        # union into the aggregate's existing shuffle, one sort per round
+        # instead of two
+        return pa.table(
+            {"node": pc.cast(t.column("node"), pa.int64()),
+             "c": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+             "outdeg": pc.cast(t.column("outdeg"), pa.int64())}
+        )
+
     for _ in range(n_iters):
         shares = labels.map_batches(
             lambda t: pa.table(
@@ -674,21 +690,25 @@ def pagerank(
             ),
             batch_format="pyarrow",
         )
-        contrib = grouped_aggregate(
-            hash_join(sym, shares, on=("src",), num_partitions=num_partitions)
-            .map_batches(
-                lambda t: pa.table({"node": t.column("dst"), "c": t.column("share")}),
-                batch_format="pyarrow",
+        contrib_rows = hash_join(
+            sym, shares, on=("src",), num_partitions=num_partitions
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": pc.cast(t.column("dst"), pa.int64()),
+                 "c": pc.cast(t.column("share"), pa.int64()),
+                 "outdeg": pa.array(
+                     np.full(t.num_rows, _SENTINEL, np.int64), pa.int64())}
             ),
+            batch_format="pyarrow",
+        )
+        merged = grouped_aggregate(
+            contrib_rows.union(labels.map_batches(_zero_rows, batch_format="pyarrow")),
             ["node"],
             Sum("c", alias_name="c"),
+            Min("outdeg", alias_name="outdeg"),
         )
         labels = (
-            hash_join(
-                labels.select_columns(["node", "outdeg"]), contrib,
-                on=("node",), num_partitions=num_partitions,
-            )
-            .map_batches(
+            merged.map_batches(
                 lambda t: pa.table(
                     {"node": pc.cast(t.column("node"), pa.int64()),
                      "outdeg": pc.cast(t.column("outdeg"), pa.int64()),

@@ -228,3 +228,17 @@ def test_hash_join_composite_key_complete():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_data_partitions_sizes_to_data():
+    """Iterative graph ops size exchanges from materialized bytes: tiny
+    state tables get the 2-partition floor (task count, not data, dominates
+    there) and the count grows unbounded with data — no cluster-sized cap
+    that would under-partition a 100-TB exchange."""
+    from ner_extractor_ray.stages.canonicalize import data_partitions
+
+    assert data_partitions(0) == 2
+    assert data_partitions(1) == 2
+    assert data_partitions(64 << 20) == 2
+    assert data_partitions(10 * (64 << 20) + 1) == 11
+    assert data_partitions(1 << 47) == (1 << 47) // (64 << 20)  # 128 TB → 2M parts
