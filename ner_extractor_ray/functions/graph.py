@@ -54,8 +54,10 @@ def co_order_edges(
 
     Orders may span input blocks, so lines are first co-located by a coarse
     order-hash bucket; pair emission inside the bucket is a vectorized pandas
-    self-merge (no Python loop over orders), pre-aggregated to (u, v, partial
-    count) before the final narrow (u, v) groupby.
+    self-merge (no Python loop over orders), pre-aggregated per bucket. The
+    (u, v) pair is packed into ONE int64 key (u << 32 | v — node ids must fit
+    31 bits, checked) so the final aggregate takes the single-int groupby
+    fast path instead of the ~10×-slower synthetic-string multi-key path.
     """
     P = _compact_blocks()
 
@@ -70,24 +72,35 @@ def co_order_edges(
         out = (
             m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False, sort=False)
             .size()
-            .rename(columns={"l_partkey_a": "u", "l_partkey_b": "v", "size": "n"})
         )
-        out["n"] = out["n"].astype("int64")
-        return out
+        u = out["l_partkey_a"].to_numpy(dtype=np.int64)
+        v = out["l_partkey_b"].to_numpy(dtype=np.int64)
+        if u.size and (int(u.max()) >= (1 << 31) or int(v.max()) >= (1 << 31)):
+            raise ValueError("part ids exceed 31 bits — widen the pair key")
+        return pd.DataFrame(
+            {"k": (u << 32) | v, "n": out["size"].to_numpy(dtype=np.int64)}
+        )
 
     pairs = (
         lineitem_ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(part_pairs, batch_format="pandas")
     )
-    edges = grouped_aggregate(pairs, ["u", "v"], Sum("n", alias_name="n"))
-    if min_n > 1:
-        k = int(min_n)
-        edges = edges.map_batches(
-            lambda t: t.filter(pc.greater_equal(t.column("n"), k)),
-            batch_format="pyarrow",
+    agg = pairs.groupby("k").aggregate(Sum("n", alias_name="n"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column("k"), pa.int64()).to_numpy()
+        n = pc.cast(t.column("n"), pa.int64()).to_numpy()
+        if min_n > 1:
+            keep = n >= int(min_n)
+            k, n = k[keep], n[keep]
+        return pa.table(
+            {"u": pa.array(k >> 32, pa.int64()),
+             "v": pa.array(k & 0xFFFFFFFF, pa.int64()),
+             "n": pa.array(n, pa.int64())}
         )
-    return edges
+
+    return agg.map_batches(decode, batch_format="pyarrow")
 
 
 def degree_table(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
