@@ -80,14 +80,102 @@ def data_partitions(size_bytes: int, *, target_bytes: int = 64 << 20, lo: int = 
     return max(lo, need)
 
 
-def grouped_aggregate(ds: "ray.data.Dataset", keys: list[str], *aggs) -> "ray.data.Dataset":
-    """groupby(keys).aggregate(*aggs) via ONE synthetic key column.
+_VEC_OPS = {}  # type -> pandas groupby op for the bucketed fast path
 
-    Ray's sort-based shuffle on a MULTI-column string groupby is ~10× slower
-    than on a single column (11.9s vs 1.2s on identical 86k-row data — bench
-    profile); since the key columns are functionally dependent on their
-    concatenation, we group by joined strings and carry the originals
-    through with Min (constant within a group → exact).
+
+def _vec_ops():
+    if not _VEC_OPS:
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+        _VEC_OPS.update({Sum: "sum", Min: "min", Max: "max",
+                         Mean: "mean", Count: "count"})
+    return _VEC_OPS
+
+
+def grouped_aggregate(
+    ds: "ray.data.Dataset", keys: list[str], *aggs,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """groupby(keys).aggregate(*aggs), cardinality-robust.
+
+    Ray's native sort-based aggregate pays ~140 µs of per-GROUP Python reduce
+    overhead — invisible on a 25-nation groupby, fatal on a high-cardinality
+    one (1.2M distinct pair keys = 170 s measured vs ~4 s for the same
+    shuffle volume through 32 coarse groups). Standard Sum/Min/Max/Mean/Count
+    aggregates therefore take a bucketed plan: hash the key columns to
+    ``num_buckets`` coarse buckets (default ``_compact_blocks()``), ONE
+    sort-shuffle on the small int bucket id, then a fully VECTORIZED pandas
+    groupby inside each bucket. Cost is O(rows) + O(distinct · vectorized),
+    independent of group count, and the shuffle payload is identical to the
+    native plan's. Exactness: Sum/Min/Max/Count are order-independent and
+    every key lands in exactly one bucket, so results are bit-equal to the
+    native path (Mean on floats is the usual last-ulp caveat — callers that
+    hash-compare use integer sums).
+
+    Scale contract: one bucket (≈ distinct_keys / num_buckets PARTIAL rows —
+    callers pre-aggregate per batch, so this is vocabulary-, not corpus-,
+    sized) materializes as a single pandas frame per task; size
+    ``num_buckets`` so that fits a worker heap, exactly like
+    materialize.py's n_partitions.
+
+    Exotic aggregates (quantiles, custom AggregateFnV2) fall back to the
+    native engine via one synthetic length-prefixed key column (multi-column
+    string groupby is ~10× slower than single-column — bench profile)."""
+    ops = []
+    for a in aggs:
+        op = _vec_ops().get(type(a))
+        if op is None or getattr(a, "name", None) is None:
+            return _native_grouped_aggregate(ds, keys, *aggs)
+        col = a._target_col_name
+        if op == "count":
+            # Count() counts rows; Count(col, ignore_nulls=True) non-nulls
+            if col is None or not a._ignore_nulls:
+                op, col = "size", keys[0]
+        elif not a._ignore_nulls:
+            return _native_grouped_aggregate(ds, keys, *aggs)
+        ops.append((a.name, col, op))
+
+    P = int(num_buckets or _compact_blocks())
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # hash_pandas_object gives None and NaN in OBJECT columns the same
+        # hash (verified), and dtypes are schema-consistent across blocks,
+        # so every logical key tuple lands in exactly one bucket — including
+        # null components. Empty batches keep the full column set so block
+        # schemas stay uniform.
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df = df.copy(deep=False)
+        df["__b"] = (h % P).astype("int64")
+        return df
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, dropna=False, sort=False)
+        pieces = {}
+        for name, col, op in ops:
+            pieces[name] = gb.size() if op == "size" else gb[col].agg(op)
+        res = pd.DataFrame(pieces).reset_index()
+        # the groupby index materializes missing object keys as float NaN
+        # (and can re-infer an all-null key column as float64); pin object
+        # key columns back to object-with-None so null groups round-trip
+        # and block schemas stay stable
+        for k in keys:
+            if g[k].dtype == object:
+                col = res[k].astype(object)
+                res[k] = col.where(pd.notna(col), None)
+        return res[keys + [name for name, _, _ in ops]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(agg_bucket, batch_format="pandas")
+    )
+
+
+def _native_grouped_aggregate(
+    ds: "ray.data.Dataset", keys: list[str], *aggs
+) -> "ray.data.Dataset":
+    """Ray-native groupby for non-vectorizable aggregates, multi-key via ONE
+    synthetic key column.
 
     Key encoding: every component is length-prefixed (``<len>:<value>``), so
     components containing the separator can never collide across groups, and
