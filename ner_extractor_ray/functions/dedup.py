@@ -52,9 +52,13 @@ def exact_dedup_groups(
     """hash-partitioned exact dedup: one row per distinct content with the
     kept (min) id and the duplicate count. groupby on the 32-char hash, never
     on the full text, so shuffle rows stay narrow."""
+    from ..stages.canonicalize import grouped_aggregate
+
     hashed = add_md5(ds, text_col).select_columns(["h", id_col])
-    return hashed.groupby("h").aggregate(
-        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups")
+    # group count == distinct-content count (corpus-scale) → bucketed plan
+    return grouped_aggregate(
+        hashed, ["h"],
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"),
     )
 
 
@@ -234,10 +238,11 @@ def lsh_near_dup_pairs(
                               pa.int64())}
         )
 
+    from ..stages.canonicalize import grouped_aggregate as _ga
+
     cands = (
-        cands_raw.map_batches(pack, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Count(alias_name="_nb"))
+        _ga(cands_raw.map_batches(pack, batch_format="pyarrow"),
+            ["k"], Count(alias_name="_nb"))
         .map_batches(unpack, batch_format="pyarrow")
         .materialize()
     )
@@ -271,19 +276,15 @@ def lsh_near_dup_pairs(
     # distinct-doc count before falling back to the heavy two-join plan.
     use_broadcast = n_cands <= broadcast_limit
     if not use_broadcast:
-        n_cand_docs = (
-            cands.map_batches(
-                lambda t: pa.table(
-                    {"cid": pc.unique(pa.concat_arrays(
-                        [pc.cast(t.column("id_a"), pa.int64()).combine_chunks(),
-                         pc.cast(t.column("id_b"), pa.int64()).combine_chunks()]))}
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby("cid")
-            .aggregate(Count(alias_name="_n"))
-            .count()
+        cand_ids = cands.map_batches(
+            lambda t: pa.table(
+                {"cid": pc.unique(pa.concat_arrays(
+                    [pc.cast(t.column("id_a"), pa.int64()).combine_chunks(),
+                     pc.cast(t.column("id_b"), pa.int64()).combine_chunks()]))}
+            ),
+            batch_format="pyarrow",
         )
+        n_cand_docs = _ga(cand_ids, ["cid"], Count(alias_name="_n")).count()
         use_broadcast = n_cand_docs <= broadcast_limit
 
     def _verify_row(ia, ib, txa, txb, a, b, jc, ppm, memo):

@@ -427,9 +427,10 @@ def khop_distances(
         joined = hash_join(graph, lab_src, on=("src",),
                            num_partitions=num_partitions)
         labels = (
-            joined.map_batches(_relax_add, batch_format="pandas")
-            .groupby("dst")
-            .aggregate(Min("h2", alias_name="hops"))
+            grouped_aggregate(
+                joined.map_batches(_relax_add, batch_format="pandas"),
+                ["dst"], Min("h2", alias_name="hops"),
+                num_buckets=num_partitions)
             .map_batches(
                 lambda t: pa.table(
                     {"node": pc.cast(t.column("dst"), pa.int64()),
@@ -519,10 +520,9 @@ def common_neighbor_pairs(
         )
 
     edge_tag = edges_ds.map_batches(_edge_keys, batch_format="pandas")
-    merged = (
-        cand.union(edge_tag)
-        .groupby("k")
-        .aggregate(Sum("cn", alias_name="cn"), Sum("is_edge", alias_name="is_edge"))
+    merged = grouped_aggregate(
+        cand.union(edge_tag), ["k"],
+        Sum("cn", alias_name="cn"), Sum("is_edge", alias_name="is_edge"),
     )
 
     m = int(min_common)

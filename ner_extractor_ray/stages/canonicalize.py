@@ -441,8 +441,8 @@ def connected_components(
         # exponentially and round r costs 2^r. Pinning to num_partitions keeps
         # every round the same constant number of tasks.
         relaxed = (
-            joined.groupby("dst")
-            .aggregate(Min("comp", alias_name="comp"))
+            grouped_aggregate(joined, ["dst"], Min("comp", alias_name="comp"),
+                              num_buckets=num_partitions)
             .map_batches(
                 lambda t: _rename_project(t, [("dst", "node"), ("comp", "comp")]),
                 batch_format="pyarrow",
@@ -588,8 +588,9 @@ def entity_assignments(
     """
     lab_nodes = hash_join(labels_ds, nodes_ds, on=("node",), num_partitions=num_partitions)
     canon = (
-        lab_nodes.groupby("comp")
-        .aggregate(Min("norm_key", alias_name="canonical_name"))
+        grouped_aggregate(lab_nodes, ["comp"],
+                          Min("norm_key", alias_name="canonical_name"),
+                          num_buckets=num_partitions)
         .map_batches(
             lambda t: _rename_project(t, [("comp", "comp"), ("canonical_name", "canonical_name")]),
             batch_format="pyarrow",

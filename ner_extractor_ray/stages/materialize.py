@@ -47,8 +47,16 @@ def dedup_edges(triples_with_ids: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def build_nodes(assignments: "ray.data.Dataset") -> "ray.data.Dataset":
-    """(node, entity_id, canonical_name, type, n_mentions) → nodes table."""
-    return assignments.groupby("entity_id").aggregate(
+    """(node, entity_id, canonical_name, type, n_mentions) → nodes table.
+
+    entity_id cardinality is corpus-scale (one group per canonical entity),
+    so this takes grouped_aggregate's bucketed vectorized plan rather than
+    the native per-group reduce."""
+    from .canonicalize import grouped_aggregate
+
+    return grouped_aggregate(
+        assignments,
+        ["entity_id"],
         Min("canonical_name", alias_name="canonical_name"),
         Min("type", alias_name="type"),
         Sum("n_mentions", alias_name="n_mentions"),
