@@ -51,6 +51,17 @@ def quantize_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
     return q.reshape(n, d)
 
 
+def list_matrix(t: pa.Table, col: str) -> np.ndarray:
+    """(n, d) int64 matrix from an ALREADY-quantized list<int64> column."""
+    lst = t.column(col).combine_chunks()
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    vals = lst.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(lst)
+    d = len(vals) // n if n else 0
+    return vals.reshape(n, d)
+
+
 def _assign(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
     """Exact int64 argmin of squared L2 distance; ties → lowest cluster id
     (numpy argmin picks the first occurrence — the SQL oracle tie-breaks
@@ -63,11 +74,12 @@ def _assign(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
 
 def seed_centroids(
     ds: "ray.data.Dataset", k: int, *, col: str = "embedding",
-    id_col: str = "vec_id",
+    id_col: str = "vec_id", quantized: bool = False,
 ) -> np.ndarray:
     """Deterministic seeds: quantized vectors of the k LOWEST ids, found with
     a per-batch partial min-k (each batch ships ≤ k rows to the driver — no
-    global sort; same pattern as similarity.py ivf_build_centroids)."""
+    global sort; same pattern as similarity.py ivf_build_centroids).
+    ``quantized=True`` reads ``col`` as an already-quantized list<int64>."""
 
     def partial_min_k(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column(id_col), pa.int64()).to_numpy()
@@ -76,7 +88,7 @@ def seed_centroids(
                              "q": pa.array([], pa.list_(pa.int64()))})
         kk = min(k, len(ids))
         idx = np.argpartition(ids, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-        m = quantize_matrix(t, col)
+        m = list_matrix(t, col) if quantized else quantize_matrix(t, col)
         return pa.table({id_col: pa.array(ids[idx], pa.int64()),
                          "q": pa.array(list(m[idx]), pa.list_(pa.int64()))})
 
@@ -103,9 +115,24 @@ def kmeans_fixed(
     parallelism, and replicated row-for-row by the unrolled-CTE oracle
     (pipelines/queries.py _kmeans_oracle_sql).
     """
-    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.canonicalize import data_partitions, grouped_aggregate
 
-    cent = seed_centroids(ds, k, col=col, id_col=id_col)
+    # Iterative-algorithm input cache: project to (id, embedding), quantize
+    # ONCE, and compact to DATA-sized blocks before the rounds. Without this
+    # every round re-decodes parquet and re-quantizes, and a tiny table split
+    # into cluster-sized blocks pays per-task scheduling (~50 ms × blocks ×
+    # rounds) while moving kilobytes. At 100 TB the materialize is an object
+    # -store cache that spills — still strictly cheaper than n_iters extra
+    # storage decodes of the same bytes.
+    def project_q(t: pa.Table) -> pa.Table:
+        m = quantize_matrix(t, col)
+        return pa.table({id_col: pc.cast(t.column(id_col), pa.int64()),
+                         "q": pa.array(list(m), pa.list_(pa.int64()))})
+
+    qds = ds.map_batches(project_q, batch_format="pyarrow").materialize()
+    qds = qds.repartition(data_partitions(qds.size_bytes() or 0)).materialize()
+
+    cent = seed_centroids(qds, k, col="q", id_col=id_col, quantized=True)
     k_eff, d = cent.shape
 
     for _ in range(n_iters):
@@ -113,7 +140,7 @@ def kmeans_fixed(
 
         def partial_sums(t: pa.Table, cref=cref) -> pa.Table:
             c = ray.get(cref)
-            m = quantize_matrix(t, col)
+            m = list_matrix(t, "q")
             if m.shape[0] == 0:
                 return pa.table({"cj": pa.array([], pa.int64()),
                                  "dim": pa.array([], pa.int64()),
@@ -135,7 +162,7 @@ def kmeans_fixed(
                              "s": pa.array(s, pa.int64())})
 
         agg = grouped_aggregate(
-            ds.map_batches(partial_sums, batch_format="pyarrow"),
+            qds.map_batches(partial_sums, batch_format="pyarrow"),
             ["cj", "dim"], Sum("s", alias_name="s"),
         ).to_pandas()  # k·(d+1) rows — bounded by k, not by corpus size
 
@@ -153,9 +180,9 @@ def kmeans_fixed(
 
     def final_assign(t: pa.Table, cref=cref) -> pa.Table:
         c = ray.get(cref)
-        m = quantize_matrix(t, col)
+        m = list_matrix(t, "q")
         ids = pc.cast(t.column(id_col), pa.int64())
         a = (_assign(m, c) if m.shape[0] else np.array([], dtype=np.int64))
         return pa.table({id_col: ids, "cluster": pa.array(a, pa.int64())})
 
-    return ds.map_batches(final_assign, batch_format="pyarrow")
+    return qds.map_batches(final_assign, batch_format="pyarrow")
