@@ -3125,6 +3125,108 @@ def q_decayed_clicks(sf_dir: str):
     )
 
 
+def q_word_commonness(sf_dir: str):
+    """Unigram-LM document scoring — the cheap deterministic stand-in for a
+    model-based quality filter: each doc scores the mean corpus frequency of
+    its tokens (rare-token docs score low). The corpus vocabulary is computed
+    AND consumed in one plan via a hash-partitioned fact-to-dimension join on
+    token — the vocabulary is never broadcast or collected (contrast
+    tfidf_top_terms, which may broadcast its MIN_DF-filtered vocab; here
+    every token contributes, so the join is the only scale-correct shape).
+    Integer-exact: s = Σ_occurrences cnt(token) ≤ corpus_tokens² per doc-term
+    — at 10¹⁴ corpus tokens × 10³-token docs ≈ 10¹⁷ < 2⁶³."""
+    from ..stages.joins import hash_join
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
+        o_id, o_tok, o_n = [], [], []
+        for did, txt in zip(ids, t.column("text").to_pylist()):
+            local: dict[str, int] = {}
+            for w in _ALNUM.findall((txt or "").lower()):
+                local[w] = local.get(w, 0) + 1
+            o_id.extend([int(did)] * len(local))
+            o_tok.extend(local.keys())
+            o_n.extend(local.values())
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "token": pa.array(o_tok, pa.string()),
+                         "n": pa.array(o_n, pa.int64())})
+
+    # (doc, token, n) facts reused by BOTH the vocab aggregate and the join —
+    # materialize once so tokenization runs one corpus pass, not two
+    toks = ds.map_batches(doc_tokens, batch_format="pyarrow").materialize()
+    vocab = _gagg(
+        toks.map_batches(
+            lambda t: t.select(["token", "n"]), batch_format="pyarrow"),
+        "token", Sum("n", alias_name="cnt"),
+    )
+    joined = hash_join(toks, vocab, on=("token",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64"),
+                                 "n_toks": pd.Series([], dtype="int64")})
+        df = df.assign(s=df["n"].astype("int64") * df["cnt"].astype("int64"),
+                       n_toks=df["n"].astype("int64"))
+        return df.groupby("doc_id", as_index=False)[["s", "n_toks"]].sum()
+
+    agg = _gagg(
+        joined.map_batches(partial, batch_format="pandas"),
+        "doc_id", Sum("s", alias_name="s"), Sum("n_toks", alias_name="n_toks"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("s"), pa.int64()).to_numpy()
+        n = pc.cast(t.column("n_toks"), pa.int64()).to_numpy()
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "n_toks": pa.array(n, pa.int64()),
+                         "commonness": pa.array(s // n, pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_WS_K = 20
+
+
+def q_weighted_sample(sf_dir: str, *, k: int = _WS_K):
+    """Deterministic WEIGHTED global top-k — the data-mixing primitive for
+    unequal per-doc weights (integer Efraimidis–Spirakis analog): priority =
+    md5_62(doc_id) // w with w = char length + 1, keep the k smallest, so
+    selection probability grows with document weight yet the sample is
+    bit-reproducible at any parallelism (no RNG state). Per-batch partial
+    top-k ships ≤ k rows per block; the final merge sees ≤ k·n_blocks rows
+    however large the corpus is."""
+    from ..functions.textfns import md5_hash64
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
+        w = np.array([len(s or "") + 1 for s in t.column("text").to_pylist()],
+                     dtype=np.int64)
+        h = np.fromiter((md5_hash64(str(i)) >> 2 for i in ids),
+                        dtype=np.int64, count=len(ids))  # 62-bit → int64 ≥ 0
+        pr = h // w
+        df = pd.DataFrame({"doc_id": ids, "w": w, "priority": pr, "g": 0})
+        df = df.sort_values(["priority", "doc_id"]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["priority", "doc_id"]).head(k)
+        df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(
+            df[["doc_id", "w", "priority", "rk"]], preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -3202,6 +3304,8 @@ def queries() -> dict:
         # plan/rows-only entries ------------------------------------------------
         "domain_dup_rate": q_domain_dup_rate,
         "oov_rate": q_oov_rate,
+        "word_commonness": q_word_commonness,
+        "weighted_sample": q_weighted_sample,
         "customers_with_orders": q_customers_with_orders,
         "top_event_per_user": q_top_event_per_user,
         "events_pivot": q_events_pivot,
@@ -4026,6 +4130,33 @@ def oracle_sql() -> dict:
         """,
         # vocabulary = phi-frequent words (cnt*41 > N); per-doc OOV ppm via
         # explode + LEFT JOIN (docs with zero tokens keep oov_ppm = 0)
+        "word_commonness": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+                FROM documents
+            ),
+            vocab AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w)
+            SELECT t.doc_id,
+                   CAST(SUM(v.cnt) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_toks,
+                   CAST(SUM(v.cnt) // COUNT(*) AS BIGINT) AS commonness
+            FROM toks t JOIN vocab v ON v.w = t.w
+            GROUP BY t.doc_id
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, w, priority,
+                   CAST(row_number() OVER (ORDER BY priority, doc_id)
+                        AS BIGINT) AS rk
+            FROM (
+                SELECT doc_id,
+                       CAST(length(text) + 1 AS BIGINT) AS w,
+                       CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                                 ::UBIGINT >> 2) AS BIGINT)
+                           // (length(text) + 1) AS priority
+                FROM documents)
+            ORDER BY priority, doc_id LIMIT {_WS_K}
+        """,
         "oov_rate": """
             WITH toks AS (
                 SELECT doc_id,
