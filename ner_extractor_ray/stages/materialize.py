@@ -97,7 +97,12 @@ def write_partitioned(
     import os
     import shutil
 
-    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    # batch_size=None → whole-block batches: pack's cost is ~(unique parts ×
+    # batch scan + one lz4 stream per (batch, part)); the 1024-row default
+    # would run it per KB-sized batch and emit n_partitions tiny blobs PER
+    # BATCH — 64× the blob count, all fixed overhead (measured: the 800k-page
+    # fused pass regressed 105 s → 185 s from exactly this)
+    ds = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
     # Pack each block's per-partition slice into COMPRESSED Arrow-IPC bytes
     # BEFORE the exchange: the partition-aligning shuffle then moves ~15×
     # fewer bytes (one (part, blob) row per block×partition instead of every
@@ -196,7 +201,7 @@ def write_partitioned(
 
     # count() drives execution; summaries also flow into logs via Ray stats
     (
-        ds.map_batches(pack, batch_format="pyarrow")
+        ds.map_batches(pack, batch_format="pyarrow", batch_size=None)
         .groupby("part")
         .map_groups(write_group, batch_format="pyarrow")
         .count()
