@@ -3233,64 +3233,67 @@ def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
     ORDERING CONTRACT: the external correctness harness verifies the FIRST 50
-    dict entries against ``oracle_sql()`` (rows + schema + value hash).  The
-    window is therefore spent on the 50 most shape-DIVERSE oracle-backed
-    operators — one representative per physical plan family (dedup/LSH,
-    graph, sketches, curation, windows, joins, set ops, rank, sampling...).
-    Near-duplicate shapes of an in-window representative (e.g. p90 vs median,
-    EXCEPT vs INTERSECT, bigram vs word freq) sit after position 50; they
-    remain fully oracle-checked by tests/test_queries_oracle.py, which runs
-    EVERY entry that has an ``oracle_sql()`` string, window or not.
+    dict entries against ``oracle_sql()`` (rows + schema + value hash).
+    Round 2's harness run (CORRECTNESS_r02.json) attested 50 oracle-backed
+    entries; this round's window holds the OTHER 43 oracle-backed operators
+    (never driver-checked before) plus 7 flagship representatives kept from
+    round 2 — one per physical-plan family (agg scan, hash-join chain, global
+    rank, interval join, prefix-sum packing, exact dedup, broadcast ANN) — so
+    across the two rounds EVERY oracle-backed entry has a driver row.
+    Entries after position 50 remain fully hash-checked by
+    tests/test_queries_oracle.py, which runs EVERY entry that has an
+    ``oracle_sql()`` string, window or not.
     """
     return {
-        # -- flagship relational / aggregate shapes ------------------------
+        # -- flagship representatives re-attested from round 2 ---------------
         "pricing_summary": q_pricing_summary,
-        "customer_by_nation": q_customer_by_nation,
         "revenue_by_region": q_revenue_by_region,
-        "revenue_by_brand": q_revenue_by_brand,
-        "shipping_priority": q_shipping_priority,
-        "customer_order_counts": q_customer_order_counts,
+        "order_rank": q_order_rank,
+        "purchase_clicks_window": q_purchase_clicks_window,
+        "seq_packing": q_seq_packing,
+        "exact_dedup": q_exact_dedup,
+        "knn_cosine": q_knn_cosine,
+        # -- relational / aggregate shapes, never driver-checked -------------
         "nation_presence_outer": q_nation_presence_outer,
-        "bloom_semi_orders": q_bloom_semi_orders,
-        "nations_without_suppliers": q_nations_without_suppliers,
         "snapshot_delta": q_snapshot_delta,
-        "orders_rollup": q_orders_rollup,
-        "distinct_users_per_type": q_distinct_users_per_type,
-        "value_median": q_value_median,
         "value_hist_quantiles": q_value_hist_quantiles,
         "table_checksum": q_table_checksum,
+        "price_qty_cov": q_price_qty_cov,
+        "price_deciles": q_price_deciles,
+        "decayed_clicks": q_decayed_clicks,
         # -- window / stream shapes ----------------------------------------
-        "events_hourly": q_events_hourly,
-        "user_sessions": q_user_sessions,
         "user_funnel": q_user_funnel,
-        "click_after_purchase": q_click_after_purchase,
-        "purchase_clicks_window": q_purchase_clicks_window,
         # -- rank / sample / packing ----------------------------------------
-        "order_rank": q_order_rank,
         "stratified_sample": q_stratified_sample,
         "per_source_sample": q_per_source_sample,
-        "seq_packing": q_seq_packing,
+        "weighted_sample": q_weighted_sample,
         # -- dedup / similarity families ------------------------------------
-        "exact_dedup": q_exact_dedup,
         "paragraph_dedup": q_paragraph_dedup,
+        "normalized_dedup": q_normalized_dedup,
         "minhash_neardup": q_minhash_neardup,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "simhash": q_simhash,
         "setsim_neardup": q_setsim_neardup,
-        "fuzzy_part_names": q_fuzzy_part_names,
-        "knn_cosine": q_knn_cosine,
+        "domain_dup_rate": q_domain_dup_rate,
         "knn_ivf_full": q_knn_ivf_full,
         "kmeans_fixed": q_kmeans_fixed,
         # -- text curation ---------------------------------------------------
         "heavy_hitters": q_heavy_hitters,
         "langid": q_langid,
+        "quality": q_quality,
         "phrase_search": q_phrase_search,
         "subword_counts": q_subword_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pmi_bigrams": q_pmi_bigrams,
         "decontamination": q_decontamination,
+        "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "length_buckets": q_length_buckets,
+        "oov_rate": q_oov_rate,
+        "word_commonness": q_word_commonness,
         # -- sketches / graph --------------------------------------------------
         "hll_users": q_hll_users,
+        "hll_per_type": q_hll_per_type,
         "cms_users": q_cms_users,
         "graph_degree": q_graph_degree,
         "graph_triangles": q_graph_triangles,
@@ -3299,27 +3302,32 @@ def queries() -> dict:
         "graph_khop": q_graph_khop,
         "link_predict": q_link_predict,
         "kcore": q_kcore,
-        # ---- position 51+: oracle-backed near-duplicates of in-window shapes
-        # (still hash-checked by tests/test_queries_oracle.py) and the
-        # plan/rows-only entries ------------------------------------------------
-        "domain_dup_rate": q_domain_dup_rate,
-        "oov_rate": q_oov_rate,
-        "word_commonness": q_word_commonness,
-        "weighted_sample": q_weighted_sample,
+        # ---- position 51+: round-2-attested entries (green rows in
+        # CORRECTNESS_r02.json) and the plan/rows-only entries; all
+        # oracle-backed ones remain hash-checked by
+        # tests/test_queries_oracle.py ------------------------------------------
+        "customer_by_nation": q_customer_by_nation,
+        "revenue_by_brand": q_revenue_by_brand,
+        "shipping_priority": q_shipping_priority,
+        "customer_order_counts": q_customer_order_counts,
+        "bloom_semi_orders": q_bloom_semi_orders,
+        "nations_without_suppliers": q_nations_without_suppliers,
+        "orders_rollup": q_orders_rollup,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "value_median": q_value_median,
+        "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
+        "click_after_purchase": q_click_after_purchase,
+        "fuzzy_part_names": q_fuzzy_part_names,
         "customers_with_orders": q_customers_with_orders,
         "top_event_per_user": q_top_event_per_user,
         "events_pivot": q_events_pivot,
         "word_freq": q_word_freq,
-        "fingerprint": q_fingerprint,
-        "repetition_stats": q_repetition_stats,
         "compression_ratio": q_compression_ratio,
         "nations_overlap": q_nations_overlap,
         "orders_above_avg": q_orders_above_avg,
         "events_sliding": q_events_sliding,
         "running_total": q_running_total,
-        "normalized_dedup": q_normalized_dedup,
-        "quality": q_quality,
-        "length_buckets": q_length_buckets,
         "top_orders": q_top_orders,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
@@ -3342,10 +3350,6 @@ def queries() -> dict:
         "term_doc_freq": q_term_doc_freq,
         "value_p90": q_value_p90,
         "bigram_freq": q_bigram_freq,
-        "price_qty_cov": q_price_qty_cov,
-        "price_deciles": q_price_deciles,
-        "hll_per_type": q_hll_per_type,
-        "decayed_clicks": q_decayed_clicks,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
