@@ -1925,15 +1925,26 @@ def _set_op(sf_dir: str, keep: str):
     return flags.map_batches(pick, batch_format="pyarrow")
 
 
+def _nonempty_or_empty_table(ds, schema: "pa.Schema"):
+    """``Dataset.to_pandas`` of an all-empty Dataset loses column names (empty
+    blocks are skipped by ``iter_batches``), which breaks the harness's schema
+    compare whenever a query's result is legitimately empty at some sf. Guard:
+    a distributed ``count()`` (an aggregate — nothing row-sized reaches the
+    driver) picks between the lazy Dataset and a typed empty Table."""
+    return schema.empty_table() if ds.count() == 0 else ds
+
+
 def q_nations_overlap(sf_dir: str):
     """INTERSECT set op: nation keys present on BOTH fact sides — fully
     distributed (see _set_op; no exact key set ever leaves the cluster)."""
-    return _set_op(sf_dir, "both")
+    return _nonempty_or_empty_table(
+        _set_op(sf_dir, "both"), pa.schema([("k", pa.int64())]))
 
 
 def q_customer_only_nations(sf_dir: str):
     """EXCEPT set op on the same distributed presence-flag plan."""
-    return _set_op(sf_dir, "left_only")
+    return _nonempty_or_empty_table(
+        _set_op(sf_dir, "left_only"), pa.schema([("k", pa.int64())]))
 
 
 def q_distinct_users_per_type(sf_dir: str):
@@ -2584,6 +2595,103 @@ def q_repetition_stats(sf_dir: str):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+_DUPNG_N = 8  # n-gram order for the duplicated-span fraction
+
+
+def q_dup_ngram_fraction(sf_dir: str):
+    """RefinedWeb/Gopher-style duplicated-n-gram fraction: for every doc, how
+    many of its DISTINCT word-8-grams also occur in ≥ 1 OTHER document —
+    the standard 'fraction of duplicated n-grams' quality filter applied
+    before LLM training.
+
+    Scale shape (one text pass, two narrow shuffles, no joins): each batch
+    emits (h, doc) rows — h the md5-top-8-byte hash of the 8-gram, 16 B/row,
+    text never shuffled; rows hash-partition on h (__part = h mod P) so one
+    ``map_groups`` sees ALL holders of each h and emits per-doc partials
+    (n_ngrams-in-part, n-shared-in-part); a final groupby(doc) Sum folds the
+    partials. Driver never sees anything gram-sized. Output: (doc_id,
+    n_ngrams, n_shared, shared_ppm) for docs with ≥ 1 8-gram, where
+    shared_ppm = n_shared·10⁶ // n_ngrams exactly (SQL-hashable integers).
+    """
+    from ..functions.textfns import md5_hash64
+    from ..stages.canonicalize import _compact_blocks
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    P = _compact_blocks()
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_pylist()
+        hcache: dict[str, int] = {}
+        o_h, o_d = [], []
+        for did, s in zip(ids, t.column("text").to_pylist()):
+            toks = _ALNUM.findall((s or "").lower())
+            ngs = {" ".join(toks[i:i + _DUPNG_N])
+                   for i in range(len(toks) - _DUPNG_N + 1)}
+            o_h.extend(
+                hcache[g] if g in hcache else hcache.setdefault(g, md5_hash64(g))
+                for g in ngs
+            )
+            o_d.extend([did] * len(ngs))
+        h = np.asarray(o_h, dtype=np.uint64).astype(np.int64)
+        return pa.table(
+            {"h": pa.array(h, pa.int64()),
+             "doc": pa.array(o_d, pa.int64()),
+             "__part": pa.array(h % P, pa.int64())}
+        )
+
+    def part_stats(group: pd.DataFrame) -> pd.DataFrame:
+        holders = group.groupby("h")["doc"].transform("size")
+        tot = group.groupby("doc", as_index=False).size().rename(
+            columns={"size": "n_ngrams"})
+        sh = group[holders >= 2].groupby("doc", as_index=False).size().rename(
+            columns={"size": "n_shared"})
+        out = tot.merge(sh, on="doc", how="left")
+        out["n_shared"] = out["n_shared"].fillna(0).astype("int64")
+        return out
+
+    agg = _gagg(
+        ds.map_batches(grams, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_stats, batch_format="pandas"),
+        "doc",
+        Sum("n_ngrams", alias_name="n_ngrams"),
+        Sum("n_shared", alias_name="n_shared"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("doc_id", "n_ngrams", "n_shared", "shared_ppm")})
+        ng = pc.cast(t.column("n_ngrams"), pa.int64()).to_numpy()
+        ns = pc.cast(t.column("n_shared"), pa.int64()).to_numpy()
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc"), pa.int64()),
+             "n_ngrams": pa.array(ng, pa.int64()),
+             "n_shared": pa.array(ns, pa.int64()),
+             "shared_ppm": pa.array(ns * 1_000_000 // ng, pa.int64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_neardup_keep(sf_dir: str):
+    """End-to-end near-dup DEDUP DECISION — the operator a curation pipeline
+    actually ships: MinHash-LSH candidate pairs (same plan/params as
+    ``minhash_neardup``) resolved to per-doc keep/drop via the distributed
+    connected components of the canonicalization stage; every doc maps to its
+    component representative (min doc_id), unpaired docs map to themselves.
+    Output: (doc_id, keep_id) for EVERY document — keep row ⟺ doc_id ==
+    keep_id. The SQL oracle composes the full banded-LSH plan replication
+    with a recursive min-label reachability fixpoint (the graph_components
+    oracle shape), so the whole dedup decision is hash-checked."""
+    from ..functions.dedup import lsh_near_dup_pairs, near_dup_keep_ids
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = lsh_near_dup_pairs(ds, "text", "doc_id",
+                               shingle="word3", threshold=0.8)
+    return near_dup_keep_ids(pairs, ds.select_columns(["doc_id"]), "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -3329,6 +3437,10 @@ def queries() -> dict:
         "events_sliding": q_events_sliding,
         "running_total": q_running_total,
         "top_orders": q_top_orders,
+        # round-3 additions (oracle-backed; pytest-checked this round,
+        # window candidates for the next)
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "neardup_keep": q_neardup_keep,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
@@ -4011,6 +4123,53 @@ def oracle_sql() -> dict:
                    CAST(len(list_distinct(t.ws)) AS BIGINT) AS n_distinct,
                    CAST(COALESCE(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
             FROM tok t LEFT JOIN top USING (doc_id)
+        """,
+        # duplicated-8-gram fraction: same md5-top-8-byte gram hash as the
+        # engine (collisions, were any to occur, would affect both sides
+        # identically); only integer counts reach the output
+        "dup_ngram_fraction": f"""
+            WITH tok AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 range(1, len(ws) - {_DUPNG_N - 2}),
+                                 i -> array_to_string(ws[i:i+{_DUPNG_N - 1}], ' ')))
+                                 AS g
+                      FROM tok)),
+            cnts AS (SELECT h, COUNT(*) AS nd FROM grams GROUP BY h),
+            per AS (
+                SELECT g.doc_id, COUNT(*) AS n_ngrams,
+                       SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+                FROM grams g JOIN cnts c ON c.h = g.h
+                GROUP BY g.doc_id)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_ngrams AS BIGINT) AS n_ngrams,
+                   CAST(n_shared AS BIGINT) AS n_shared,
+                   CAST(n_shared * 1000000 // n_ngrams AS BIGINT) AS shared_ppm
+            FROM per
+        """,
+        # full dedup decision: the banded-LSH pair plan replication composed
+        # with the min-label reachability fixpoint (graph_components shape) —
+        # keep row <=> doc_id == keep_id
+        "neardup_keep": f"""
+            WITH RECURSIVE pairs AS ({_lsh_oracle_sql(_WORD3_SHINGLES, 0.8)}),
+            docs AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+            s AS (SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst
+                  FROM pairs
+                  UNION
+                  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM pairs),
+            reach(node, lbl) AS (
+                SELECT DISTINCT src, src FROM s
+                UNION
+                SELECT s2.dst, r.lbl FROM reach r JOIN s s2 ON s2.src = r.node
+            ),
+            comp AS (SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node)
+            SELECT d.id AS doc_id, CAST(COALESCE(c.rep, d.id) AS BIGINT) AS keep_id
+            FROM docs d LEFT JOIN comp c ON c.node = d.id
         """,
         # graph family: co-purchase edges (u, v, n) = parts sharing n orders.
         # All outputs are exact integers; the PageRank oracle replicates the
