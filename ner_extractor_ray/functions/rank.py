@@ -3,18 +3,23 @@ Data lacks (``ds.sort()`` orders blocks but exposes no row position).
 
 Physical plan (range-partitioned rank, NO global sort of full rows):
 
-  1. one tiny aggregate over the key column → global [min, max];
-  2. one narrow pass over the key column → per-bucket histogram for B uniform
-     value buckets (per-batch partials, then a B-row groupby);
+  1. bucket edges from a bounded PREFIX SAMPLE of the key column (a
+     ``limit(sample_rows)`` scan — early-terminating, reads only the first
+     blocks at any scale), as sample quantiles so skewed key distributions
+     still give balanced buckets;
+  2. ONE tree-reduced ``aggregate`` over the key column → exact per-bucket
+     histogram (a custom ``AggregateFn`` summing a B-vector per block — no
+     groupby shuffle, no driver take_all of per-block partials);
   3. the driver turns bucket counts into exclusive rank offsets in key order;
   4. one shuffle of the full rows by bucket; inside each bucket group the rows
      are sorted locally and ranked ``offset + 1 + arange``.
 
 Only step 4 moves whole rows, and it is a single hash-sized shuffle — at
 100 TB this beats a global ``ds.sort`` because the heavy data moves once and
-each bucket sorts independently. Exactness does NOT depend on bucket balance
-(skewed buckets only cost time); ties across bucket boundaries cannot happen
-because the bucket is a pure function of the key value.
+each bucket sorts independently. Exactness does NOT depend on the sample or
+on bucket balance: ``searchsorted`` clamps keys outside the sampled range
+into the end buckets, the bucket is a pure function of the key value, and
+the histogram is exact — estimation quality affects only skew, never values.
 
 Requires a total order: (key_col, tiebreak_col) must be duplicate-free
 (e.g. any unique id as tie-break) and non-null.
@@ -30,7 +35,59 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import AggregateFn
+
+
+def _block_col(block, col: str) -> np.ndarray:
+    if isinstance(block, pa.Table):
+        return np.asarray(block.column(col), dtype=np.float64)
+    return block[col].to_numpy(dtype=np.float64)
+
+
+def _sample_edges(
+    ds: "ray.data.Dataset", key_col: str, n_buckets: int,
+    sample_rows: int = 65536,
+) -> np.ndarray:
+    """Internal bucket edges (ascending, deduplicated) from the quantiles of
+    a bounded prefix sample. Affects balance only — never output values."""
+    rows = ds.select_columns([key_col]).limit(sample_rows).take_all()
+    vals = np.array([r[key_col] for r in rows], dtype=np.float64)
+    if vals.size == 0:
+        return np.empty(0)
+    qs = np.linspace(0.0, 1.0, n_buckets + 1)[1:-1]
+    return np.unique(np.quantile(vals, qs))
+
+
+def _hist_aggregate(
+    ds: "ray.data.Dataset", key_col: str, edges: np.ndarray,
+    val_col: str | None = None,
+) -> np.ndarray:
+    """Exact per-bucket histogram (counts, or int64 sums of ``val_col``) in
+    ONE tree-combined pass — no shuffle, nothing block-count-sized on the
+    driver."""
+    B = len(edges) + 1
+    cols = [key_col] if val_col is None else [key_col, val_col]
+
+    def acc(a: np.ndarray, block) -> np.ndarray:
+        b = np.searchsorted(edges, _block_col(block, key_col), side="right")
+        if val_col is None:
+            return a + np.bincount(b, minlength=B)
+        v = (np.asarray(block.column(val_col), dtype=np.int64)
+             if isinstance(block, pa.Table)
+             else block[val_col].to_numpy(dtype=np.int64))
+        out = a.copy()
+        np.add.at(out, b, v)  # integer-exact (bincount weights are float64)
+        return out
+
+    fn = AggregateFn(
+        init=lambda k: np.zeros(B, dtype=np.int64),
+        merge=lambda a, b: a + b,
+        name="hist",
+        accumulate_block=acc,
+        finalize=lambda a: a,
+    )
+    res = ds.select_columns(cols).aggregate(fn)
+    return np.asarray(res["hist"], dtype=np.int64)
 
 
 def global_rank(
@@ -42,32 +99,15 @@ def global_rank(
     n_buckets: int = 64,
     out: str = "rank",
 ) -> "ray.data.Dataset":
-    mm = ds.aggregate(Min(key_col), Max(key_col))
-    lo = float(mm[f"min({key_col})"])
-    hi = float(mm[f"max({key_col})"])
-    # internal edges of B uniform value buckets over [lo, hi]
-    edges = np.linspace(lo, hi, n_buckets + 1)[1:-1] if hi > lo else np.empty(0)
+    edges = _sample_edges(ds, key_col, n_buckets)
+    B = len(edges) + 1
 
     def bucket_of(vals: np.ndarray) -> np.ndarray:
         return np.searchsorted(edges, vals, side="right").astype(np.int64)
 
-    def hist(t: pa.Table) -> pa.Table:
-        b = bucket_of(np.asarray(t.column(key_col), dtype=np.float64))
-        idx, cnt = np.unique(b, return_counts=True)
-        return pa.table({"b": pa.array(idx, pa.int64()), "n": pa.array(cnt, pa.int64())})
-
-    counts = (
-        ds.select_columns([key_col])
-        .map_batches(hist, batch_format="pyarrow")
-        .groupby("b")
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-    per_bucket = np.zeros(n_buckets, dtype=np.int64)
-    for r in counts:
-        per_bucket[r["b"]] = r["n"]
-    scan_order = range(n_buckets - 1, -1, -1) if descending else range(n_buckets)
-    offsets = np.zeros(n_buckets, dtype=np.int64)
+    per_bucket = _hist_aggregate(ds, key_col, edges)
+    scan_order = range(B - 1, -1, -1) if descending else range(B)
+    offsets = np.zeros(B, dtype=np.int64)
     acc = 0
     for b in scan_order:
         offsets[b] = acc
@@ -103,40 +143,21 @@ def keyed_prefix_sum(
 ) -> "ray.data.Dataset":
     """EXCLUSIVE prefix sum of ``val_col`` in ``key_col`` order — the
     distributed scan primitive (sequence packing, global byte offsets,
-    watermark accounting) built with the same range-partitioned two-pass plan
-    as global_rank: value-bucket histogram of per-bucket SUMS (narrow
-    columns), driver turns B bucket sums into exclusive offsets, then ONE
-    shuffle of the rows by bucket with a local sorted cumsum inside. No
-    global sort; exactness independent of bucket balance. Requires unique
-    non-null keys (any unique id)."""
-    mm = ds.aggregate(Min(key_col), Max(key_col))
-    lo = float(mm[f"min({key_col})"])
-    hi = float(mm[f"max({key_col})"])
-    edges = np.linspace(lo, hi, n_buckets + 1)[1:-1] if hi > lo else np.empty(0)
+    watermark accounting) built with the same sampled-edges + tree-reduced
+    histogram plan as :func:`global_rank`, with per-bucket SUMS instead of
+    counts; then ONE shuffle of the rows by bucket with a local sorted cumsum
+    inside. No global sort; exactness independent of the sample and of bucket
+    balance. Requires unique non-null keys (any unique id)."""
+    edges = _sample_edges(ds, key_col, n_buckets)
+    B = len(edges) + 1
 
     def bucket_of(vals: np.ndarray) -> np.ndarray:
         return np.searchsorted(edges, vals, side="right").astype(np.int64)
 
-    def partial_sums(t: pa.Table) -> pa.Table:
-        b = bucket_of(np.asarray(t.column(key_col), dtype=np.float64))
-        v = np.asarray(t.column(val_col), dtype=np.int64)
-        idx = np.unique(b)
-        sums = np.array([v[b == i].sum() for i in idx], dtype=np.int64)
-        return pa.table({"b": pa.array(idx, pa.int64()), "s": pa.array(sums, pa.int64())})
-
-    counts = (
-        ds.select_columns([key_col, val_col])
-        .map_batches(partial_sums, batch_format="pyarrow")
-        .groupby("b")
-        .aggregate(Sum("s", alias_name="s"))
-        .take_all()
-    )
-    per_bucket = np.zeros(n_buckets, dtype=np.int64)
-    for r in counts:
-        per_bucket[r["b"]] = r["s"]
-    offsets = np.zeros(n_buckets, dtype=np.int64)
+    per_bucket = _hist_aggregate(ds, key_col, edges, val_col=val_col)
+    offsets = np.zeros(B, dtype=np.int64)
     acc = 0
-    for b in range(n_buckets):
+    for b in range(B):
         offsets[b] = acc
         acc += per_bucket[b]
     off_list = offsets.tolist()
