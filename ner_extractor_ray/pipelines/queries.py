@@ -466,6 +466,68 @@ def q_click_after_purchase(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+_SCD_DAY0 = 9496  # epoch days of 1996-01-01, the first possible version flip
+
+
+def q_scd_segment_orders(sf_dir: str):
+    """Slowly-changing-dimension (SCD type 2) join — every order resolved to
+    the dimension version VALID AT ORDER TIME, the warehouse op behind any
+    time-correct fact×dimension report. The versioned dimension is derived
+    deterministically from ``customer``: version 1 (the original market
+    segment) effective from epoch, version 2 ('UPGRADED-<segment>') effective
+    on day ``_SCD_DAY0 + c_custkey % 1500`` — flips span 1996-2000, inside
+    the orders range, so both versions appear in the output.
+
+    Physical plan: the dimension-change table (2 rows/customer) and the fact
+    rows co-partition by customer through the banded as-of join
+    (stages/asof.py, pandas merge_asof backward == SQL eff <= order_date),
+    then a tiny groupby(segment) count — no broadcast, no driver
+    materialization; shuffle is O(facts + 2·dim versions)."""
+    from ..stages.asof import asof_join
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def dim_rows(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column("c_custkey"), pa.int64()).to_numpy()
+        seg = t.column("c_mktsegment").to_pylist()
+        return pa.table(
+            {"c_custkey": pa.array(np.concatenate([k, k]), pa.int64()),
+             "eff_day": pa.array(
+                 np.concatenate([np.zeros(len(k), np.int64),
+                                 _SCD_DAY0 + k % 1500]), pa.int64()),
+             "seg": pa.array(seg + [f"UPGRADED-{s}" for s in seg], pa.string())}
+        )
+
+    def fact_rows(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy()
+        return pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+             "day": pa.array(us // 86_400_000_000, pa.int64())}
+        )
+
+    joined = asof_join(
+        orders.map_batches(fact_rows, batch_format="pyarrow"),
+        cust.map_batches(dim_rows, batch_format="pyarrow"),
+        on="c_custkey", ts_col="day", right_ts_col="eff_day",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "seg_r" not in df.columns:
+            return pd.DataFrame({"segment": pd.Series([], dtype="object"),
+                                 "n_orders": pd.Series([], dtype="int64")})
+        g = df.groupby("seg_r", as_index=False).size()
+        return pd.DataFrame({"segment": g["seg_r"],
+                             "n_orders": g["size"].astype("int64")})
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("segment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
 def q_sample_events(sf_dir: str):
     """O7 sampling analog, made deterministic: systematic 1-in-20 sample by
     key (hash/RNG-free so the SQL oracle reproduces it exactly)."""
@@ -3441,6 +3503,7 @@ def queries() -> dict:
         # window candidates for the next)
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "neardup_keep": q_neardup_keep,
+        "scd_segment_orders": q_scd_segment_orders,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
@@ -4170,6 +4233,28 @@ def oracle_sql() -> dict:
             comp AS (SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node)
             SELECT d.id AS doc_id, CAST(COALESCE(c.rep, d.id) AS BIGINT) AS keep_id
             FROM docs d LEFT JOIN comp c ON c.node = d.id
+        """,
+        # SCD-2 as-of join: latest dimension version with eff_day <= order day
+        # (merge_asof backward is inclusive, matching <=); day boundaries are
+        # exact because order timestamps are midnight-aligned
+        "scd_segment_orders": f"""
+            WITH dim AS (
+                SELECT CAST(c_custkey AS BIGINT) AS k, CAST(0 AS BIGINT) AS eff_day,
+                       c_mktsegment AS seg FROM customer
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT),
+                       {_SCD_DAY0} + CAST(c_custkey AS BIGINT) % 1500,
+                       'UPGRADED-' || c_mktsegment FROM customer),
+            o AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS k,
+                         datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d
+                  FROM orders),
+            ranked AS (
+                SELECT o.o_orderkey, dim.seg,
+                       ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                                          ORDER BY dim.eff_day DESC) AS rn
+                FROM o JOIN dim ON dim.k = o.k AND dim.eff_day <= o.d)
+            SELECT seg AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM ranked WHERE rn = 1 GROUP BY seg
         """,
         # graph family: co-purchase edges (u, v, n) = parts sharing n orders.
         # All outputs are exact integers; the PageRank oracle replicates the
