@@ -97,12 +97,7 @@ def write_partitioned(
     import os
     import shutil
 
-    # batch_size=None → whole-block batches: pack's cost is ~(unique parts ×
-    # batch scan + one lz4 stream per (batch, part)); the 1024-row default
-    # would run it per KB-sized batch and emit n_partitions tiny blobs PER
-    # BATCH — 64× the blob count, all fixed overhead (measured: the 800k-page
-    # fused pass regressed 105 s → 185 s from exactly this)
-    ds = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
     # Pack each block's per-partition slice into COMPRESSED Arrow-IPC bytes
     # BEFORE the exchange: the partition-aligning shuffle then moves ~15×
     # fewer bytes (one (part, blob) row per block×partition instead of every
@@ -122,16 +117,28 @@ def write_partitioned(
             return pa.table({"part": pa.array([], pa.int32()),
                              "blob": pa.array([], pa.large_binary()),
                              "nrows": pa.array([], pa.int64())})
+        import numpy as np
+
+        # sort-based split: ONE stable argsort + gather, then a zero-copy
+        # slice per partition present — O(rows log rows + parts), vs the
+        # obvious filter-per-partition which re-scans the whole batch once
+        # per partition (64 parts → 64× the row scans on the hot fused pass)
+        parts_np = t.column("part").to_numpy(zero_copy_only=False)
+        order = np.argsort(parts_np, kind="stable")
+        sorted_t = t.take(pa.array(order)).drop_columns(["part"])
+        sp = parts_np[order]
+        bounds = np.flatnonzero(np.diff(sp)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sp)]))
         o_part, o_blob, o_rows = [], [], []
-        parts = t.column("part")
-        for p in pc.unique(parts).to_pylist():
-            sub = t.filter(pc.equal(parts, p)).drop_columns(["part"])
+        for s, e in zip(starts, ends):
+            sub = sorted_t.slice(int(s), int(e - s))
             sink = io.BytesIO()
             with pa.ipc.new_stream(sink, sub.schema, options=_IPC_OPTS) as w:
                 w.write_table(sub)
-            o_part.append(int(p))
+            o_part.append(int(sp[s]))
             o_blob.append(sink.getvalue())
-            o_rows.append(sub.num_rows)
+            o_rows.append(int(e - s))
         return pa.table({"part": pa.array(o_part, pa.int32()),
                          "blob": pa.array(o_blob, pa.large_binary()),
                          "nrows": pa.array(o_rows, pa.int64())})
@@ -199,7 +206,13 @@ def write_partitioned(
                          "rows": pa.array([out.num_rows], pa.int64()),
                          "bytes": pa.array([nbytes], pa.int64())})
 
-    # count() drives execution; summaries also flow into logs via Ray stats
+    # count() drives execution; summaries also flow into logs via Ray stats.
+    # pack runs on WHOLE blocks (batch_size=None): its scan cost is
+    # batch-size-independent (sort-based split), but blob COUNT is not —
+    # 1024-row batches over 64 partitions emit ~16-row blobs, and the
+    # groupby + write_group concat then pay per-blob overhead ~50× over.
+    # (A/B at 800k pages/32cpus measured the two within ambient noise on the
+    # e2e wall; the blob-count argument decides.)
     (
         ds.map_batches(pack, batch_format="pyarrow", batch_size=None)
         .groupby("part")
