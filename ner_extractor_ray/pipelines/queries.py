@@ -2884,6 +2884,77 @@ def q_neardup_keep(sf_dir: str):
     return near_dup_keep_ids(pairs, ds.select_columns(["doc_id"]), "doc_id")
 
 
+def q_neardup_keep_best(sf_dir: str):
+    """Near-dup keep decision with a QUALITY-WEIGHTED representative — what
+    production curation actually keeps: within each near-dup component the
+    doc with the MOST tokens survives (tie → min doc_id), not the min-id doc
+    (CCNet/RefinedWeb keep-the-longest-version convention). Composition:
+    the ``neardup_keep`` component labels (LSH pairs → distributed CC), a
+    row-local token count, ONE packed-int64 argmax per component
+    ((ntok << 32) | (2³²−1 − doc_id), so Max ⇒ max ntok then min doc — the
+    same single-key trick as the co-order pair groupby), and a partitioned
+    hash join of the winner back onto the members. Output: (doc_id,
+    keep_id) for EVERY doc. SQL oracle = the full LSH + recursive-CC
+    replication + a ROW_NUMBER() argmax."""
+    from ..functions.dedup import lsh_near_dup_pairs, near_dup_keep_ids
+    from ..stages.joins import hash_join
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = lsh_near_dup_pairs(ds, "text", "doc_id",
+                               shingle="word3", threshold=0.8)
+    labels = near_dup_keep_ids(pairs, ds.select_columns(["doc_id"]), "doc_id")
+    labels = labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "comp": t.column("keep_id")}),
+        batch_format="pyarrow",
+    )
+
+    def tokn(t: pa.Table) -> pa.Table:
+        n = [len(_ALNUM.findall((s or "").lower()))
+             for s in t.column("text").to_pylist()]
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "ntok": pa.array(n, pa.int64())})
+
+    members = hash_join(labels, ds.map_batches(tokn, batch_format="pyarrow"),
+                        on=("doc_id",))
+
+    _MAXD = (1 << 32) - 1
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"comp": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64())})
+        d = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(t.column("ntok"), pa.int64()).to_numpy(zero_copy_only=False)
+        if len(d) and (int(d.max()) > _MAXD or int(n.max()) >= (1 << 31)):
+            raise ValueError("doc_id/ntok exceed the packed-key range")
+        key = (n << np.int64(32)) | (np.int64(_MAXD) - d)
+        return pa.table({"comp": pc.cast(t.column("comp"), pa.int64()),
+                         "key": pa.array(key, pa.int64())})
+
+    from ray.data.aggregate import Max
+
+    best = _gagg(members.map_batches(pack, batch_format="pyarrow"),
+                 "comp", Max("key", alias_name="key"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "comp" not in t.column_names:
+            return pa.table({"comp": pa.array([], pa.int64()),
+                             "keep_id": pa.array([], pa.int64())})
+        k = pc.cast(t.column("key"), pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.int64(_MAXD) - (k & np.int64(_MAXD))
+        return pa.table({"comp": pc.cast(t.column("comp"), pa.int64()),
+                         "keep_id": pa.array(keep, pa.int64())})
+
+    winners = best.map_batches(unpack, batch_format="pyarrow")
+    out = hash_join(labels, winners, on=("comp",))
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                            "keep_id": pc.cast(t.column("keep_id"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 # --------------------------------------------------------------------------
 # Graph-analytics family (functions/graph.py) over the part co-purchase
 # graph: edges (u, v, n) = parts appearing together in n orders. The KG-side
@@ -3632,9 +3703,10 @@ def queries() -> dict:
         "seq_packing": q_seq_packing,
         "exact_dedup": q_exact_dedup,
         "knn_cosine": q_knn_cosine,
-        # round-3 late addition (oracle-backed; pytest-checked this round,
-        # window candidate for the next)
+        # round-3 late additions (oracle-backed; pytest-checked this round,
+        # window candidates for the next)
         "dedup_ngram_spans": q_dedup_ngram_spans,
+        "neardup_keep_best": q_neardup_keep_best,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
@@ -4404,6 +4476,38 @@ def oracle_sql() -> dict:
             comp AS (SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node)
             SELECT d.id AS doc_id, CAST(COALESCE(c.rep, d.id) AS BIGINT) AS keep_id
             FROM docs d LEFT JOIN comp c ON c.node = d.id
+        """,
+        # quality-weighted representative: same LSH + recursive-CC labels,
+        # keeper = ROW_NUMBER() argmax on (ntok DESC, doc_id) per component
+        "neardup_keep_best": f"""
+            WITH RECURSIVE pairs AS ({_lsh_oracle_sql(_WORD3_SHINGLES, 0.8)}),
+            docs AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+            s AS (SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst
+                  FROM pairs
+                  UNION
+                  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM pairs),
+            reach(node, lbl) AS (
+                SELECT DISTINCT src, src FROM s
+                UNION
+                SELECT s2.dst, r.lbl FROM reach r JOIN s s2 ON s2.src = r.node
+            ),
+            comp AS (SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node),
+            lab AS (
+                SELECT d.id AS doc_id, CAST(COALESCE(c.rep, d.id) AS BIGINT) AS comp
+                FROM docs d LEFT JOIN comp c ON c.node = d.id),
+            tokn AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ntok
+                FROM documents),
+            best AS (
+                SELECT comp, doc_id AS keep_id FROM (
+                    SELECT l.comp, l.doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY l.comp
+                                              ORDER BY t.ntok DESC, l.doc_id) AS rn
+                    FROM lab l JOIN tokn t ON t.doc_id = l.doc_id)
+                WHERE rn = 1)
+            SELECT l.doc_id, CAST(b.keep_id AS BIGINT) AS keep_id
+            FROM lab l JOIN best b ON b.comp = l.comp
         """,
         # SCD-2 as-of join: latest dimension version with eff_day <= order day
         # (merge_asof backward is inclusive, matching <=); day boundaries are

@@ -27,6 +27,37 @@ def test_near_dup_keep_ids_components():
     assert keep[4] == 4                   # unrelated doc keeps itself
 
 
+def test_neardup_keep_best_argmax_and_ties(tmp_path):
+    """Quality-weighted keeper: max token count wins within a component;
+    equal counts tie-break to min doc_id; singletons keep themselves."""
+    import pyarrow.parquet as pq
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    base,                      # comp {1,2,3}: 10 tokens
+                    base + " tonight",         # 11 tokens, J=8/9≥0.8 — keeper
+                    base,                      # 10 tokens
+                    "completely different content about spark and ray data",
+                    "completely different content about spark and ray data",
+                    # 4+5 are exact dups with EQUAL counts → min id (4) keeps
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    from ner_extractor_ray.pipelines.queries import q_neardup_keep_best
+
+    keep = {r["doc_id"]: r["keep_id"] for r in q_neardup_keep_best(str(d)).take_all()}
+    assert keep[1] == 2 and keep[2] == 2 and keep[3] == 2  # longest version wins
+    assert keep[4] == 4 and keep[5] == 4                   # tie → min doc_id
+
+
 def test_lsh_pairs_match_driver_oracle():
     """The narrow-shuffle plan (band rows = (bucket, id); texts re-joined for
     candidates only) must produce the IDENTICAL verified pair set as a
