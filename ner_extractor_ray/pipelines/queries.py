@@ -2267,6 +2267,64 @@ def q_value_p90(sf_dir: str):
     )
 
 
+def q_customer_p90_spend(sf_dir: str):
+    """Exact PER-GROUP p90 at GROUP-TABLE cardinality — the per-entity
+    quantile a feature store computes for millions of keys, where
+    ``value_p90``'s driver-side finish (fine for 5 event types) would
+    collect a corpus-sized histogram. Fully distributed: per-batch
+    (custkey, cents) count partials, one bucketed grouped_aggregate, then
+    the integer cum rule (10·cum ≥ 9·n) runs INSIDE a coarse-bucketed
+    map_groups — the driver never sees a histogram row. Output:
+    (o_custkey, n_orders, p90_cents), all exact integers."""
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    P = _compact_blocks()
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"o_custkey": pc.cast(t.column("o_custkey"), pa.int64()).to_numpy(),
+             "cents": _cents(np.asarray(t.column("o_totalprice")))}
+        )
+        g = df.groupby(["o_custkey", "cents"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey", "cents"],
+        Sum("n", alias_name="n"),
+    )
+
+    def add_cb(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "__cb": pa.array([], pa.int64())})
+        c = pc.cast(t.column("o_custkey"), pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column("__cb", pa.array(c % P, pa.int64()))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "cents"])
+        cum = g.groupby("o_custkey")["n"].cumsum().to_numpy(dtype=np.int64)
+        tot = g.groupby("o_custkey")["n"].transform("sum").to_numpy(dtype=np.int64)
+        hit = g.loc[10 * cum >= 9 * tot, ["o_custkey", "cents"]]
+        first = hit.groupby("o_custkey", as_index=False).first()  # smallest cents
+        nn = g.groupby("o_custkey", as_index=False)["n"].sum().rename(
+            columns={"n": "n_orders"})
+        out = nn.merge(first, on="o_custkey")
+        return pd.DataFrame({"o_custkey": out["o_custkey"].astype("int64"),
+                             "n_orders": out["n_orders"].astype("int64"),
+                             "p90_cents": out["cents"].astype("int64")})
+
+    return (
+        hist.map_batches(add_cb, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def q_fuzzy_part_names(sf_dir: str):
     """Fuzzy self-match: distinct part-name pairs within edit distance 1 via
     SymSpell deletion-neighborhood blocking (functions/dedup.fuzzy_name_pairs)."""
@@ -3707,6 +3765,7 @@ def queries() -> dict:
         # window candidates for the next)
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
+        "customer_p90_spend": q_customer_p90_spend,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
@@ -4945,6 +5004,25 @@ def oracle_sql() -> dict:
             )
             WHERE cum * 10 >= n * 9
             GROUP BY event_type
+        """,
+        # per-group exact p90: same integer cum rule as value_p90, PARTITIONed
+        # by the group key (the Ray side finishes distributed, never driver)
+        "customer_p90_spend": """
+            SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                   CAST(MAX(n) AS BIGINT) AS n_orders,
+                   CAST(MIN(cents) AS BIGINT) AS p90_cents
+            FROM (
+                SELECT o_custkey, cents,
+                       SUM(cnt) OVER (PARTITION BY o_custkey
+                                      ORDER BY cents) AS cum,
+                       SUM(cnt) OVER (PARTITION BY o_custkey) AS n
+                FROM (SELECT o_custkey,
+                             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                             COUNT(*) AS cnt
+                      FROM orders GROUP BY 1, 2)
+            )
+            WHERE cum * 10 >= n * 9
+            GROUP BY o_custkey
         """,
         # SymSpell deletion-neighborhood blocking replicated plan-for-plan
         # (bucket_cap=256 chain fallback included), exact levenshtein verify
