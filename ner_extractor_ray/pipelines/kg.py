@@ -354,15 +354,31 @@ def run_kg(
     if out_dir:
         nodes_dir = os.path.join(out_dir, "nodes")
         edges_dir = os.path.join(out_dir, "edges")
+        # The two final writes are independent (nodes ← assignments,
+        # edges ← annotations ⋈ assignments, both already checkpointed) —
+        # drive them CONCURRENTLY from two threads so their fixed execution
+        # costs overlap (each distributed execution carries ~1-2 s of
+        # orchestration here; sequential they add, overlapped they don't).
+        # Ray Data executions are thread-safe to launch in parallel.
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = []
         if not (table_complete(nodes_dir) and resume):
-            write_partitioned(nodes, nodes_dir, "entity_id",
-                              n_partitions=n_partitions, sort_key="entity_id",
-                              resume=resume, lineage={**lineage, "stage": "nodes"})
+            jobs.append(("nodes", lambda: write_partitioned(
+                nodes, nodes_dir, "entity_id",
+                n_partitions=n_partitions, sort_key="entity_id",
+                resume=resume, lineage={**lineage, "stage": "nodes"})))
         if not (table_complete(edges_dir) and resume):
-            write_partitioned(edges, edges_dir, "subj_id",
-                              n_partitions=n_partitions,
-                              sort_key=["subj_id", "pred", "obj_id"], resume=resume,
-                              lineage={**lineage, "stage": "edges"})
+            jobs.append(("edges", lambda: write_partitioned(
+                edges, edges_dir, "subj_id",
+                n_partitions=n_partitions,
+                sort_key=["subj_id", "pred", "obj_id"], resume=resume,
+                lineage={**lineage, "stage": "edges"})))
+        if jobs:
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                futs = [pool.submit(fn) for _, fn in jobs]
+                for f in futs:
+                    f.result()  # re-raise worker exceptions
         result["nodes"] = ray.data.read_parquet(nodes_dir)
         result["edges"] = ray.data.read_parquet(edges_dir)
     return result

@@ -2267,6 +2267,48 @@ def q_value_p90(sf_dir: str):
     )
 
 
+def q_customers_without_urgent_orders(sf_dir: str):
+    """Exact distributed ANTI join at fact-table scale: customers with no
+    1-URGENT order (every customer has SOME order at test scale, so the
+    unfiltered anti would pass vacuously). A Bloom filter CANNOT prune an
+    anti-join safely (a false positive would silently DROP a legitimate
+    survivor — the dual of the semi-join case, where false positives only
+    cost verify work), so the plan is exact end-to-end: the fact side is
+    predicate-filtered at the read, reduces to DISTINCT keys via a
+    per-batch combiner (narrow shuffle, one row per key), then ONE
+    partitioned hash LEFT join against customers keeps rows with no match.
+    Neither side is ever broadcast or collected."""
+    from ..stages.canonicalize import pre_aggregated_count
+    from ..stages.joins import hash_join
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    urgent = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                    "1-URGENT")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    okeys = pre_aggregated_count(urgent, ["o_custkey"], "m").map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                            "m": pa.array(np.ones(t.num_rows, np.int64), pa.int64())})
+        if t.num_rows else pa.table({"c_custkey": pa.array([], pa.int64()),
+                                     "m": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(cust, okeys, on=("c_custkey",), how="left")
+
+    def anti(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "m" not in t.column_names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_name": pa.array([], pa.string())})
+        # the pandas left-merge surfaces misses as NaN in a float column;
+        # depending on the block conversion they arrive as null OR NaN
+        keep = t.filter(pc.is_null(t.column("m"), nan_is_null=True))
+        return pa.table({"c_custkey": pc.cast(keep.column("c_custkey"), pa.int64()),
+                         "c_name": pc.cast(keep.column("c_name"), pa.string())})
+
+    return joined.map_batches(anti, batch_format="pyarrow")
+
+
 def q_customer_p90_spend(sf_dir: str):
     """Exact PER-GROUP p90 at GROUP-TABLE cardinality — the per-entity
     quantile a feature store computes for millions of keys, where
@@ -3766,6 +3808,7 @@ def queries() -> dict:
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
+        "customers_without_urgent_orders": q_customers_without_urgent_orders,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
@@ -5004,6 +5047,14 @@ def oracle_sql() -> dict:
             )
             WHERE cum * 10 >= n * 9
             GROUP BY event_type
+        """,
+        # exact anti join (Bloom can't prune antis — false positives would
+        # drop survivors): distinct fact keys + partitioned left join
+        "customers_without_urgent_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
         """,
         # per-group exact p90: same integer cum rule as value_p90, PARTITIONed
         # by the group key (the Ray side finishes distributed, never driver)
