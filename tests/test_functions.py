@@ -41,6 +41,21 @@ def test_build_bio_tags():
     assert build_bio_tags("LOC", 0) == []
 
 
+def test_extract_entities_fixbio_equivalence():
+    """The fused one-pass decode must equal extract_entities(fix_bio(tags))
+    on every tag stream — exhaustive over all length-≤5 streams drawn from a
+    2-type BIO alphabet (covers orphan I-, type switches, trailing spans)."""
+    from itertools import product
+
+    from ner_extractor_ray.functions.bio import extract_entities_fixbio
+
+    alphabet = ["O", "B-PER", "I-PER", "B-ORG", "I-ORG"]
+    for n in range(6):
+        for tags in product(alphabet, repeat=n):
+            tags = list(tags)
+            assert extract_entities_fixbio(tags) == extract_entities(fix_bio(tags)), tags
+
+
 def test_viterbi_enforces_bio_validity():
     # emissions that scream I-PER at position 0 must still decode to a valid
     # start (structural transitions forbid sequence-initial I-)
