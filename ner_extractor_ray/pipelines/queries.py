@@ -2309,6 +2309,47 @@ def q_customers_without_urgent_orders(sf_dir: str):
     return joined.map_batches(anti, batch_format="pyarrow")
 
 
+def q_customers_all_priorities(sf_dir: str):
+    """RELATIONAL DIVISION (set-containment join): customers whose orders
+    cover EVERY priority level that occurs in the fact table — the
+    'suppliers who stock all parts' query shape, absent from most engines'
+    primitive sets. Scale plan: distinct (custkey, priority) pairs via the
+    per-batch combiner (narrow shuffle, one row per pair), per-customer
+    pair counts the same way, the divisor cardinality from the
+    vocabulary-sized priority table (broadcast as a scalar), and one
+    partitioned hash join to attach customer names. No side is ever
+    collected at fact scale."""
+    from ..stages.canonicalize import pre_aggregated_count
+    from ..stages.joins import hash_join
+
+    pairs = pre_aggregated_count(
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
+        ["o_custkey", "o_orderpriority"], "m"
+    )
+    per_cust = pre_aggregated_count(
+        pairs.map_batches(lambda t: t.select(["o_custkey"]), batch_format="pyarrow"),
+        ["o_custkey"], "n_prio"
+    )
+    divisor = pre_aggregated_count(
+        _rp(sf_dir, "orders", ["o_orderpriority"]), ["o_orderpriority"], "m"
+    ).count()  # vocabulary-sized (5) — the broadcast scalar
+
+    covering = per_cust.map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(
+            t.filter(pc.equal(t.column("n_prio"), divisor)).column("o_custkey"),
+            pa.int64())})
+        if t.num_rows else pa.table({"c_custkey": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = hash_join(cust, covering, on=("c_custkey",))
+    return out.map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                            "c_name": pc.cast(t.column("c_name"), pa.string())}),
+        batch_format="pyarrow",
+    )
+
+
 def q_customer_p90_spend(sf_dir: str):
     """Exact PER-GROUP p90 at GROUP-TABLE cardinality — the per-entity
     quantile a feature store computes for millions of keys, where
@@ -3809,6 +3850,7 @@ def queries() -> dict:
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
         "customers_without_urgent_orders": q_customers_without_urgent_orders,
+        "customers_all_priorities": q_customers_all_priorities,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
@@ -5055,6 +5097,17 @@ def oracle_sql() -> dict:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        # relational division: distinct pairs -> per-key counts == divisor
+        "customers_all_priorities": """
+            SELECT c.c_custkey, c.c_name
+            FROM customer c
+            JOIN (SELECT o_custkey
+                  FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+                  GROUP BY o_custkey
+                  HAVING COUNT(*) = (SELECT COUNT(DISTINCT o_orderpriority)
+                                     FROM orders)) q
+              ON q.o_custkey = c.c_custkey
         """,
         # per-group exact p90: same integer cum rule as value_p90, PARTITIONed
         # by the group key (the Ray side finishes distributed, never driver)
