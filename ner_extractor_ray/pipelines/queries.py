@@ -2309,6 +2309,52 @@ def q_customers_without_urgent_orders(sf_dir: str):
     return joined.map_batches(anti, batch_format="pyarrow")
 
 
+def q_cumulative_distinct_users(sf_dir: str):
+    """Running COUNT(DISTINCT) over time — the incremental-metrics shape
+    ('total unique users to date' per day) that a naive per-day distinct
+    recomputes quadratically. Exact linear plan: reduce each user to their
+    FIRST day (per-batch min partials → one bucketed Min aggregate — the
+    only fact-scale work), count firsts per day (narrow combiner), then a
+    prefix sum over the TIMELINE-sized day table (bounded by calendar days,
+    not data — safe to finish on the driver at any corpus size). Days are
+    exact integer epoch days so the SQL hash comparison is exact."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = t.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"user_id": pc.cast(t.column("user_id"), pa.int64()).to_numpy(),
+                           "day": days})
+        g = df.groupby("user_id", as_index=False)["day"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    first_day = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], Min("day", alias_name="day"),
+    )
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "day" not in t.column_names:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "n_new": pa.array([], pa.int64())})
+        df = pd.DataFrame({"day": pc.cast(t.column("day"), pa.int64()).to_numpy()})
+        g = df.groupby("day", as_index=False).size().rename(columns={"size": "n_new"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_day = grouped_aggregate(
+        first_day.map_batches(day_counts, batch_format="pyarrow"),
+        ["day"], Sum("n_new", alias_name="n_new"),
+    )
+    rows = sorted(per_day.take_all(), key=lambda r: r["day"])  # timeline-sized
+    days = np.array([r["day"] for r in rows], dtype=np.int64)
+    n_new = np.array([r["n_new"] for r in rows], dtype=np.int64)
+    return pa.table({"day": pa.array(days, pa.int64()),
+                     "n_new": pa.array(n_new, pa.int64()),
+                     "cum_users": pa.array(np.cumsum(n_new), pa.int64())})
+
+
 def q_customers_all_priorities(sf_dir: str):
     """RELATIONAL DIVISION (set-containment join): customers whose orders
     cover EVERY priority level that occurs in the fact table — the
@@ -3851,6 +3897,7 @@ def queries() -> dict:
         "customer_p90_spend": q_customer_p90_spend,
         "customers_without_urgent_orders": q_customers_without_urgent_orders,
         "customers_all_priorities": q_customers_all_priorities,
+        "cumulative_distinct_users": q_cumulative_distinct_users,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
@@ -5097,6 +5144,17 @@ def oracle_sql() -> dict:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        # running COUNT(DISTINCT): first-day per user, counts, prefix sum
+        "cumulative_distinct_users": """
+            WITH f AS (SELECT user_id,
+                              MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS day
+                       FROM events GROUP BY 1),
+            d AS (SELECT day, COUNT(*) AS n_new FROM f GROUP BY 1)
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+            FROM d
         """,
         # relational division: distinct pairs -> per-key counts == divisor
         "customers_all_priorities": """
