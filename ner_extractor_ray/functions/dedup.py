@@ -711,3 +711,204 @@ def near_dup_keep_ids(pairs_ds: "ray.data.Dataset", all_ids_ds: "ray.data.Datase
         return pa.table({id_col: pa.array(n, pa.int64()), "keep_id": pa.array(c, pa.int64())})
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+_ALNUM_RE = None  # lazy: shared [a-z0-9]+ tokenization of the curation family
+
+
+def _alnum():
+    global _ALNUM_RE
+    if _ALNUM_RE is None:
+        import re
+
+        _ALNUM_RE = re.compile(r"[a-z0-9]+")
+    return _ALNUM_RE
+
+
+def near_dup_keep_best_ids(
+    pairs_ds: "ray.data.Dataset",
+    docs_ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+) -> "ray.data.Dataset":
+    """Near-dup keep decision with a QUALITY-WEIGHTED representative: within
+    each pair-graph component the doc with the MOST tokens survives (tie →
+    min id) — the CCNet/RefinedWeb keep-the-longest-version convention.
+    One packed-int64 argmax per component ((ntok << 32) | (2³²−1 − id), so
+    Max ⇒ max ntok then min id) plus a partitioned hash join of the winner
+    back onto the members. Output: (id_col, keep_id) for EVERY doc."""
+    import numpy as np
+
+    from ..stages.joins import hash_join
+
+    labels = near_dup_keep_ids(
+        pairs_ds, docs_ds.select_columns([id_col]), id_col
+    ).map_batches(
+        lambda t: pa.table({id_col: t.column(id_col), "comp": t.column("keep_id")}),
+        batch_format="pyarrow",
+    )
+
+    def tokn(t: pa.Table) -> pa.Table:
+        rx = _alnum()
+        n = [len(rx.findall((s or "").lower())) for s in t.column(text_col).to_pylist()]
+        return pa.table({id_col: pc.cast(t.column(id_col), pa.int64()),
+                         "ntok": pa.array(n, pa.int64())})
+
+    members = hash_join(labels, docs_ds.map_batches(tokn, batch_format="pyarrow"),
+                        on=(id_col,))
+    _MAXD = (1 << 32) - 1
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({"comp": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64())})
+        d = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(t.column("ntok"), pa.int64()).to_numpy(zero_copy_only=False)
+        if len(d) and (int(d.max()) > _MAXD or int(n.max()) >= (1 << 31)):
+            raise ValueError("id/ntok exceed the packed-key range")
+        key = (n << np.int64(32)) | (np.int64(_MAXD) - d)
+        return pa.table({"comp": pc.cast(t.column("comp"), pa.int64()),
+                         "key": pa.array(key, pa.int64())})
+
+    from ..stages.canonicalize import grouped_aggregate
+    from ray.data.aggregate import Max
+
+    best = grouped_aggregate(members.map_batches(pack, batch_format="pyarrow"),
+                             ["comp"], Max("key", alias_name="key"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "comp" not in t.column_names:
+            return pa.table({"comp": pa.array([], pa.int64()),
+                             "keep_id": pa.array([], pa.int64())})
+        k = pc.cast(t.column("key"), pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.int64(_MAXD) - (k & np.int64(_MAXD))
+        return pa.table({"comp": pc.cast(t.column("comp"), pa.int64()),
+                         "keep_id": pa.array(keep, pa.int64())})
+
+    winners = best.map_batches(unpack, batch_format="pyarrow")
+    out = hash_join(labels, winners, on=("comp",))
+    return out.map_batches(
+        lambda t: pa.table({id_col: pc.cast(t.column(id_col), pa.int64()),
+                            "keep_id": pc.cast(t.column("keep_id"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def span_dedup_rewrite(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 8,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """RefinedWeb-style exact-substring SPAN REMOVAL (the rewrite): every
+    token covered by a word-``n``-gram that also occurs in ≥ 1 OTHER doc is
+    dropped; docs re-emit with only kept tokens.
+
+    Scale shape — two narrow shuffles, ONE text shuffle, no joins: distinct
+    gram md5-hashes ship as 16 B (h, doc) rows hash-partitioned on h (one
+    task sees all holders of a gram; traffic ∝ duplicated content for the
+    shared re-emit), then a side-tagged union on doc co-locates text with
+    its shared-gram set for a row-local rewrite. Output: (id_col, n_tokens,
+    n_removed, kept_text) for docs with ≥ 1 token."""
+    import numpy as np  # captured by the worker-side closures below
+
+    from ..stages.canonicalize import _compact_blocks
+    from .textfns import md5_hash64
+
+    P = int(num_parts or _compact_blocks())
+
+    def grams(t: pa.Table) -> pa.Table:
+        rx = _alnum()
+        ids = pc.cast(t.column(id_col), pa.int64()).to_pylist()
+        hcache: dict[str, int] = {}
+        o_h, o_d = [], []
+        for did, s in zip(ids, t.column(text_col).to_pylist()):
+            toks = rx.findall((s or "").lower())
+            ngs = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            o_h.extend(
+                hcache[g] if g in hcache else hcache.setdefault(g, md5_hash64(g))
+                for g in ngs
+            )
+            o_d.extend([did] * len(ngs))
+        h = np.asarray(o_h, dtype=np.uint64).astype(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "doc": pa.array(o_d, pa.int64()),
+                         "__part": pa.array(h % P, pa.int64())})
+
+    def shared_rows(group: pd.DataFrame) -> pa.Table:
+        holders = group.groupby("h")["doc"].transform("size")  # distinct rows
+        out = group.loc[holders >= 2, ["doc", "h"]]
+        k = len(out)
+        return pa.table(
+            {"doc": pa.array(out["doc"].to_numpy(dtype=np.int64), pa.int64()),
+             "kind": pa.array(["h"] * k, pa.string()),
+             "text": pa.array([None] * k, pa.string()),
+             "h": pa.array(out["h"].to_numpy(dtype=np.int64), pa.int64())}
+        )
+
+    shared = (
+        ds.map_batches(grams, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(shared_rows, batch_format="pandas")
+    )
+
+    def text_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc": pc.cast(t.column(id_col), pa.int64()),
+             "kind": pa.array(["t"] * t.num_rows, pa.string()),
+             "text": pc.cast(t.column(text_col), pa.string()),
+             "h": pa.array(np.zeros(t.num_rows, np.int64), pa.int64())}
+        )
+
+    def add_db(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc" not in t.column_names:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64()),
+                             "__db": pa.array([], pa.int64())})
+        d = pc.cast(t.column("doc"), pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column("__db", pa.array(d % P, pa.int64()))
+
+    tagged = (
+        ds.map_batches(text_rows, batch_format="pyarrow")
+        .union(shared)
+        .map_batches(add_db, batch_format="pyarrow")
+    )
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        rx = _alnum()
+        hcache: dict[str, int] = {}
+        o_doc, o_nt, o_nr, o_txt = [], [], [], []
+        for doc, sub in g.groupby("doc", sort=False):
+            texts = sub.loc[sub["kind"] == "t", "text"]
+            if texts.empty:
+                continue
+            toks = rx.findall((texts.iloc[0] or "").lower())
+            nt = len(toks)
+            if nt == 0:
+                continue
+            shared_h = set(sub.loc[sub["kind"] == "h", "h"].astype("int64"))
+            covered = np.zeros(nt, dtype=bool)
+            if shared_h and nt >= n:
+                for i in range(nt - n + 1):
+                    gstr = " ".join(toks[i:i + n])
+                    hv = hcache.get(gstr)
+                    if hv is None:
+                        hv = hcache.setdefault(
+                            gstr, int(np.uint64(md5_hash64(gstr)).astype(np.int64)))
+                    if hv in shared_h:
+                        covered[i:i + n] = True
+            kept = [t_ for t_, c in zip(toks, covered) if not c]
+            o_doc.append(doc)
+            o_nt.append(nt)
+            o_nr.append(int(covered.sum()))
+            o_txt.append(" ".join(kept))
+        return pd.DataFrame({id_col: pd.Series(o_doc, dtype="int64"),
+                             "n_tokens": pd.Series(o_nt, dtype="int64"),
+                             "n_removed": pd.Series(o_nr, dtype="int64"),
+                             "kept_text": pd.Series(o_txt, dtype=object)})
+
+    return tagged.groupby("__db").map_groups(rewrite, batch_format="pandas")

@@ -46,12 +46,21 @@ def fnv1a64_array(strings: np.ndarray) -> np.ndarray:
     return out
 
 
-def crc_bucket(strings, n_buckets: int) -> np.ndarray:
-    """Fast stable bucket assignment for strings → int32 in [0, n_buckets)."""
+def crc_bucket(values, n_buckets: int) -> np.ndarray:
+    """Fast stable bucket assignment → int32 in [0, n_buckets). Non-string
+    keys (int ids) hash via their decimal string so the bucket is a pure
+    function of the VALUE, identical in every process and at any width."""
     import zlib
 
+    def enc(v):
+        if isinstance(v, str):
+            return v.encode("utf-8")
+        if isinstance(v, bytes):
+            return v
+        return str(v).encode("utf-8")
+
     return np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) % n_buckets for s in strings),
+        (zlib.crc32(enc(v)) % n_buckets for v in values),
         dtype=np.int32,
-        count=len(strings),
+        count=len(values),
     )

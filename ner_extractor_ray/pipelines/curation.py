@@ -1,0 +1,137 @@
+"""The curation flagship: raw documents → filtered, deduplicated,
+span-rewritten training corpus — the end-to-end LLM-training-data pipeline
+the beyond-reference operator families (SURVEY.md §2.11) compose into:
+
+    quality gate (C4/Gopher rule filter, row-local)
+      → exact dedup (md5 content hash, keep-min-id)           functions/dedup.py
+      → near-dup dedup (MinHash-LSH pairs → CC → keep the
+        LONGEST version per component)                        functions/dedup.py
+      → exact-substring span removal (cross-doc-shared
+        8-grams dropped from the surviving text)              functions/dedup.py
+      → partitioned curated-corpus write with manifests       stages/materialize.py
+
+Scale discipline: every stage's decision table is an ID-ONLY dataset
+(8 B/row) — the corpus text is re-read lazily from the source and attached
+by partitioned hash semi-joins, never materialized in the object store.
+Stage counts come from the id tables. With ``out_dir`` the curated output
+is a resumable partitioned Parquet table like the KG tables (completed
+partitions skipped on rerun).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.joins import hash_join
+from ..stages.materialize import write_partitioned
+from ..state.manifest import table_complete
+
+
+def _ids_only(ds: "ray.data.Dataset", id_col: str) -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda t: pa.table({id_col: pc.cast(t.column(id_col), pa.int64())})
+        if t.num_rows else pa.table({id_col: pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def run_curation(
+    docs: "ray.data.Dataset",
+    out_dir: str | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int = 16,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.0,
+    lsh_threshold: float = 0.8,
+    shingle: str = "word3",
+    span_n: int = 8,
+    resume: bool = True,
+) -> dict:
+    """Run the curation pipeline; returns stage stats + the curated Dataset.
+
+    ``docs`` must carry ``id_col`` (int64-castable, < 2³²) and ``text_col``.
+    Output rows: (id_col, n_tokens, n_removed, kept_text). With ``out_dir``
+    the curated table is written partitioned (``part=crc(id) % n``) with
+    per-partition manifests; a completed table short-circuits the rerun.
+    """
+    from ..functions.dedup import (
+        exact_dedup_groups,
+        lsh_near_dup_pairs,
+        near_dup_keep_best_ids,
+        span_dedup_rewrite,
+    )
+    from ..stages.textops import quality_batch
+
+    curated_dir = os.path.join(out_dir, "curated") if out_dir else None
+    if curated_dir and table_complete(curated_dir) and resume:
+        curated = ray.data.read_parquet(curated_dir)
+        return {"curated": curated, "stats": {"resumed": True}}
+
+    stats: dict[str, int] = {"n_input": docs.count()}
+
+    # ---- S1 quality gate (row-local; C4/Gopher rule filter) --------------
+    def keep_ids(t: pa.Table) -> pa.Table:
+        q = quality_batch(t, text_col=text_col, id_col=id_col,
+                          min_tokens=min_tokens,
+                          max_punct_ratio=max_punct_ratio,
+                          min_stopword_ratio=min_stopword_ratio)
+        kept = q.filter(q.column("keep"))
+        return pa.table({id_col: pc.cast(kept.column(id_col), pa.int64())})
+
+    q_ids = docs.map_batches(keep_ids, batch_format="pyarrow").materialize()
+    stats["n_quality"] = q_ids.count()
+    s1 = hash_join(docs.select_columns([id_col, text_col]), q_ids, on=(id_col,))
+
+    # ---- S2 exact dedup (md5 content hash, keeper = min id) --------------
+    e_keep = _ids_only(
+        exact_dedup_groups(s1, text_col, id_col).map_batches(
+            lambda t: pa.table({id_col: t.column("keep_id")})
+            if t.num_rows else pa.table({id_col: pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        id_col,
+    ).materialize()
+    stats["n_exact"] = e_keep.count()
+    s2 = hash_join(s1, e_keep, on=(id_col,))
+
+    # ---- S3 near-dup keep-best (LSH pairs → CC → longest-version keeper) -
+    pairs = lsh_near_dup_pairs(s2, text_col, id_col,
+                               shingle=shingle, threshold=lsh_threshold)
+    kb = near_dup_keep_best_ids(pairs, s2, id_col, text_col)
+    w_ids = _ids_only(
+        kb.map_batches(
+            lambda t: t.filter(pc.equal(t.column(id_col), t.column("keep_id")))
+            if t.num_rows else t,
+            batch_format="pyarrow",
+        ),
+        id_col,
+    ).materialize()
+    stats["n_neardup"] = w_ids.count()
+    s3 = hash_join(s2, w_ids, on=(id_col,))
+
+    # ---- S4 exact-substring span removal over the survivors --------------
+    curated = span_dedup_rewrite(s3, id_col, text_col, n=span_n)
+
+    # ---- S5 materialize ---------------------------------------------------
+    if curated_dir:
+        write_partitioned(
+            curated, curated_dir, id_col, n_partitions=n_partitions,
+            sort_key=id_col, resume=resume,
+            lineage={"stage": "curated", "params": {
+                "min_tokens": min_tokens, "lsh_threshold": lsh_threshold,
+                "shingle": shingle, "span_n": span_n,
+                "n_partitions": n_partitions}, **stats},
+        )
+        curated = ray.data.read_parquet(curated_dir)
+    else:
+        curated = curated.materialize()
+    stats["n_curated"] = curated.count()
+    return {"curated": curated, "stats": stats,
+            "survivor_ids": w_ids, "keep_best": kb}

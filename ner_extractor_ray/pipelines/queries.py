@@ -2309,6 +2309,25 @@ def q_customers_without_urgent_orders(sf_dir: str):
     return joined.map_batches(anti, batch_format="pyarrow")
 
 
+def q_curation_pipeline(sf_dir: str):
+    """The curation FLAGSHIP end-to-end (pipelines/curation.run_curation):
+    quality gate → exact dedup (keep-min-id) → near-dup keep-LONGEST →
+    exact-substring span removal, over the documents table. Every stage's
+    plan is the one its standalone query uses; the SQL oracle composes the
+    four stage oracles (quality rule, md5 window dedup, full banded-LSH +
+    recursive-CC + ROW_NUMBER argmax, windowed-MAX span coverage) into one
+    statement, so the WHOLE pipeline decision + rewrite is hash-checked.
+    Output: (doc_id, n_tokens, n_removed, kept_text) for surviving docs."""
+    from .curation import run_curation
+
+    res = run_curation(
+        _rp(sf_dir, "documents", ["doc_id", "text"]),
+        min_tokens=5, max_punct_ratio=0.5, min_stopword_ratio=0.0,
+        lsh_threshold=0.8, shingle="word3", span_n=_DUPNG_N,
+    )
+    return res["curated"]
+
+
 def q_cumulative_distinct_users(sf_dir: str):
     """Running COUNT(DISTINCT) over time — the incremental-metrics shape
     ('total unique users to date' per day) that a naive per-day distinct
@@ -2927,130 +2946,19 @@ def q_dup_ngram_fraction(sf_dir: str):
 
 def q_dedup_ngram_spans(sf_dir: str):
     """RefinedWeb-style exact-substring SPAN REMOVAL (the rewrite, not just
-    the score): every token covered by a word-8-gram that also occurs in ≥ 1
-    OTHER document is dropped; the doc is re-emitted with only the kept
-    tokens. This is the curation operator that actually edits training text,
-    complementing ``dup_ngram_fraction`` (which only scores it).
+    the score) — plan in functions/dedup.span_dedup_rewrite: shared grams
+    found h-partitioned (16 B rows, text never shuffled there), then a
+    side-tagged union on doc co-locates text with its shared-gram set for a
+    row-local rewrite — no joins. Output: (doc_id, n_tokens, n_removed,
+    kept_text) for docs with ≥ 1 token. The SQL oracle replicates the plan
+    (same md5-top-8-byte gram identity — any truncation collision collides
+    identically — windowed-MAX coverage, string_agg kept text)."""
+    from ..functions.dedup import span_dedup_rewrite
 
-    Scale shape — two narrow shuffles, ONE text shuffle, no joins:
-      1. gram pass (identical to dup_ngram_fraction): per doc, DISTINCT
-         8-gram md5-hashes ship as 16 B (h, doc) rows, hash-partitioned on h
-         so one task sees all holders of a gram; grams held by ≥ 2 distinct
-         docs re-emit as (doc, h) "shared" rows — traffic ∝ duplicated
-         content only.
-      2. side-tagged union on doc (the snapshot_delta pattern, no join):
-         text rows and shared-h rows meet in one coarse-bucketed groupby;
-         the rewrite is row-local per doc — re-tokenize, re-hash gram
-         starts (md5 memoized per batch; docs with NO shared grams skip
-         hashing entirely), mark covered = any shared start within the
-         window, join kept tokens.
-    Output: (doc_id, n_tokens, n_removed, kept_text) for docs with ≥ 1
-    token. The SQL oracle replicates the exact plan — same md5-top-8-byte
-    gram identity (so any truncation collision collides identically), a
-    windowed MAX over flagged starts for coverage, string_agg for the kept
-    text."""
-    from ..functions.textfns import md5_hash64
-    from ..stages.canonicalize import _compact_blocks
-
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    P = _compact_blocks()
-
-    def grams(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t.column("doc_id"), pa.int64()).to_pylist()
-        hcache: dict[str, int] = {}
-        o_h, o_d = [], []
-        for did, s in zip(ids, t.column("text").to_pylist()):
-            toks = _ALNUM.findall((s or "").lower())
-            ngs = {" ".join(toks[i:i + _DUPNG_N])
-                   for i in range(len(toks) - _DUPNG_N + 1)}
-            o_h.extend(
-                hcache[g] if g in hcache else hcache.setdefault(g, md5_hash64(g))
-                for g in ngs
-            )
-            o_d.extend([did] * len(ngs))
-        h = np.asarray(o_h, dtype=np.uint64).astype(np.int64)
-        return pa.table(
-            {"h": pa.array(h, pa.int64()),
-             "doc": pa.array(o_d, pa.int64()),
-             "__part": pa.array(h % P, pa.int64())}
-        )
-
-    def shared_rows(group: pd.DataFrame) -> pa.Table:
-        holders = group.groupby("h")["doc"].transform("size")  # distinct by construction
-        out = group.loc[holders >= 2, ["doc", "h"]]
-        k = len(out)
-        # explicit Arrow schema: an all-null pandas object column would
-        # otherwise infer as type null and poison the union's schema
-        return pa.table(
-            {"doc": pa.array(out["doc"].to_numpy(dtype=np.int64), pa.int64()),
-             "kind": pa.array(["h"] * k, pa.string()),
-             "text": pa.array([None] * k, pa.string()),
-             "h": pa.array(out["h"].to_numpy(dtype=np.int64), pa.int64())}
-        )
-
-    shared = (
-        ds.map_batches(grams, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(shared_rows, batch_format="pandas")
+    return span_dedup_rewrite(
+        _rp(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text",
+        n=_DUPNG_N,
     )
-
-    def text_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc": pc.cast(t.column("doc_id"), pa.int64()),
-             "kind": pa.array(["t"] * t.num_rows, pa.string()),
-             "text": pc.cast(t.column("text"), pa.string()),
-             "h": pa.array(np.zeros(t.num_rows, np.int64), pa.int64())}
-        )
-
-    def add_db(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "doc" not in t.column_names:
-            return pa.table({"doc": pa.array([], pa.int64()),
-                             "kind": pa.array([], pa.string()),
-                             "text": pa.array([], pa.string()),
-                             "h": pa.array([], pa.int64()),
-                             "__db": pa.array([], pa.int64())})
-        d = pc.cast(t.column("doc"), pa.int64()).to_numpy(zero_copy_only=False)
-        return t.append_column("__db", pa.array(d % P, pa.int64()))
-
-    tagged = (
-        ds.map_batches(text_rows, batch_format="pyarrow")
-        .union(shared)
-        .map_batches(add_db, batch_format="pyarrow")
-    )
-
-    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
-        hcache: dict[str, int] = {}
-        o_doc, o_nt, o_nr, o_txt = [], [], [], []
-        for doc, sub in g.groupby("doc", sort=False):
-            texts = sub.loc[sub["kind"] == "t", "text"]
-            if texts.empty:
-                continue  # defensive: shared rows without a text row
-            toks = _ALNUM.findall((texts.iloc[0] or "").lower())
-            n = len(toks)
-            if n == 0:
-                continue
-            shared_h = set(sub.loc[sub["kind"] == "h", "h"].astype("int64"))
-            covered = np.zeros(n, dtype=bool)
-            if shared_h and n >= _DUPNG_N:
-                for i in range(n - _DUPNG_N + 1):
-                    gstr = " ".join(toks[i:i + _DUPNG_N])
-                    hv = hcache.get(gstr)
-                    if hv is None:
-                        hv = hcache.setdefault(
-                            gstr, int(np.uint64(md5_hash64(gstr)).astype(np.int64)))
-                    if hv in shared_h:
-                        covered[i:i + _DUPNG_N] = True
-            kept = [t_ for t_, c in zip(toks, covered) if not c]
-            o_doc.append(doc)
-            o_nt.append(n)
-            o_nr.append(int(covered.sum()))
-            o_txt.append(" ".join(kept))
-        return pd.DataFrame({"doc_id": pd.Series(o_doc, dtype="int64"),
-                             "n_tokens": pd.Series(o_nt, dtype="int64"),
-                             "n_removed": pd.Series(o_nr, dtype="int64"),
-                             "kept_text": pd.Series(o_txt, dtype=object)})
-
-    return tagged.groupby("__db").map_groups(rewrite, batch_format="pandas")
 
 
 def q_neardup_keep(sf_dir: str):
@@ -3074,72 +2982,17 @@ def q_neardup_keep(sf_dir: str):
 def q_neardup_keep_best(sf_dir: str):
     """Near-dup keep decision with a QUALITY-WEIGHTED representative — what
     production curation actually keeps: within each near-dup component the
-    doc with the MOST tokens survives (tie → min doc_id), not the min-id doc
-    (CCNet/RefinedWeb keep-the-longest-version convention). Composition:
-    the ``neardup_keep`` component labels (LSH pairs → distributed CC), a
-    row-local token count, ONE packed-int64 argmax per component
-    ((ntok << 32) | (2³²−1 − doc_id), so Max ⇒ max ntok then min doc — the
-    same single-key trick as the co-order pair groupby), and a partitioned
-    hash join of the winner back onto the members. Output: (doc_id,
-    keep_id) for EVERY doc. SQL oracle = the full LSH + recursive-CC
-    replication + a ROW_NUMBER() argmax."""
-    from ..functions.dedup import lsh_near_dup_pairs, near_dup_keep_ids
-    from ..stages.joins import hash_join
+    doc with the MOST tokens survives (tie → min doc_id), not the min-id
+    doc (CCNet/RefinedWeb keep-the-longest-version convention). Plan in
+    functions/dedup.near_dup_keep_best_ids (packed-int64 argmax per
+    component + hash-join winner back). SQL oracle = the full LSH +
+    recursive-CC replication + a ROW_NUMBER() argmax."""
+    from ..functions.dedup import lsh_near_dup_pairs, near_dup_keep_best_ids
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     pairs = lsh_near_dup_pairs(ds, "text", "doc_id",
                                shingle="word3", threshold=0.8)
-    labels = near_dup_keep_ids(pairs, ds.select_columns(["doc_id"]), "doc_id")
-    labels = labels.map_batches(
-        lambda t: pa.table({"doc_id": t.column("doc_id"),
-                            "comp": t.column("keep_id")}),
-        batch_format="pyarrow",
-    )
-
-    def tokn(t: pa.Table) -> pa.Table:
-        n = [len(_ALNUM.findall((s or "").lower()))
-             for s in t.column("text").to_pylist()]
-        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
-                         "ntok": pa.array(n, pa.int64())})
-
-    members = hash_join(labels, ds.map_batches(tokn, batch_format="pyarrow"),
-                        on=("doc_id",))
-
-    _MAXD = (1 << 32) - 1
-
-    def pack(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "doc_id" not in t.column_names:
-            return pa.table({"comp": pa.array([], pa.int64()),
-                             "key": pa.array([], pa.int64())})
-        d = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
-        n = pc.cast(t.column("ntok"), pa.int64()).to_numpy(zero_copy_only=False)
-        if len(d) and (int(d.max()) > _MAXD or int(n.max()) >= (1 << 31)):
-            raise ValueError("doc_id/ntok exceed the packed-key range")
-        key = (n << np.int64(32)) | (np.int64(_MAXD) - d)
-        return pa.table({"comp": pc.cast(t.column("comp"), pa.int64()),
-                         "key": pa.array(key, pa.int64())})
-
-    from ray.data.aggregate import Max
-
-    best = _gagg(members.map_batches(pack, batch_format="pyarrow"),
-                 "comp", Max("key", alias_name="key"))
-
-    def unpack(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "comp" not in t.column_names:
-            return pa.table({"comp": pa.array([], pa.int64()),
-                             "keep_id": pa.array([], pa.int64())})
-        k = pc.cast(t.column("key"), pa.int64()).to_numpy(zero_copy_only=False)
-        keep = np.int64(_MAXD) - (k & np.int64(_MAXD))
-        return pa.table({"comp": pc.cast(t.column("comp"), pa.int64()),
-                         "keep_id": pa.array(keep, pa.int64())})
-
-    winners = best.map_batches(unpack, batch_format="pyarrow")
-    out = hash_join(labels, winners, on=("comp",))
-    return out.map_batches(
-        lambda t: pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
-                            "keep_id": pc.cast(t.column("keep_id"), pa.int64())}),
-        batch_format="pyarrow",
-    )
+    return near_dup_keep_best_ids(pairs, ds, "doc_id", "text")
 
 
 # --------------------------------------------------------------------------
@@ -3898,6 +3751,7 @@ def queries() -> dict:
         "customers_without_urgent_orders": q_customers_without_urgent_orders,
         "customers_all_priorities": q_customers_all_priorities,
         "cumulative_distinct_users": q_cumulative_distinct_users,
+        "curation_pipeline": q_curation_pipeline,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
@@ -3940,7 +3794,7 @@ _FNV_O = 14695981039346656037
 
 def _lsh_oracle_sql(shingle_expr: str, threshold: float,
                     n_bands: int = 16, num_perm: int = 64,
-                    bucket_cap: int = 64) -> str:
+                    bucket_cap: int = 64, source: str = "documents") -> str:
     """DuckDB replication of functions/dedup.py lsh_near_dup_pairs, bit for
     bit: md5-top-8-byte shingle hash, uint64 linear permutations mod the
     Mersenne prime (minhash_signature_sql), FNV band polynomial → injective
@@ -3963,7 +3817,7 @@ def _lsh_oracle_sql(shingle_expr: str, threshold: float,
     return f"""
         WITH toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-            FROM documents
+            FROM {source}
         ),
         shing AS (
             SELECT DISTINCT doc_id, sh FROM (
@@ -5144,6 +4998,100 @@ def oracle_sql() -> dict:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        # the curation flagship, all four stages composed into ONE statement:
+        # quality rule -> md5 window dedup -> banded-LSH + recursive-CC +
+        # ROW_NUMBER argmax keeper -> windowed-MAX span coverage rewrite
+        "curation_pipeline": f"""
+            WITH RECURSIVE
+            q0 AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                           length(text) AS n_chars,
+                           COALESCE(list_sum(list_transform(
+                               regexp_extract_all(text, '[A-Za-z0-9]+'),
+                               x -> length(x))), 0) AS n_alpha
+                    FROM documents)
+                WHERE n_tokens >= 5
+                  AND (CASE WHEN n_chars > 0
+                       THEN CAST(n_chars - n_alpha AS DOUBLE) / n_chars
+                       ELSE 0.0 END) <= 0.5
+            ),
+            surv1 AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           MIN(doc_id) OVER (PARTITION BY md5(text)) AS k
+                    FROM q0)
+                WHERE doc_id = k
+            ),
+            pairs AS ({_lsh_oracle_sql(_WORD3_SHINGLES, 0.8, source="surv1")}),
+            docs AS (SELECT CAST(doc_id AS BIGINT) AS id FROM surv1),
+            s AS (SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst
+                  FROM pairs
+                  UNION
+                  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM pairs),
+            reach(node, lbl) AS (
+                SELECT DISTINCT src, src FROM s
+                UNION
+                SELECT s2.dst, r.lbl FROM reach r JOIN s s2 ON s2.src = r.node
+            ),
+            comp AS (SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node),
+            lab AS (
+                SELECT d.id AS doc_id, CAST(COALESCE(c.rep, d.id) AS BIGINT) AS comp
+                FROM docs d LEFT JOIN comp c ON c.node = d.id),
+            tokn AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ntok
+                FROM surv1),
+            best AS (
+                SELECT comp, doc_id AS keep_id FROM (
+                    SELECT l.comp, l.doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY l.comp
+                                              ORDER BY t.ntok DESC, l.doc_id) AS rn
+                    FROM lab l JOIN tokn t ON t.doc_id = l.doc_id)
+                WHERE rn = 1),
+            surv2 AS (
+                SELECT s1.doc_id, s1.text
+                FROM surv1 s1
+                JOIN lab l ON l.doc_id = s1.doc_id
+                JOIN best b ON b.comp = l.comp AND b.keep_id = s1.doc_id
+            ),
+            tok AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM surv2),
+            pos AS (
+                SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p,
+                       unnest(ws) AS tk
+                FROM tok),
+            starts AS (
+                SELECT doc_id,
+                       unnest(range(1, len(ws) - {_DUPNG_N - 2})) AS p,
+                       unnest(list_transform(
+                           range(1, len(ws) - {_DUPNG_N - 2}),
+                           i -> ('0x' || substr(md5(array_to_string(
+                                    ws[i:i+{_DUPNG_N - 1}], ' ')), 1, 16))::UBIGINT))
+                           AS h
+                FROM tok),
+            cnt AS (
+                SELECT h FROM (SELECT DISTINCT doc_id, h FROM starts)
+                GROUP BY h HAVING COUNT(*) >= 2),
+            flag AS (
+                SELECT st.doc_id, st.p, 1 AS f
+                FROM starts st JOIN cnt c ON c.h = st.h),
+            cov AS (
+                SELECT t.doc_id, t.p, t.tk,
+                       MAX(COALESCE(f.f, 0)) OVER (
+                           PARTITION BY t.doc_id ORDER BY t.p
+                           ROWS BETWEEN {_DUPNG_N - 1} PRECEDING AND CURRENT ROW)
+                           AS covered
+                FROM pos t LEFT JOIN flag f ON f.doc_id = t.doc_id AND f.p = t.p)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(covered) AS BIGINT) AS n_removed,
+                   COALESCE(string_agg(CASE WHEN covered = 0 THEN tk END,
+                                       ' ' ORDER BY p), '') AS kept_text
+            FROM cov GROUP BY doc_id
         """,
         # running COUNT(DISTINCT): first-day per user, counts, prefix sum
         "cumulative_distinct_users": """
