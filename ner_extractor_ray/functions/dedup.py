@@ -746,7 +746,7 @@ def near_dup_keep_best_ids(
     ).map_batches(
         lambda t: pa.table({id_col: t.column(id_col), "comp": t.column("keep_id")}),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed by the members join AND the winners join
 
     def tokn(t: pa.Table) -> pa.Table:
         rx = _alnum()

@@ -10,9 +10,12 @@ the beyond-reference operator families (SURVEY.md §2.11) compose into:
         8-grams dropped from the surviving text)              functions/dedup.py
       → partitioned curated-corpus write with manifests       stages/materialize.py
 
-Scale discipline: every stage's decision table is an ID-ONLY dataset
-(8 B/row) — the corpus text is re-read lazily from the source and attached
-by partitioned hash semi-joins, never materialized in the object store.
+Scale discipline: every stage's DECISION table is an ID-ONLY dataset
+(8 B/row) attached back by partitioned hash semi-joins; the survivor text
+tables are materialized once per stage boundary (each is consumed by
+several downstream branches — without the boundary the lazy lineage
+re-executes the whole upstream once per consumer; the object store spills
+what exceeds memory, and the survivor set only shrinks stage over stage).
 Stage counts come from the id tables. With ``out_dir`` the curated output
 is a resumable partitioned Parquet table like the KG tables (completed
 partitions skipped on rerun).
@@ -87,7 +90,15 @@ def run_curation(
 
     q_ids = docs.map_batches(keep_ids, batch_format="pyarrow").materialize()
     stats["n_quality"] = q_ids.count()
-    s1 = hash_join(docs.select_columns([id_col, text_col]), q_ids, on=(id_col,))
+    # each survivor table is consumed by SEVERAL downstream branches (dedup
+    # hash pass + the join; LSH pairs + token counts + the join; gram pass +
+    # text pass) — materialize at the stage boundary or the whole upstream
+    # lineage re-executes once per consumer (measured 247 s -> ~30 s at
+    # sf0.1). At 100 TB this is the documented object-store working set: the
+    # survivor table only shrinks stage over stage, and with out_dir the
+    # curated result is the durable artifact.
+    s1 = hash_join(docs.select_columns([id_col, text_col]), q_ids,
+                   on=(id_col,)).materialize()
 
     # ---- S2 exact dedup (md5 content hash, keeper = min id) --------------
     e_keep = _ids_only(
@@ -99,7 +110,7 @@ def run_curation(
         id_col,
     ).materialize()
     stats["n_exact"] = e_keep.count()
-    s2 = hash_join(s1, e_keep, on=(id_col,))
+    s2 = hash_join(s1, e_keep, on=(id_col,)).materialize()
 
     # ---- S3 near-dup keep-best (LSH pairs → CC → longest-version keeper) -
     pairs = lsh_near_dup_pairs(s2, text_col, id_col,
@@ -114,7 +125,7 @@ def run_curation(
         id_col,
     ).materialize()
     stats["n_neardup"] = w_ids.count()
-    s3 = hash_join(s2, w_ids, on=(id_col,))
+    s3 = hash_join(s2, w_ids, on=(id_col,)).materialize()
 
     # ---- S4 exact-substring span removal over the survivors --------------
     curated = span_dedup_rewrite(s3, id_col, text_col, n=span_n)
