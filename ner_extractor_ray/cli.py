@@ -4,6 +4,7 @@
     python -m ner_extractor_ray.cli gen --out DIR --n-pages 50000
     python -m ner_extractor_ray.cli query NAME --sf-dir DIR [--out DIR]
     python -m ner_extractor_ray.cli query --list
+    python -m ner_extractor_ray.cli curate --docs DIR --out DIR
 
 Replaces the reference's env-var orchestrator→worker channel
 (NER_FOLD_* env injection, scripts/train_distilbert_crf.py:274-301;
@@ -96,6 +97,27 @@ def cmd_kg(args) -> int:
         "config": cfg.to_dict(),
     }
     print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+def cmd_curate(args) -> int:
+    """Run the curation flagship over a documents parquet dir."""
+    ray = _ensure_ray()
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from .pipelines.curation import run_curation
+
+    docs = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    res = run_curation(
+        docs, out_dir=args.out, id_col=args.id_col, text_col=args.text_col,
+        n_partitions=args.n_partitions, min_tokens=args.min_tokens,
+        lsh_threshold=args.lsh_threshold,
+    )
+    print(json.dumps({"stats": res["stats"], "out_dir": args.out}))
     ray.shutdown()
     return 0
 
@@ -201,6 +223,19 @@ def main(argv=None) -> int:
     q.add_argument("--out", default=None)
     q.add_argument("--list", action="store_true")
     q.set_defaults(fn=cmd_query)
+
+    cu = sub.add_parser(
+        "curate",
+        help="run the curation flagship: quality gate -> exact dedup -> "
+             "near-dup keep-longest -> span dedup -> curated corpus")
+    cu.add_argument("--docs", required=True, help="documents parquet dir/file")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--n-partitions", type=int, default=16)
+    cu.add_argument("--min-tokens", type=int, default=5)
+    cu.add_argument("--lsh-threshold", type=float, default=0.8)
+    cu.set_defaults(fn=cmd_curate)
 
     gen = sub.add_parser("gen", help="generate the synthetic pages corpus")
     gen.add_argument("--out", required=True)
