@@ -269,6 +269,43 @@ def q_top_event_per_user(sf_dir: str):
     )
 
 
+_TOPK_PER_GROUP = 3
+
+
+def q_top3_events_per_user(sf_dir: str):
+    """Top-K-per-group (K=3) with a PER-BATCH COMBINER — the shape
+    ``top_event_per_user`` (K=1) lacks: every batch first reduces to ≤ K
+    rows per user, so the shuffle ships O(users·K·blocks-touched) rows, not
+    the whole fact table; the coarse-bucketed final pass re-ranks exactly.
+    Ordering is (value DESC, event_id ASC) — a total order per user, so the
+    result is deterministic and the combiner is lossless (any global top-K
+    row is a batch top-K row). Output: (user_id, rk, event_id, value_cents)."""
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "value"])
+    from ..stages.canonicalize import _compact_blocks
+
+    P = _compact_blocks()
+    K = _TOPK_PER_GROUP
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"], ascending=[False, True])
+        out = df.groupby("user_id", sort=False).head(K).copy()
+        out["__part"] = (out["user_id"].to_numpy(dtype=np.int64)) % P
+        return out[["user_id", "event_id", "value", "__part"]]
+
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        out = g.groupby("user_id", sort=False).head(K).copy()
+        out["rk"] = out.groupby("user_id", sort=False).cumcount() + 1
+        out["value_cents"] = _cents(out["value"].to_numpy())
+        return out[["user_id", "rk", "event_id", "value_cents"]].astype("int64")
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(part_topk, batch_format="pandas")
+    )
+
+
 def q_fold_counts(sf_dir: str):
     """O3 GroupKFold analog: deterministic partition column doc_id % 5."""
     ds = _rp(sf_dir, "documents", ["doc_id"])
@@ -3752,6 +3789,7 @@ def queries() -> dict:
         "customers_all_priorities": q_customers_all_priorities,
         "cumulative_distinct_users": q_cumulative_distinct_users,
         "curation_pipeline": q_curation_pipeline,
+        "top3_events_per_user": q_top3_events_per_user,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
@@ -5092,6 +5130,15 @@ def oracle_sql() -> dict:
                    COALESCE(string_agg(CASE WHEN covered = 0 THEN tk END,
                                        ' ' ORDER BY p), '') AS kept_text
             FROM cov GROUP BY doc_id
+        """,
+        # per-group top-K with a lossless per-batch combiner
+        "top3_events_per_user": f"""
+            SELECT user_id, rk, event_id, value_cents FROM (
+                SELECT user_id, event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rk
+                FROM events) WHERE rk <= {_TOPK_PER_GROUP}
         """,
         # running COUNT(DISTINCT): first-day per user, counts, prefix sum
         "cumulative_distinct_users": """
