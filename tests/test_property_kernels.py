@@ -1,0 +1,66 @@
+"""Property tests for the two core distributed kernels: the partitioned
+hash join and the bucketed grouped aggregate must equal their single-process
+pandas reference on randomized inputs (values, duplicates, skew, missing
+keys on either side)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ner_extractor_ray.stages.canonicalize import grouped_aggregate
+from ner_extractor_ray.stages.joins import hash_join
+
+_KEYS = st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=30)
+
+
+def _sorted_records(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(None if pd.isna(v) else float(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=lambda t: tuple((v is None, v or 0.0) for v in t))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(lk=_KEYS, rk=_KEYS, how=st.sampled_from(["inner", "left", "outer"]))
+def test_hash_join_matches_pandas_merge(ray_session, lk, rk, how):
+    ldf = pd.DataFrame({"k": pd.Series(lk, dtype="int64"),
+                        "a": np.arange(len(lk), dtype="int64")})
+    rdf = pd.DataFrame({"k": pd.Series(rk, dtype="int64"),
+                        "b": np.arange(len(rk), dtype="int64") * 10})
+    expected = _sorted_records(ldf.merge(rdf, on="k", how=how))
+    lt = ray.data.from_arrow(pa.Table.from_pandas(ldf, preserve_index=False))
+    rt = ray.data.from_arrow(pa.Table.from_pandas(rdf, preserve_index=False))
+    got = _sorted_records(
+        pd.DataFrame(hash_join(lt, rt, on=("k",), how=how,
+                               num_partitions=4).take_all())
+    )
+    assert got == expected
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(keys=_KEYS)
+def test_grouped_aggregate_matches_pandas_groupby(ray_session, keys):
+    if not keys:
+        return
+    from ray.data.aggregate import Max, Min, Sum
+
+    df = pd.DataFrame({"k": pd.Series(keys, dtype="int64"),
+                       "v": np.arange(len(keys), dtype="int64") * 3 - 7})
+    exp = (df.groupby("k", as_index=False)
+             .agg(s=("v", "sum"), mn=("v", "min"), mx=("v", "max")))
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = pd.DataFrame(
+        grouped_aggregate(ds, ["k"],
+                          Sum("v", alias_name="s"),
+                          Min("v", alias_name="mn"),
+                          Max("v", alias_name="mx"),
+                          num_buckets=4).take_all()
+    )
+    assert _sorted_records(got) == _sorted_records(exp)
