@@ -95,8 +95,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         # round-2 additions: distributed rank + banded interval join
         "order_rank", "purchase_clicks_window",
         # round-3 additions: iterative integer k-means + graph CC + the
-        # table-fingerprint validation pass
+        # table-fingerprint validation pass + the curation dedup family
+        # (exact-substring span rewrite, LSH+CC keep-longest decision)
         "kmeans_fixed", "graph_components", "table_checksum",
+        "dedup_ngram_spans", "neardup_keep_best",
     ]
     if os.environ.get("GRAFT_BENCH_KG_ONLY"):
         suite = []
