@@ -74,8 +74,9 @@ def cmd_kg(args) -> int:
         include_subwords = True
         use_actors = True  # heavy weights: actor pool, loaded once per actor
     res = run_kg(
-        pages_dataset(args.pages),
+        pages_dataset(args.pages, with_ts=args.dedup_recrawls),
         out_dir=args.out,
+        dedup_recrawls=args.dedup_recrawls,
         batch_size=cfg.batch_size,
         n_partitions=cfg.n_partitions,
         broadcast_limit=cfg.broadcast_limit,
@@ -205,6 +206,9 @@ def main(argv=None) -> int:
     kg.add_argument("--pages", required=True)
     kg.add_argument("--out", required=True)
     kg.add_argument("--config", default=None)
+    kg.add_argument("--dedup-recrawls", action="store_true",
+                    help="keep only each url's latest warc_ts capture "
+                         "before extraction (Common-Crawl recrawl dedup)")
     kg.set_defaults(fn=cmd_kg)
 
     ku = sub.add_parser(

@@ -43,11 +43,15 @@ from ..state.manifest import table_complete
 PAGE_COLUMNS = ["url", "html", "text", "lang"]  # prune warc_ts at the read
 
 
-def pages_dataset(path: str) -> "ray.data.Dataset":
+def pages_dataset(path: str, *, with_ts: bool = False) -> "ray.data.Dataset":
+    """``with_ts=True`` keeps ``warc_ts`` — required for recrawl dedup
+    (run_kg(dedup_recrawls=True)); otherwise the column is pruned at the
+    read like every other unused byte."""
     import glob
 
     files = sorted(glob.glob(os.path.join(path, "pages-*.parquet"))) or path
-    return ray.data.read_parquet(files, columns=PAGE_COLUMNS)
+    cols = PAGE_COLUMNS + ["warc_ts"] if with_ts else PAGE_COLUMNS
+    return ray.data.read_parquet(files, columns=cols)
 
 
 def default_tagger_concurrency() -> tuple[int, int]:
@@ -168,6 +172,7 @@ def run_kg(
     lsh_threshold: float = 0.6,
     lsh_bucket_cap: int = 64,
     canon_driver_threshold: int = 200_000,
+    dedup_recrawls: bool = False,
 ) -> dict:
     """Run the full KG-construction pipeline; returns the result datasets.
 
@@ -202,6 +207,25 @@ def run_kg(
             "lsh_bucket_cap": lsh_bucket_cap,
         },
     }
+
+    if dedup_recrawls:
+        # Common-Crawl recrawl semantics: keep each url's latest capture
+        # BEFORE any compute (stages/recrawl.py). Needs warc_ts — load the
+        # pages with pages_dataset(..., with_ts=True).
+        try:
+            names = pages.schema().names
+        except Exception:
+            names = []
+        if "warc_ts" not in names:
+            raise ValueError(
+                "dedup_recrawls=True needs the warc_ts column — load pages "
+                "with pages_dataset(path, with_ts=True)"
+            )
+        from ..stages.recrawl import latest_crawl_filter
+
+        pages = latest_crawl_filter(
+            pages, broadcast_limit=broadcast_limit
+        ).map_batches(lambda t: t.select(PAGE_COLUMNS), batch_format="pyarrow")
 
     alias = alias_canonical_map()
     alias_ref = ray.put(alias)

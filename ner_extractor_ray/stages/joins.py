@@ -147,6 +147,24 @@ def hash_join(
         if cur is None or (pa.types.is_null(cur) and not pa.types.is_null(t)):
             types[name] = t
 
+    def _pad(n: int, typ: pa.DataType) -> pa.Array:
+        """Zero-valued filler for the OTHER side's columns (never read for
+        these rows — merge selects each side's own columns only). Padding
+        with NULLS instead corrupts data: Ray's sort can route blocks
+        through pandas, where int64-with-nulls becomes float64 and any
+        value > 2^53 (e.g. 63-bit hashes) silently loses low bits."""
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            return pa.array(np.zeros(n, dtype=np.int64)).cast(typ)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return pa.array([""] * n, typ)
+        if pa.types.is_boolean(typ):
+            return pa.array(np.zeros(n, dtype=bool))
+        if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+            return pa.array(np.zeros(n, dtype=np.int64)).cast(typ)
+        if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+            return pa.array([b""] * n, typ)
+        return pa.nulls(n, typ)  # exotic types keep nulls (lists etc.)
+
     def _empty() -> pa.Table:
         cols = {c: pa.nulls(0, types[c]) for c in all_cols}
         cols["__side"] = pa.nulls(0, pa.string())
@@ -166,7 +184,7 @@ def hash_join(
                         col = pc.cast(col, types[c])
                     cols[c] = col
                 else:
-                    cols[c] = pa.nulls(n, types[c])
+                    cols[c] = _pad(n, types[c])
             parts = [
                 pc.fill_null(pc.cast(t.column(k), pa.string()), _NULL_KEY) for k in on
             ]

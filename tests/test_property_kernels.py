@@ -43,6 +43,30 @@ def test_hash_join_matches_pandas_merge(ray_session, lk, rk, how):
     assert got == expected
 
 
+def test_hash_join_63bit_ints_survive(ray_session):
+    """Regression: Ray's sort can route blocks through pandas, where an
+    int64 column CONTAINING NULLS becomes float64 and values > 2^53 lose
+    low bits. hash_join pads the other side's columns with zero VALUES
+    (never read for those rows), so 63-bit payloads (content hashes) must
+    survive the exchange bit-exactly — including when the right side is a
+    pandas-blocked aggregate output, the lineage that first exposed this."""
+    from ray.data.aggregate import Max
+
+    from ner_extractor_ray.stages.canonicalize import grouped_aggregate
+
+    big = (1 << 63) - 12345
+    hs = [big, big - 7, big - 3]
+    lt = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "ts": pa.array([1, 2, 3], pa.int64()),
+        "h": pa.array(hs, pa.int64()),
+    }))
+    w = grouped_aggregate(lt.select_columns(["k", "ts"]), ["k"],
+                          Max("ts", alias_name="max_ts"))
+    out = hash_join(lt, w, on=("k",), num_partitions=4).take_all()
+    assert sorted(r["h"] for r in out) == sorted(hs)
+
+
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(keys=_KEYS)
