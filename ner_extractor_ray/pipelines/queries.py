@@ -269,6 +269,40 @@ def q_top_event_per_user(sf_dir: str):
     )
 
 
+def q_user_event_seq(sf_dir: str):
+    """ORDERED per-group aggregation (SQL string_agg ... ORDER BY): each
+    user's full event-type sequence in (ts, event_id) order — the behavioral
+    'clickstream signature' a sessionization pipeline feeds to sequence
+    models. Ordering is a TOTAL order (event_id unique), so the output is
+    deterministic at any parallelism. Plan: coarse user buckets (full rows
+    ship once — an ordered concat is not pre-reducible), per-user sort +
+    join inside the bucket. Output: (user_id, n_events, seq)."""
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    from ..stages.canonicalize import _compact_blocks
+
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(uid % P, pa.int64()))
+
+    def part_seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("event_id", "size"),
+            seq=("event_type", lambda s: ">".join(s)),
+        )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "n_events", "seq"]]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_seq, batch_format="pandas")
+    )
+
+
 _TOPK_PER_GROUP = 3
 
 
@@ -3790,6 +3824,7 @@ def queries() -> dict:
         "cumulative_distinct_users": q_cumulative_distinct_users,
         "curation_pipeline": q_curation_pipeline,
         "top3_events_per_user": q_top3_events_per_user,
+        "user_event_seq": q_user_event_seq,
         "doc_sample_hash": q_doc_sample_hash,
         "user_event_stats": q_user_event_stats,
         "fold_counts": q_fold_counts,
@@ -5130,6 +5165,13 @@ def oracle_sql() -> dict:
                    COALESCE(string_agg(CASE WHEN covered = 0 THEN tk END,
                                        ' ' ORDER BY p), '') AS kept_text
             FROM cov GROUP BY doc_id
+        """,
+        # ordered per-group aggregation: string_agg with a total ORDER BY
+        "user_event_seq": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
         """,
         # per-group top-K with a lossless per-batch combiner
         "top3_events_per_user": f"""
