@@ -123,6 +123,29 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_curate_update(args) -> int:
+    """Merge a new document batch into an existing curated-corpus snapshot."""
+    ray = _ensure_ray()
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from .pipelines.curation_update import update_curation
+
+    res = update_curation(
+        args.prev,
+        rd.read_parquet(args.new_docs, columns=[args.id_col, args.text_col]),
+        rd.read_parquet(args.prev_docs, columns=[args.id_col, args.text_col]),
+        args.out,
+        id_col=args.id_col, text_col=args.text_col,
+        n_partitions=args.n_partitions,
+    )
+    print(json.dumps({"stats": res["stats"], "out_dir": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run one catalogue query (pipelines/queries.py) over a table dir."""
     from .pipelines.queries import oracle_sql, queries
@@ -240,6 +263,20 @@ def main(argv=None) -> int:
     cu.add_argument("--min-tokens", type=int, default=5)
     cu.add_argument("--lsh-threshold", type=float, default=0.8)
     cu.set_defaults(fn=cmd_curate)
+
+    cuu = sub.add_parser(
+        "curate-update",
+        help="merge a NEW doc batch into an existing curated snapshot "
+             "(frozen corpus wins; writes a new immutable snapshot dir)")
+    cuu.add_argument("--prev", required=True, help="previous snapshot dir")
+    cuu.add_argument("--new-docs", required=True)
+    cuu.add_argument("--prev-docs", required=True,
+                     help="previous batches' source docs (candidate text fetch)")
+    cuu.add_argument("--out", required=True)
+    cuu.add_argument("--id-col", default="doc_id")
+    cuu.add_argument("--text-col", default="text")
+    cuu.add_argument("--n-partitions", type=int, default=16)
+    cuu.set_defaults(fn=cmd_curate_update)
 
     gen = sub.add_parser("gen", help="generate the synthetic pages corpus")
     gen.add_argument("--out", required=True)

@@ -130,6 +130,51 @@ def run_curation(
     # ---- S4 exact-substring span removal over the survivors --------------
     curated = span_dedup_rewrite(s3, id_col, text_col, n=span_n)
 
+    # ---- dedup STATE for incremental updates (pipelines/curation_update):
+    # per kept doc, the ORIGINAL-text content hash (exact-dup anti key) and
+    # the exploded LSH band rows (near-dup candidate key) — 24 B + 16×16 B
+    # per doc, written alongside the curated table so a later batch can
+    # dedup against this corpus without re-reading its text.
+    if curated_dir:
+        from ..functions.dedup import SHINGLERS
+        from ..functions.hashing import stable_hash64
+        from ..functions.textfns import band_buckets_batch, minhash_signatures_sql_batch
+
+        shingler = SHINGLERS[shingle]
+        _M63 = (1 << 63) - 1
+
+        def state_rows(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+            texts = t.column(text_col).to_pylist()
+            h = [stable_hash64(s or "") & _M63 for s in texts]
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "h": pa.array(h, pa.int64())})
+
+        def band_rows(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+            texts = t.column(text_col).to_pylist()
+            sigs = minhash_signatures_sql_batch(
+                [shingler(s or "") for s in texts], 64)
+            buckets = band_buckets_batch(sigs, 16)
+            return pa.table({
+                "doc": pa.array(np.repeat(ids, 16), pa.int64()),
+                "bucket": pa.array(buckets.reshape(-1), pa.int64())})
+
+        write_partitioned(
+            s3.map_batches(state_rows, batch_format="pyarrow"),
+            os.path.join(out_dir, "state"), id_col,
+            n_partitions=n_partitions, sort_key=id_col, resume=resume,
+            lineage={"stage": "state", **stats},
+        )
+        write_partitioned(
+            s3.map_batches(band_rows, batch_format="pyarrow"),
+            os.path.join(out_dir, "bands"), "doc",
+            n_partitions=n_partitions, sort_key=["doc", "bucket"], resume=resume,
+            lineage={"stage": "bands", **stats},
+        )
+
     # ---- S5 materialize ---------------------------------------------------
     if curated_dir:
         write_partitioned(
