@@ -3707,6 +3707,241 @@ def q_weighted_sample(sf_dir: str, *, k: int = _WS_K):
     )
 
 
+def q_orders_cube(sf_dir: str):
+    """Full CUBE(priority, status): all four grouping sets derived from ONE
+    finest distributed pre-aggregate (priority × status is bounded — ≤ |P|·|S|
+    rows no matter the corpus), so the fact table is scanned exactly once.
+    The coarser grains are rolled up from the tiny finest table — the same
+    plan shape as ``orders_rollup``, extended from the linear ROLLUP lattice
+    to the full 2^k CUBE lattice."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "priority": t.column("o_orderpriority").to_pylist(),
+                "status": t.column("o_orderstatus").to_pylist(),
+                "total_cents": _cents(np.asarray(t.column("o_totalprice"))),
+            }
+        )
+        g = df.groupby(["priority", "status"], as_index=False).agg(
+            n_orders=("total_cents", "size"), total_cents=("total_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["priority", "status"],
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    ).to_pandas()
+
+    def roll(dims: list[str]) -> pd.DataFrame:
+        if dims:
+            g = fine.groupby(dims, as_index=False)[["n_orders", "total_cents"]].sum()
+        else:
+            g = pd.DataFrame(
+                {"n_orders": [fine["n_orders"].sum()],
+                 "total_cents": [fine["total_cents"].sum()]}
+            )
+        for c in ("priority", "status"):
+            if c not in g.columns:
+                g[c] = "ALL"
+        return g
+
+    out = pd.concat([fine, roll(["priority"]), roll(["status"]), roll([])],
+                    ignore_index=True)
+    out = out[["priority", "status", "n_orders", "total_cents"]].astype(
+        {"n_orders": "int64", "total_cents": "int64"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_event_type_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences: consecutive
+    (prev_type → next_type) pairs under the (ts, event_id) total order,
+    counted globally. Coarse hash buckets (user % P) keep groups
+    partition-sized regardless of per-user skew; each bucket emits its pair
+    counts PRE-AGGREGATED (≤ |types|² rows per bucket), so the final exchange
+    is type-vocabulary-sized however large the event log is — the sequence
+    n-gram primitive behind behavior models and session LMs."""
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(uid % P, pa.int64()))
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id", sort=False)["event_type"].shift()
+        df = pd.DataFrame({"prev_type": prev, "next_type": g["event_type"]}).dropna()
+        if df.empty:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype="string"),
+                                 "next_type": pd.Series([], dtype="string"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = (df.groupby(["prev_type", "next_type"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    pairs = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_pairs, batch_format="pandas")
+    )
+    return grouped_aggregate(pairs, ["prev_type", "next_type"],
+                             Sum("n", alias_name="n"))
+
+
+_TOP_TERMS_K = 5
+
+
+def q_top_terms_per_lang(sf_dir: str, *, k: int = _TOP_TERMS_K):
+    """Per-group top-K over an EXPLODED text aggregate: the k most frequent
+    tokens per language (ties → token ASC, a total order). Two-level plan:
+    per-batch (lang, token) count partials → bucketed grouped_aggregate (the
+    high-cardinality pair key never meets Ray's per-group reduce) → per-batch
+    LOSSLESS top-K combiner (rows are final counts after the aggregate, so
+    any global top-K row is a batch top-K row) → per-lang exact re-rank on
+    ≤ k·blocks rows. The corpus-sized exchange is the count aggregate only."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for lg, s in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+            for w in _ALNUM.findall((s or "").lower()):
+                key = (lg, w)
+                counts[key] = counts.get(key, 0) + 1
+        if counts:
+            ls, ws = zip(*counts.keys())
+        else:
+            ls, ws = (), ()
+        return pa.table(
+            {"lang": pa.array(list(ls), pa.string()),
+             "token": pa.array(list(ws), pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "token"], Sum("n", alias_name="n"),
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df[["lang", "token", "n"]]
+        df = df.sort_values(["n", "token"], ascending=[False, True])
+        return df.groupby("lang", sort=False).head(k)[["lang", "token", "n"]]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "token"], ascending=[False, True]).head(k).copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["n"] = g["n"].astype("int64")
+        return g[["lang", "token", "n", "rk"]]
+
+    return (
+        agg.map_batches(combine, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_source_vocab_jaccard(sf_dir: str):
+    """Corpus-comparison: vocabulary Jaccard similarity between every pair of
+    sources — the source-overlap diagnostic run before mixing corpora.
+
+    Plan: distinct (token, source) pairs (per-batch set + bucketed aggregate)
+    → per-token source BITMASK (each pair contributes exactly once, so a Sum
+    of 1<<src_idx IS the OR) → per-batch O(|S|²) pair-intersection partials
+    via vectorized popcount-style bit tests → a ≤ |S|²-row final aggregate.
+    Nothing vocabulary-sized ever reaches the driver and no stage is
+    quadratic in tokens. Partitioning assumption: |sources| ≤ 62 (bitmask in
+    one int64) — raise, don't alias, beyond it; a multi-word mask or a
+    (token, src_a, src_b) self-join covers wider source sets.
+    Output: (source_a, source_b, inter_n, union_n, jaccard_ppm) with
+    jaccard_ppm = ⌊inter · 10⁶ / union⌋, integer-exact for hash comparison."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "documents", ["source", "text"])
+    sources = sorted(ds.unique("source"))
+    if len(sources) > 62:
+        raise ValueError("source bitmask needs ≤ 62 sources — widen the encoding")
+    idx = {s: i for i, s in enumerate(sources)}
+    S = len(sources)
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        seen: set[tuple] = set()
+        for src, s in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+            b = idx[src]
+            for w in set(_ALNUM.findall((s or "").lower())):
+                seen.add((w, b))
+        if seen:
+            ws, bs = zip(*seen)
+        else:
+            ws, bs = (), ()
+        return pa.table(
+            {"token": pa.array(list(ws), pa.string()),
+             "src": pa.array(list(bs), pa.int64()),
+             "one": pa.array([1] * len(ws), pa.int64())}
+        )
+
+    dpairs = grouped_aggregate(
+        ds.map_batches(pair_rows, batch_format="pyarrow"),
+        ["token", "src"], Sum("one", alias_name="c"),
+    )
+
+    def to_mask(t: pa.Table) -> pa.Table:
+        bit = np.left_shift(
+            np.int64(1), pc.cast(t.column("src"), pa.int64()).to_numpy())
+        return pa.table({"token": t.column("token"),
+                         "mask": pa.array(bit, pa.int64())})
+
+    masks = _gagg(dpairs.map_batches(to_mask, batch_format="pyarrow"),
+                  "token", Sum("mask", alias_name="mask"))
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        m = pc.cast(t.column("mask"), pa.int64()).to_numpy()
+        ii, jj, nn = [], [], []
+        bits = [(m >> np.int64(i)) & np.int64(1) for i in range(S)]
+        for i in range(S):
+            ii.append(i); jj.append(i); nn.append(int(bits[i].sum()))
+            for j in range(i + 1, S):
+                c = int(np.sum(bits[i] & bits[j]))
+                if c:
+                    ii.append(i); jj.append(j); nn.append(c)
+        return pa.table({"i": pa.array(ii, pa.int64()),
+                         "j": pa.array(jj, pa.int64()),
+                         "n": pa.array(nn, pa.int64())})
+
+    agg = grouped_aggregate(
+        masks.map_batches(pair_partials, batch_format="pyarrow"),
+        ["i", "j"], Sum("n", alias_name="n"),
+    ).take_all()  # ≤ |S|² rows — source-pair-, not corpus-, sized
+    cnt = {(r["i"], r["j"]): r["n"] for r in agg}
+
+    rows = []
+    for i in range(S):
+        for j in range(i + 1, S):
+            inter = cnt.get((i, j), 0)
+            union = cnt.get((i, i), 0) + cnt.get((j, j), 0) - inter
+            rows.append((sources[i], sources[j], inter, union,
+                         inter * 1_000_000 // union if union else 0))
+    sa, sb, it, un, jp = zip(*rows) if rows else ((), (), (), (), ())
+    return pa.table(
+        {"source_a": pa.array(list(sa), pa.string()),
+         "source_b": pa.array(list(sb), pa.string()),
+         "inter_n": pa.array(list(it), pa.int64()),
+         "union_n": pa.array(list(un), pa.int64()),
+         "jaccard_ppm": pa.array(list(jp), pa.int64())}
+    )
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -3816,6 +4051,10 @@ def queries() -> dict:
         "knn_cosine": q_knn_cosine,
         # round-3 late additions (oracle-backed; pytest-checked this round,
         # window candidates for the next)
+        "orders_cube": q_orders_cube,
+        "event_type_transitions": q_event_type_transitions,
+        "top_terms_per_lang": q_top_terms_per_lang,
+        "source_vocab_jaccard": q_source_vocab_jaccard,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -5407,6 +5646,62 @@ def oracle_sql() -> dict:
             JOIN pos t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2
             WHERE t0.w = 'stream' AND t1.w = 'table' AND t2.w = 'hash'
             GROUP BY t0.doc_id
+        """,
+        "orders_cube": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COALESCE(o_orderstatus, 'ALL') AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM (SELECT o_orderpriority, o_orderstatus,
+                         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                  FROM orders)
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "event_type_transitions": """
+            SELECT prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT event_type,
+                         lag(event_type) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                         ) AS prev_type
+                  FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "top_terms_per_lang": f"""
+            WITH tok AS (SELECT lang,
+                                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                         FROM documents),
+            cnt AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM tok GROUP BY 1, 2)
+            SELECT lang, token, n, CAST(rk AS BIGINT) AS rk
+            FROM (SELECT lang, token, n,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY lang ORDER BY n DESC, token
+                         ) AS rk
+                  FROM cnt)
+            WHERE rk <= {_TOP_TERMS_K}
+        """,
+        "source_vocab_jaccard": """
+            WITH pairs AS (
+                SELECT DISTINCT source,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                FROM documents),
+            counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM pairs GROUP BY source),
+            inter AS (SELECT a.source AS sa, b.source AS sb,
+                             CAST(COUNT(*) AS BIGINT) AS i
+                      FROM pairs a
+                      JOIN pairs b ON a.token = b.token AND a.source < b.source
+                      GROUP BY 1, 2)
+            SELECT ca.source AS source_a, cb.source AS source_b,
+                   CAST(COALESCE(i.i, 0) AS BIGINT) AS inter_n,
+                   CAST(ca.n + cb.n - COALESCE(i.i, 0) AS BIGINT) AS union_n,
+                   CAST(COALESCE(i.i, 0) * 1000000
+                        // (ca.n + cb.n - COALESCE(i.i, 0)) AS BIGINT) AS jaccard_ppm
+            FROM counts ca
+            JOIN counts cb ON ca.source < cb.source
+            LEFT JOIN inter i ON i.sa = ca.source AND i.sb = cb.source
         """,
         "value_hist_quantiles": f"""
             WITH b AS (SELECT event_type,
