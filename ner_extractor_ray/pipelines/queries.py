@@ -3942,6 +3942,91 @@ def q_source_vocab_jaccard(sf_dir: str):
     )
 
 
+def q_sliding_distinct_users(sf_dir: str):
+    """Hopping-window COUNT DISTINCT — streaming unique-reach per 2 h window
+    hopping hourly. Composes the constant-factor window explode (each event
+    in exactly size/hop windows) with the two-level distinct plan: per-batch
+    (window, user) dedup → bucketed pair-key aggregate makes pairs globally
+    distinct → per-batch per-window counts → window-sized final aggregate.
+    No window ever materializes its user set; the only corpus-sized exchange
+    carries (window_id, user_id) int pairs."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.windows import explode_hopping_windows
+
+    ds = _rp(sf_dir, "events", ["ts", "user_id"])
+    exploded = explode_hopping_windows(ds, "ts", size_s=7200, hop_s=3600)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"window_id": pc.cast(t.column("window_id"), pa.int64()).to_numpy(),
+             "user_id": pc.cast(t.column("user_id"), pa.int64()).to_numpy()}
+        ).drop_duplicates()
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dpairs = grouped_aggregate(
+        exploded.map_batches(pair_partial, batch_format="pyarrow"),
+        ["window_id", "user_id"], Sum("one", alias_name="c"),
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        w = pc.cast(t.column("window_id"), pa.int64()).to_numpy()
+        uniq, cnt = np.unique(w, return_counts=True)
+        return pa.table({"window_id": pa.array(uniq, pa.int64()),
+                         "n_users": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return _gagg(dpairs.map_batches(count_partial, batch_format="pyarrow"),
+                 "window_id", Sum("n_users", alias_name="n_users"))
+
+
+def q_user_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by their FIRST active day;
+    n_users active again day_delta days later. The product-analytics
+    staple that needs a first-occurrence reduce JOINED back to the activity
+    stream. Plan: distinct (user, day) pairs (per-batch dedup + bucketed
+    aggregate) → per-user Min(day) cohort table (user-, not event-, sized)
+    → partitioned hash join pairs×cohorts on user → (cohort_day, delta)
+    counted with per-batch partials. Every exchange is integer-keyed and
+    either activity-pair- or user-sized; nothing touches the driver."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    ds = _rp(sf_dir, "events", ["ts", "user_id"])
+    DAY_US = 86_400 * 1_000_000
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"user_id": pc.cast(t.column("user_id"), pa.int64()).to_numpy(),
+             "day": pc.cast(t.column("ts"), pa.int64()).to_numpy() // DAY_US}
+        ).drop_duplicates()
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ud = grouped_aggregate(
+        ds.map_batches(day_pairs, batch_format="pyarrow"),
+        ["user_id", "day"], Sum("one", alias_name="c"),
+    ).map_batches(lambda t: t.select(["user_id", "day"]), batch_format="pyarrow")
+
+    first = _gagg(ud, "user_id", Min("day", alias_name="day0"))
+    joined = hash_join(ud, first, on=("user_id",))
+
+    def delta_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"cohort_day": pd.Series([], dtype="int64"),
+                                 "day_delta": pd.Series([], dtype="int64"),
+                                 "n_users": pd.Series([], dtype="int64")})
+        out = pd.DataFrame(
+            {"cohort_day": df["day0"].astype("int64"),
+             "day_delta": (df["day"] - df["day0"]).astype("int64")}
+        ).groupby(["cohort_day", "day_delta"], as_index=False).size()
+        return out.rename(columns={"size": "n_users"}).astype("int64")
+
+    return grouped_aggregate(
+        joined.map_batches(delta_partial, batch_format="pandas"),
+        ["cohort_day", "day_delta"], Sum("n_users", alias_name="n_users"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4055,6 +4140,8 @@ def queries() -> dict:
         "event_type_transitions": q_event_type_transitions,
         "top_terms_per_lang": q_top_terms_per_lang,
         "source_vocab_jaccard": q_source_vocab_jaccard,
+        "sliding_distinct_users": q_sliding_distinct_users,
+        "user_retention": q_user_retention,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -5702,6 +5789,25 @@ def oracle_sql() -> dict:
             FROM counts ca
             JOIN counts cb ON ca.source < cb.source
             LEFT JOIN inter i ON i.sa = ca.source AND i.sb = cb.source
+        """,
+        "sliding_distinct_users": """
+            SELECT window_id, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM (SELECT unnest([h, h - 1]) AS window_id, user_id
+                  FROM (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+                               user_id
+                        FROM events))
+            GROUP BY 1
+        """,
+        "user_retention": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+                        FROM events),
+            fd AS (SELECT user_id, MIN(day) AS day0 FROM ud GROUP BY 1)
+            SELECT fd.day0 AS cohort_day,
+                   ud.day - fd.day0 AS day_delta,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ud JOIN fd ON ud.user_id = fd.user_id
+            GROUP BY 1, 2
         """,
         "value_hist_quantiles": f"""
             WITH b AS (SELECT event_type,
