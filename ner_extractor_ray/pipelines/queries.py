@@ -4027,6 +4027,54 @@ def q_user_retention(sf_dir: str):
     )
 
 
+def _floor_log2(n: np.ndarray) -> np.ndarray:
+    """Vectorized floor(log2(n)) for int n ≥ 1 — pure integer doubling
+    (no log2 float-rounding hazard near power-of-two boundaries)."""
+    v = n.astype(np.uint64)
+    b = np.zeros(len(v), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1 << s)
+        b[m] += s
+        v[m] >>= np.uint64(s)
+    return b
+
+
+def q_key_skew_stats(sf_dir: str):
+    """Partition-skew diagnostic run BEFORE choosing a shuffle key: the
+    histogram of per-key row counts (power-of-two buckets) plus the rows
+    carried per bucket, over events.user_id. A heavy top bucket says the key
+    needs salting / coarse-bucket treatment; a flat histogram says plain hash
+    partitioning is safe. Plan: per-batch partial counts → bucketed key
+    aggregate (key-sized, never per-group reduce) → row-local integer
+    bucketing → bucket-sized final aggregate (≤ 64 rows at any scale)."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        uniq, cnt = np.unique(u, return_counts=True)
+        return pa.table({"user_id": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counts = _gagg(ds.map_batches(partial, batch_format="pyarrow"),
+                   "user_id", Sum("n", alias_name="n"))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.int64()).to_numpy()
+        df = pd.DataFrame({"bucket": _floor_log2(n), "n": n})
+        g = df.groupby("bucket", as_index=False).agg(
+            n_keys=("n", "size"), n_rows=("n", "sum"))
+        g = g.astype({"n_keys": "int64", "n_rows": "int64"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        counts.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], Sum("n_keys", alias_name="n_keys"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4142,6 +4190,7 @@ def queries() -> dict:
         "source_vocab_jaccard": q_source_vocab_jaccard,
         "sliding_distinct_users": q_sliding_distinct_users,
         "user_retention": q_user_retention,
+        "key_skew_stats": q_key_skew_stats,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -5797,6 +5846,14 @@ def oracle_sql() -> dict:
                                user_id
                         FROM events))
             GROUP BY 1
+        """,
+        "key_skew_stats": """
+            WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1)
+            SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS n_rows
+            FROM c GROUP BY 1
         """,
         "user_retention": """
             WITH ud AS (SELECT DISTINCT user_id,

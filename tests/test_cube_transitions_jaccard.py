@@ -128,3 +128,30 @@ def test_source_vocab_jaccard_exact_and_guard(tmp_path):
     pq.write_table(wide, str(d2 / "documents.parquet"))
     with pytest.raises(ValueError, match="62 sources"):
         q_source_vocab_jaccard(str(d2))
+
+
+def test_key_skew_stats_hot_key(tmp_path):
+    """Planted hot key: 100 events for user 1, one each for users 2..5 —
+    histogram shows the hot bucket and exact row totals."""
+    import datetime as dt
+
+    from ner_extractor_ray.pipelines.queries import q_key_skew_stats
+
+    n_hot = 100
+    users = [1] * n_hot + [2, 3, 4, 5]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(users)), pa.int64()),
+            "ts": pa.array([dt.datetime(2024, 1, 1)] * len(users), pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["view"] * len(users), pa.string()),
+            "value": pa.array([1.0] * len(users), pa.float64()),
+            "props": pa.array(["{}"] * len(users), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    rows = {r["bucket"]: (r["n_keys"], r["n_rows"])
+            for r in q_key_skew_stats(str(tmp_path)).take_all()}
+    assert rows[0] == (4, 4)        # four singleton users: floor(log2(1)) = 0
+    assert rows[6] == (1, n_hot)    # hot user: floor(log2(100)) = 6
+    assert len(rows) == 2
