@@ -4075,6 +4075,42 @@ def q_key_skew_stats(sf_dir: str):
     )
 
 
+def q_component_size_hist(sf_dir: str):
+    """Connected-component SIZE histogram (power-of-two buckets) — the
+    canonicalization skew probe: a fat top bucket means one giant entity
+    cluster is about to dominate its canonicalize/map_groups partition
+    (stopword-adjacent mentions, head-domain URLs), the case the bucket-cap
+    chains exist for. Composes the distributed CC with a comp-sized count
+    aggregate and the same integer floor-log2 bucketing as key_skew_stats;
+    the result is ≤ 64 rows at any graph size."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    comps = q_graph_components(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("comp"), pa.int64()).to_numpy()
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table({"comp": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    sizes = _gagg(comps.map_batches(partial, batch_format="pyarrow"),
+                  "comp", Sum("n", alias_name="n"))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.int64()).to_numpy()
+        df = pd.DataFrame({"bucket": _floor_log2(n), "n": n})
+        g = df.groupby("bucket", as_index=False).agg(
+            n_comps=("n", "size"), n_nodes=("n", "sum"))
+        g = g.astype({"n_comps": "int64", "n_nodes": "int64"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        sizes.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], Sum("n_comps", alias_name="n_comps"),
+        Sum("n_nodes", alias_name="n_nodes"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4191,6 +4227,7 @@ def queries() -> dict:
         "sliding_distinct_users": q_sliding_distinct_users,
         "user_retention": q_user_retention,
         "key_skew_stats": q_key_skew_stats,
+        "component_size_hist": q_component_size_hist,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -5066,6 +5103,23 @@ def oracle_sql() -> dict:
                 SELECT s2.dst, r.lbl FROM reach r JOIN s s2 ON s2.src = r.node
             )
             SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node
+        """,
+        "component_size_hist": f"""
+            WITH RECURSIVE e AS ({_co_edges_sql(3)}),
+            s AS (SELECT u AS src, v AS dst FROM e
+                  UNION ALL SELECT v AS src, u AS dst FROM e),
+            reach(node, lbl) AS (
+                SELECT DISTINCT src, src FROM s
+                UNION
+                SELECT s2.dst, r.lbl FROM reach r JOIN s s2 ON s2.src = r.node
+            ),
+            comp AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node),
+            cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM comp GROUP BY 1)
+            SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_comps,
+                   CAST(SUM(n) AS BIGINT) AS n_nodes
+            FROM cs GROUP BY 1
         """,
         "graph_pagerank": _pagerank_sql(),
         # 3 unrolled BFS relaxation rounds from the min node — each CTE is
