@@ -4111,6 +4111,45 @@ def q_component_size_hist(sf_dir: str):
     )
 
 
+def q_nations_except_all(sf_dir: str):
+    """EXCEPT ALL — BAG semantics the set-op family lacks: multiplicities
+    survive (a key occurring l times among customers and r times among
+    suppliers keeps max(0, l−r) occurrences). Represented as (k, n) counts —
+    the multiset in aggregate form, so the result is key-vocabulary-sized
+    instead of exploding surviving rows. Per-batch side-tagged count partials
+    → one bucketed aggregate → row-local clamp; no joins, no driver sets."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    def side(name: str, col: str, tag: int) -> "ray.data.Dataset":
+        def partial(t: pa.Table) -> pa.Table:
+            k = pc.cast(t.column(col), pa.int64()).to_numpy()
+            uniq, cnt = np.unique(k, return_counts=True)
+            c = cnt.astype(np.int64)
+            return pa.table(
+                {"k": pa.array(uniq, pa.int64()),
+                 "l": pa.array(c if tag == 0 else np.zeros_like(c), pa.int64()),
+                 "r": pa.array(c if tag == 1 else np.zeros_like(c), pa.int64())}
+            )
+
+        return _rp(sf_dir, name, [col]).map_batches(partial, batch_format="pyarrow")
+
+    both = side("customer", "c_nationkey", 0).union(side("supplier", "s_nationkey", 1))
+    agg = grouped_aggregate(both, ["k"], Sum("l", alias_name="l"),
+                            Sum("r", alias_name="r"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        l = pc.cast(t.column("l"), pa.int64()).to_numpy()
+        r = pc.cast(t.column("r"), pa.int64()).to_numpy()
+        n = l - r
+        keep = n > 0
+        return pa.table({"k": pa.array(pc.cast(t.column("k"), pa.int64()).to_numpy()[keep], pa.int64()),
+                         "n": pa.array(n[keep], pa.int64())})
+
+    return _nonempty_or_empty_table(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        pa.schema([("k", pa.int64()), ("n", pa.int64())]))
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4228,6 +4267,7 @@ def queries() -> dict:
         "user_retention": q_user_retention,
         "key_skew_stats": q_key_skew_stats,
         "component_size_hist": q_component_size_hist,
+        "nations_except_all": q_nations_except_all,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -5899,6 +5939,13 @@ def oracle_sql() -> dict:
                   FROM (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
                                user_id
                         FROM events))
+            GROUP BY 1
+        """,
+        "nations_except_all": """
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT c_nationkey AS k FROM customer
+                  EXCEPT ALL
+                  SELECT s_nationkey AS k FROM supplier)
             GROUP BY 1
         """,
         "key_skew_stats": """
