@@ -4150,6 +4150,36 @@ def q_nations_except_all(sf_dir: str):
         pa.schema([("k", pa.int64()), ("n", pa.int64())]))
 
 
+def q_hll_join_card(sf_dir: str):
+    """Join-cardinality pre-estimate via the HLL MERGE LAW: register tables
+    for orders.o_custkey ('a'), customer.c_custkey ('b') and their UNION
+    ('u' = per-bucket max of a and b — the mergeability that makes HLL the
+    100-TB primitive). From the triplet, |A∩B| ≈ est(a)+est(b)−est(u) prices
+    a join before running it. Registers are md5-deterministic so all three
+    TABLES hash-check against SQL; only the final fold is approximate. The
+    per-side sketches are ≤ 256 rows, so materializing them before the merge
+    costs nothing and avoids re-executing the fact scans."""
+    from ..functions.sketches import hll_registers
+    from ..stages.canonicalize import grouped_aggregate
+
+    ra = hll_registers(_rp(sf_dir, "orders", ["o_custkey"]), "o_custkey").materialize()
+    rb = hll_registers(_rp(sf_dir, "customer", ["c_custkey"]), "c_custkey").materialize()
+
+    def tag(s: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array([s] * t.num_rows, pa.string()))
+        return fn
+
+    union = grouped_aggregate(
+        ra.union(rb), ["bucket"], Max("rho", alias_name="rho"),
+    )
+    return (
+        ra.map_batches(tag("a"), batch_format="pyarrow")
+        .union(rb.map_batches(tag("b"), batch_format="pyarrow"))
+        .union(union.map_batches(tag("u"), batch_format="pyarrow"))
+    )
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4268,6 +4298,7 @@ def queries() -> dict:
         "key_skew_stats": q_key_skew_stats,
         "component_size_hist": q_component_size_hist,
         "nations_except_all": q_nations_except_all,
+        "hll_join_card": q_hll_join_card,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -4834,6 +4865,33 @@ def oracle_sql() -> dict:
                    MAX(57 - CASE WHEN rem = 0 THEN 0
                                  ELSE length(bin(rem)) END) AS rho
             FROM r GROUP BY bucket
+        """,
+        # HLL merge law: the union sketch is the per-bucket MAX of the two
+        # sides' registers — same md5/bucket/rho convention as hll_users
+        "hll_join_card": f"""
+            WITH ha AS (
+                SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 16))::UBIGINT AS h
+                FROM orders),
+            ra AS (
+                SELECT CAST(h >> 56 AS BIGINT) AS bucket,
+                       MAX(57 - CASE WHEN (h & CAST({(1 << 56) - 1} AS UBIGINT)) = 0 THEN 0
+                                     ELSE length(bin(CAST(h & CAST({(1 << 56) - 1} AS UBIGINT) AS BIGINT)))
+                                END) AS rho
+                FROM ha GROUP BY 1),
+            hb AS (
+                SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16))::UBIGINT AS h
+                FROM customer),
+            rb AS (
+                SELECT CAST(h >> 56 AS BIGINT) AS bucket,
+                       MAX(57 - CASE WHEN (h & CAST({(1 << 56) - 1} AS UBIGINT)) = 0 THEN 0
+                                     ELSE length(bin(CAST(h & CAST({(1 << 56) - 1} AS UBIGINT) AS BIGINT)))
+                                END) AS rho
+                FROM hb GROUP BY 1)
+            SELECT 'a' AS side, bucket, rho FROM ra
+            UNION ALL SELECT 'b' AS side, bucket, rho FROM rb
+            UNION ALL
+            SELECT 'u' AS side, bucket, MAX(rho) AS rho
+            FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 2
         """,
         # grouped HLL: same md5/bucket/rho convention as hll_users, keyed by
         # event_type — COUNT(DISTINCT)-per-group as a 256-row-per-group sketch
