@@ -4180,6 +4180,38 @@ def q_hll_join_card(sf_dir: str):
     )
 
 
+_CHUNK_K = 64
+
+
+def q_doc_chunks(sf_dir: str, *, k: int = _CHUNK_K):
+    """Fixed-size token chunking — the retrieval-indexing split complementary
+    to seq_packing's concatenation: each document becomes ⌈n_tokens/k⌉ rows
+    of (doc_id, chunk_id, n_tokens, chunk_text). Purely row-local flat-map
+    (no shuffle at all); empty documents emit no chunks. The embarrassingly
+    parallel shape every RAG/embedding-index build starts from."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, chunks, ntoks, texts = [], [], [], []
+        for did, s in zip(pc.cast(t.column("doc_id"), pa.int64()).to_numpy(),
+                          t.column("text").to_pylist()):
+            toks = _ALNUM.findall((s or "").lower())
+            for c in range(0, len(toks), k):
+                piece = toks[c:c + k]
+                ids.append(int(did))
+                chunks.append(c // k)
+                ntoks.append(len(piece))
+                texts.append(" ".join(piece))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "chunk_id": pa.array(chunks, pa.int64()),
+             "n_tokens": pa.array(ntoks, pa.int64()),
+             "chunk_text": pa.array(texts, pa.string())}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4299,6 +4331,7 @@ def queries() -> dict:
         "component_size_hist": q_component_size_hist,
         "nations_except_all": q_nations_except_all,
         "hll_join_card": q_hll_join_card,
+        "doc_chunks": q_doc_chunks,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -5998,6 +6031,19 @@ def oracle_sql() -> dict:
                                user_id
                         FROM events))
             GROUP BY 1
+        """,
+        "doc_chunks": f"""
+            WITH arr AS (SELECT doc_id,
+                                regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                         FROM documents),
+            tok AS (SELECT doc_id,
+                           generate_subscripts(ws, 1) - 1 AS i,
+                           unnest(ws) AS w
+                    FROM arr)
+            SELECT doc_id, CAST(i // {_CHUNK_K} AS BIGINT) AS chunk_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   string_agg(w, ' ' ORDER BY i) AS chunk_text
+            FROM tok GROUP BY 1, 2
         """,
         "nations_except_all": """
             SELECT k, CAST(COUNT(*) AS BIGINT) AS n
