@@ -73,8 +73,22 @@ def cmd_kg(args) -> int:
         }
         include_subwords = True
         use_actors = True  # heavy weights: actor pool, loaded once per actor
+    fmt = getattr(args, "format", "parquet")
+    if fmt == "parquet":
+        pages = pages_dataset(args.pages, with_ts=args.dedup_recrawls)
+    else:
+        cols = ["url", "html", "text", "lang"] + (
+            ["warc_ts"] if args.dedup_recrawls else [])
+        if fmt == "jsonl":
+            from .sources.pages import pages_dataset_jsonl
+
+            pages = pages_dataset_jsonl(args.pages, columns=cols)
+        else:
+            from .sources.warc import pages_dataset_warc
+
+            pages = pages_dataset_warc(args.pages, columns=cols)
     res = run_kg(
-        pages_dataset(args.pages, with_ts=args.dedup_recrawls),
+        pages,
         out_dir=args.out,
         dedup_recrawls=args.dedup_recrawls,
         batch_size=cfg.batch_size,
@@ -229,6 +243,10 @@ def main(argv=None) -> int:
     kg.add_argument("--pages", required=True)
     kg.add_argument("--out", required=True)
     kg.add_argument("--config", default=None)
+    kg.add_argument("--format", choices=["parquet", "jsonl", "warc"],
+                    default="parquet",
+                    help="pages input format (sources/: parquet shards, "
+                         "JSONL shards, or WARC crawl archives)")
     kg.add_argument("--dedup-recrawls", action="store_true",
                     help="keep only each url's latest warc_ts capture "
                          "before extraction (Common-Crawl recrawl dedup)")
