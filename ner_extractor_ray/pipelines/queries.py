@@ -4212,6 +4212,109 @@ def q_doc_chunks(sf_dir: str, *, k: int = _CHUNK_K):
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
+_MB_MAX_BLOCK = 256
+
+
+def q_meta_blocking(sf_dir: str, *, max_block: int = _MB_MAX_BLOCK):
+    """Entity-resolution META-BLOCKING (the SparkER/blocking-graph idea,
+    EDBT 2019, from public literature): token blocking over part names, drop
+    stop-blocks (size < 2: no pairs; size > max_block: stopword-like tokens
+    whose pair explosion buys no precision), then weight each candidate pair
+    by its number of COMMON BLOCKS and keep pairs with weight ≥ 2 — the
+    cheapest meta-blocking pruning rule, removing pairs that co-occur only
+    by one shared token.
+
+    Plan: distinct (token, id) via bucketed aggregate → block sizes at
+    vocabulary cardinality, size-filtered DISTRIBUTED (no driver set) →
+    partitioned hash join back onto the token rows → per-token pair
+    enumeration inside coarse hash buckets (every block lives wholly in one
+    bucket; ≤ max_block² pairs per block by construction) → pair-key
+    aggregate sums the common-block weight. Shuffles carry (token, id) ints
+    and (id, id, w) ints only."""
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+    from ..stages.joins import hash_join
+
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        seen: set[tuple] = set()
+        for pid, s in zip(pc.cast(t.column("p_partkey"), pa.int64()).to_numpy(),
+                          t.column("p_name").to_pylist()):
+            for w in set(_ALNUM.findall((s or "").lower())):
+                seen.add((w, int(pid)))
+        if seen:
+            ws, ids = zip(*seen)
+        else:
+            ws, ids = (), ()
+        return pa.table({"t": pa.array(list(ws), pa.string()),
+                         "id": pa.array(list(ids), pa.int64()),
+                         "one": pa.array([1] * len(ws), pa.int64())})
+
+    tok = grouped_aggregate(
+        ds.map_batches(tok_rows, batch_format="pyarrow"),
+        ["t", "id"], Sum("one", alias_name="c"),
+    ).map_batches(lambda t: t.select(["t", "id"]), batch_format="pyarrow")
+
+    sizes = _gagg(
+        tok.map_batches(
+            lambda t: pa.table({"t": t.column("t"),
+                                "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}),
+            batch_format="pyarrow"),
+        "t", Sum("n", alias_name="n"),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t.column("n"), 2),
+                    pc.less_equal(t.column("n"), max_block))
+        ).select(["t"]),
+        batch_format="pyarrow",
+    )
+
+    blocked = hash_join(tok, sizes, on=("t",))
+    P = _compact_blocks()
+
+    from ..functions.hashing import stable_hash64
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"t": pd.Series([], dtype="string"),
+                                 "id": pd.Series([], dtype="int64"),
+                                 "__part": pd.Series([], dtype="int64")})
+        # stable hash: builtin hash() is per-process salted and would split a
+        # block across partitions, silently dropping its cross-part pairs
+        h = df["t"].map(lambda s: stable_hash64(s) & 0x7FFFFFFF)
+        return df.assign(__part=(h % P).astype("int64"))[["t", "id", "__part"]]
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("t", sort=False):
+            ids = np.sort(grp["id"].to_numpy(dtype=np.int64))
+            if len(ids) < 2:
+                continue
+            i, j = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[i])
+            out_b.append(ids[j])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"id_a": np.concatenate(out_a),
+                           "id_b": np.concatenate(out_b)})
+        out = df.groupby(["id_a", "id_b"], as_index=False).size().rename(
+            columns={"size": "w"})
+        return out.astype("int64")
+
+    pairs = (
+        blocked.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(block_pairs, batch_format="pandas")
+    )
+    agg = grouped_aggregate(pairs, ["id_a", "id_b"], Sum("w", alias_name="w"))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("w"), 2)),
+        batch_format="pyarrow",
+    )
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4332,6 +4435,7 @@ def queries() -> dict:
         "nations_except_all": q_nations_except_all,
         "hll_join_card": q_hll_join_card,
         "doc_chunks": q_doc_chunks,
+        "meta_blocking": q_meta_blocking,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6031,6 +6135,21 @@ def oracle_sql() -> dict:
                                user_id
                         FROM events))
             GROUP BY 1
+        """,
+        "meta_blocking": f"""
+            WITH tok AS (
+                SELECT DISTINCT p_partkey AS id,
+                       unnest(regexp_extract_all(lower(p_name), '[a-z0-9]+')) AS t
+                FROM part),
+            ok AS (SELECT t FROM tok GROUP BY t
+                   HAVING COUNT(*) BETWEEN 2 AND {_MB_MAX_BLOCK}),
+            pairs AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS w
+                      FROM tok a
+                      JOIN ok ON ok.t = a.t
+                      JOIN tok b ON b.t = a.t AND a.id < b.id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(w AS BIGINT) AS w
+            FROM pairs WHERE w >= 2
         """,
         "doc_chunks": f"""
             WITH arr AS (SELECT doc_id,
