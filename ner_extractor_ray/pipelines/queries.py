@@ -4315,6 +4315,53 @@ def q_meta_blocking(sf_dir: str, *, max_block: int = _MB_MAX_BLOCK):
     )
 
 
+def q_value_outliers(sf_dir: str):
+    """Tukey IQR outlier gate per event type — the numeric data-cleaning
+    staple: count values outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]. Quartiles use
+    the exact integer 4·cum ≥ k·n rule on the value-count histogram (same
+    bounded-cardinality plan as value_median), and the outlier count is read
+    from the SAME histogram — one corpus scan total, no second pass, all
+    arithmetic in integer cents (bounds tested as 2·c vs 2·Q ± 3·IQR so the
+    half-cent never needs a float)."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t.column("event_type").to_pylist(),
+             "value_cents": _cents(np.asarray(t.column("value")))}
+        )
+        g = df.groupby(["event_type", "value_cents"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "value_cents"], Sum("n", alias_name="n"),
+    ).to_pandas()
+
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("value_cents")
+        vals = g["value_cents"].to_numpy(dtype=np.int64)
+        cnt = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        q1 = int(vals[np.searchsorted(4 * cum, n, side="left")])
+        q3 = int(vals[np.searchsorted(4 * cum, 3 * n, side="left")])
+        iqr = q3 - q1
+        out_mask = (2 * vals < 2 * q1 - 3 * iqr) | (2 * vals > 2 * q3 + 3 * iqr)
+        rows.append((etype, n, q1, q3, int(cnt[out_mask].sum())))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n": pa.array([r[1] for r in rows], pa.int64()),
+         "q1_cents": pa.array([r[2] for r in rows], pa.int64()),
+         "q3_cents": pa.array([r[3] for r in rows], pa.int64()),
+         "n_outliers": pa.array([r[4] for r in rows], pa.int64())}
+    )
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4436,6 +4483,7 @@ def queries() -> dict:
         "hll_join_card": q_hll_join_card,
         "doc_chunks": q_doc_chunks,
         "meta_blocking": q_meta_blocking,
+        "value_outliers": q_value_outliers,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6135,6 +6183,27 @@ def oracle_sql() -> dict:
                                user_id
                         FROM events))
             GROUP BY 1
+        """,
+        "value_outliers": """
+            WITH b AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                              CAST(COUNT(*) AS BIGINT) AS k
+                       FROM events GROUP BY 1, 2),
+            cm AS (SELECT event_type, c, k,
+                          SUM(k) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+                          SUM(k) OVER (PARTITION BY event_type) AS n
+                   FROM b),
+            q AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                         CAST(MIN(CASE WHEN 4 * cum >= n THEN c END) AS BIGINT) AS q1,
+                         CAST(MIN(CASE WHEN 4 * cum >= 3 * n THEN c END) AS BIGINT) AS q3
+                  FROM cm GROUP BY event_type)
+            SELECT q.event_type, q.n,
+                   q.q1 AS q1_cents, q.q3 AS q3_cents,
+                   CAST(COALESCE(SUM(CASE WHEN 2 * b.c < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                                            OR 2 * b.c > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                                          THEN b.k END), 0) AS BIGINT) AS n_outliers
+            FROM q JOIN b ON b.event_type = q.event_type
+            GROUP BY 1, 2, 3, 4
         """,
         "meta_blocking": f"""
             WITH tok AS (
