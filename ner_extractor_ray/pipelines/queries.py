@@ -4362,6 +4362,60 @@ def q_value_outliers(sf_dir: str):
     )
 
 
+_COOC_MIN_ORDERS = 2
+
+
+def q_part_cooccurrence(sf_dir: str):
+    """Market-basket pair co-occurrence: for every unordered part pair
+    (a < b) that ships together in ≥ 2 orders, the number of co-orders —
+    the candidate-pair primitive behind item-item recommenders and
+    association-rule mining (the within-group pair ENUMERATION dual of the
+    meta_blocking weight rule). Plan: the fact table reduces to distinct
+    16-byte (orderkey, partkey) rows; coarse hash buckets (orderkey % P)
+    co-locate whole baskets, a vectorized within-bucket self-merge emits
+    each basket's O(k²) pairs PRE-AGGREGATED per bucket, and one
+    pair-keyed aggregate folds buckets. Pair blow-up is bounded by the
+    basket cap k (TPC-H: ≤ 7 lineitems/order; real carts are UI-bounded),
+    so the exchange is O(rows·k), never O(|parts|²) — the same
+    bounded-group contract as event_type_transitions. Mirrors the
+    reference's entity co-occurrence counting (notebooks/project_code.ipynb
+    augmentation pool, pairs within a sentence) at order granularity."""
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(ok % P, pa.int64()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        if m.empty:
+            return pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
+                                 "part_b": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = (m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
+               .size().rename(columns={"l_partkey_a": "part_a",
+                                       "l_partkey_b": "part_b", "size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    pairs = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    agg = grouped_aggregate(pairs, ["part_a", "part_b"],
+                            Sum("n", alias_name="n_orders"))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_orders"),
+                                            _COOC_MIN_ORDERS)),
+        batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4484,6 +4538,7 @@ def queries() -> dict:
         "doc_chunks": q_doc_chunks,
         "meta_blocking": q_meta_blocking,
         "value_outliers": q_value_outliers,
+        "part_cooccurrence": q_part_cooccurrence,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6183,6 +6238,14 @@ def oracle_sql() -> dict:
                                user_id
                         FROM events))
             GROUP BY 1
+        """,
+        "part_cooccurrence": f"""
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
         """,
         "value_outliers": """
             WITH b AS (SELECT event_type,
