@@ -4416,6 +4416,64 @@ def q_part_cooccurrence(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_user_type_gini(sf_dir: str):
+    """Behavioral-diversity score per user: Gini impurity of the user's
+    event-type distribution, in integer ppm — 0 for a single-type user,
+    → 1 − 1/k for a uniform k-type user. Entropy's log2 is NOT
+    bit-reproducible across engines, so the diversity score uses the
+    polynomial impurity 1 − Σ(nᵗ/N)² computed as
+    (10⁶·(N² − Σnᵗ²)) // N² from exact integer sums (the integer-ppm
+    Jaccard trick). Plan: per-batch (user, type) count partials → one
+    pair-keyed aggregate → row-local squares → one user-keyed aggregate
+    (Σn, Σn², #types all Sum-mergeable) → vectorized finish on the
+    user-cardinality table. Bound: int64 holds 10⁶·N² for N < 3·10⁶
+    events/user; beyond that the finish moves to the hi/lo big-int combine
+    (same note as price_qty_cov). Mirrors the reference's per-entity label
+    diversity probe (scripts/summarize_kfold.py distribution folds) as a
+    distributed two-level aggregate."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t.column("user_id").to_numpy(),
+                           "event_type": t.column("event_type").to_pylist()})
+        g = (df.groupby(["user_id", "event_type"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.table({"user_id": pa.array(g["user_id"], pa.int64()),
+                         "event_type": pa.array(g["event_type"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    pair = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], Sum("n", alias_name="n"))
+
+    def squares(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.int64()).to_numpy()
+        return pa.table({"user_id": t.column("user_id"),
+                         "n": pa.array(n, pa.int64()),
+                         "nsq": pa.array(n * n, pa.int64()),
+                         "one": pa.array(np.ones(len(n), np.int64))})
+
+    user = grouped_aggregate(
+        pair.map_batches(squares, batch_format="pyarrow"),
+        ["user_id"],
+        Sum("n", alias_name="n_events"), Sum("nsq", alias_name="sum_sq"),
+        Sum("one", alias_name="n_types"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_events"), pa.int64()).to_numpy()
+        s = pc.cast(t.column("sum_sq"), pa.int64()).to_numpy()
+        nn = n * n
+        gini = (1_000_000 * (nn - s)) // nn
+        return pa.table({"user_id": t.column("user_id"),
+                         "n_events": pa.array(n, pa.int64()),
+                         "n_types": pc.cast(t.column("n_types"), pa.int64()),
+                         "gini_ppm": pa.array(gini, pa.int64())})
+
+    return user.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4539,6 +4597,7 @@ def queries() -> dict:
         "meta_blocking": q_meta_blocking,
         "value_outliers": q_value_outliers,
         "part_cooccurrence": q_part_cooccurrence,
+        "user_type_gini": q_user_type_gini,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6246,6 +6305,16 @@ def oracle_sql() -> dict:
             FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
                                AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
+        """,
+        "user_type_gini": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST((1000000 * (SUM(n) * SUM(n) - SUM(n * n)))
+                        // (SUM(n) * SUM(n)) AS BIGINT) AS gini_ppm
+            FROM c GROUP BY 1
         """,
         "value_outliers": """
             WITH b AS (SELECT event_type,
