@@ -4474,6 +4474,58 @@ def q_user_type_gini(sf_dir: str):
     return user.map_batches(finish, batch_format="pyarrow")
 
 
+def q_value_trend(sf_dir: str):
+    """Per-type linear TREND of event value over time: the least-squares
+    slope of value (cents) against epoch day, the drift detector run over
+    every metric of a 100-TB event log. One pass of five Sum-mergeable
+    integer partials per group (n, Σx, Σy, Σxy, Σx²) — the regression
+    extension of price_qty_cov's product-moment plan; the shuffle is five
+    int64 cells per group per batch whatever the row count. Finish on the
+    group-cardinality table with Python big ints (n·Σxy and Σx·Σy exceed
+    int64 long before the partials do) emitting the exact rational slope
+    truncated to micro-cents/day: slope_ucpd = trunc(10⁶·(n·Σxy − Σx·Σy) /
+    (n·Σx² − Σx²)) — truncation toward zero to match DuckDB's ``//``."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = (t.column("ts").cast(pa.int64()).to_numpy()
+             // 86_400_000_000).astype(np.int64)
+        y = np.floor(np.asarray(t.column("value"), dtype=np.float64)
+                     * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist(),
+                           "n": np.ones(len(x), np.int64),
+                           "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        g = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_type": [], "n_rows": [], "slope_ucpd": []}
+        for r in df.itertuples(index=False):
+            n, sx, sy, sxy, sxx = (int(r.n), int(r.sx), int(r.sy),
+                                   int(r.sxy), int(r.sxx))
+            num = 1_000_000 * (n * sxy - sx * sy)
+            den = n * sxx - sx * sx
+            out["event_type"].append(r.event_type)
+            out["n_rows"].append(n)
+            out["slope_ucpd"].append(-((-num) // den) if (num < 0) != (den < 0)
+                                     else abs(num) // abs(den))
+        return pd.DataFrame({
+            "event_type": pd.Series(out["event_type"], dtype="object"),
+            "n_rows": pd.Series(out["n_rows"], dtype="int64"),
+            "slope_ucpd": pd.Series(out["slope_ucpd"], dtype="int64")})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4598,6 +4650,7 @@ def queries() -> dict:
         "value_outliers": q_value_outliers,
         "part_cooccurrence": q_part_cooccurrence,
         "user_type_gini": q_user_type_gini,
+        "value_trend": q_value_trend,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6305,6 +6358,17 @@ def oracle_sql() -> dict:
             FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
                                AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
+        """,
+        "value_trend": """
+            WITH p AS (SELECT event_type,
+                              CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS x,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+                       FROM events)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST((1000000 * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)))
+                        // (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                        AS BIGINT) AS slope_ucpd
+            FROM p GROUP BY 1
         """,
         "user_type_gini": """
             WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
