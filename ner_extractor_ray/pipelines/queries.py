@@ -4526,6 +4526,41 @@ def q_value_trend(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+_NTILE_K = 10
+
+
+def q_order_deciles(sf_dir: str):
+    """Per-row NTILE(10) decile assignment over the (price, orderkey) total
+    order — equi-depth bucketing of every row, the label the feature store
+    attaches before stratified sampling (complements price_deciles, which
+    emits only the 9 boundaries). Plan: range-partitioned global_rank (one
+    narrow histogram pass + ONE full-row shuffle, no global sort), a
+    metadata-cheap count() for n, then a row-local piecewise map replicating
+    SQL NTILE exactly: the first n mod k tiles hold ⌈n/k⌉ rows, the rest
+    ⌊n/k⌋ — NOT the ⌊(rank−1)·k/n⌋ approximation, which diverges from NTILE
+    whenever k ∤ n."""
+    from ..functions.rank import global_rank
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n = ds.count()
+    base, rem = divmod(n, _NTILE_K)
+    cut = rem * (base + 1)
+    ranked = global_rank(ds, "o_totalprice", "o_orderkey",
+                         descending=False, n_buckets=32)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rank"].to_numpy(dtype=np.int64)
+        if base == 0:
+            tile = (r - 1) // (base + 1) + 1
+        else:
+            tile = np.where(r <= cut, (r - 1) // (base + 1) + 1,
+                            rem + (r - cut - 1) // base + 1)
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].astype("int64"),
+                             "decile": tile.astype("int64")})
+
+    return ranked.map_batches(finish, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4651,6 +4686,7 @@ def queries() -> dict:
         "part_cooccurrence": q_part_cooccurrence,
         "user_type_gini": q_user_type_gini,
         "value_trend": q_value_trend,
+        "order_deciles": q_order_deciles,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6358,6 +6394,12 @@ def oracle_sql() -> dict:
             FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
                                AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
+        """,
+        "order_deciles": f"""
+            SELECT o_orderkey,
+                   CAST(NTILE({_NTILE_K}) OVER
+                        (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+            FROM orders
         """,
         "value_trend": """
             WITH p AS (SELECT event_type,

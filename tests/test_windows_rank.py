@@ -129,3 +129,30 @@ def test_keyed_prefix_sum_single_value_domain():
     out = {r["k"]: r["ps"] for r in
            keyed_prefix_sum(ds, "k", "v", out="ps").take_all()}
     assert out == {5: 0, 9: 7}
+
+
+def test_order_deciles_uneven_ntile_semantics(tmp_path):
+    """NTILE semantics when k does not divide n: the sf tables have
+    n ≡ 0 (mod 10), which would let the ⌊(rank−1)·k/n⌋ approximation pass
+    vacuously — so check the piecewise tile map against DuckDB's NTILE on
+    an n=17 slice (first 7 tiles of 2 rows, last 3 of 1)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ner_extractor_ray.pipelines.queries import oracle_sql, queries
+
+    src = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    sliced = src.sort_by([("o_orderkey", "ascending")]).slice(0, 17)
+    pq.write_table(sliced, tmp_path / "orders.parquet")
+
+    rdf = queries()["order_deciles"](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    sdf = con.execute(oracle_sql()["order_deciles"]).fetchdf()
+    assert len(rdf) == 17
+    got = dict(zip(rdf["o_orderkey"], rdf["decile"]))
+    want = dict(zip(sdf["o_orderkey"], sdf["decile"]))
+    assert got == want
+    sizes = rdf["decile"].value_counts()
+    assert sorted(sizes.tolist(), reverse=True) == [2] * 7 + [1] * 3
