@@ -741,3 +741,112 @@ def pagerank(
             .materialize()
         )
     return labels.select_columns(["node", "pr"])
+
+
+def label_propagation(
+    edges_ds: "ray.data.Dataset",
+    *,
+    n_iters: int = 3,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Synchronous label-propagation community detection → (node, lab).
+
+    lab₀(x) = x;  labₖ₊₁(x) = argmax_ℓ |{u ∈ N(x) : labₖ(u) = ℓ}|, ties → min ℓ
+    — fully deterministic (no RNG, no asynchronous update order), so the
+    result is independent of parallelism and replicable as unrolled SQL.
+    The entity-cluster refiner run after canonicalization's connected
+    components: CC merges everything reachable, LPA splits chains whose
+    junction nodes hear a different majority.
+
+    Distributed shape per round (same skeleton as ``pagerank``): ONE
+    hash-partitioned join (symmetrized edges ⋈ labels — node state is never
+    broadcast), per-batch (node, lab) count partials, one pair-keyed
+    aggregate, then the argmax folds WITHOUT a second shuffle stage: count
+    and label pack into ONE int64 (c·2³² + (2³²−1−lab), labels must fit
+    31 bits — enforced) so a Max aggregate picks max-count-then-min-label in
+    the same groupby. Each round materializes the node-sized label table so
+    the lazy lineage doesn't re-run prior rounds.
+    """
+    from ray.data.aggregate import Max
+
+    deg = degree_table(edges_ds)
+    if deg.count() == 0:
+        return deg.map_batches(
+            lambda t: pa.table({"node": pa.array([], pa.int64()),
+                                "lab": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+
+    def _sym(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("u"), pa.int64()).to_numpy()
+        v = pc.cast(t.column("v"), pa.int64()).to_numpy()
+        return pa.table(
+            {"src": pa.array(np.concatenate([u, v]), pa.int64()),
+             "dst": pa.array(np.concatenate([v, u]), pa.int64())}
+        )
+
+    sym = edges_ds.map_batches(_sym, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        from ..stages.canonicalize import data_partitions
+
+        num_partitions = data_partitions(sym.size_bytes() or 0)
+    sym = sym.repartition(num_partitions).materialize()
+
+    _LAB_LIMIT = np.int64(1) << 31
+    _UNPACK = (np.int64(1) << 32) - 1
+
+    labels = deg.map_batches(
+        lambda t: pa.table(
+            {"node": pc.cast(t.column("node"), pa.int64()),
+             "lab": pc.cast(t.column("node"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _pair_counts(t: pa.Table) -> pa.Table:
+        # per-batch partial: count (dst, lab) pairs before the shuffle
+        node = pc.cast(t.column("dst"), pa.int64()).to_numpy()
+        lab = pc.cast(t.column("lab"), pa.int64()).to_numpy()
+        if lab.size and (lab.max() >= _LAB_LIMIT or lab.min() < 0):
+            raise ValueError("label_propagation: labels must fit 31 bits")
+        key = (node << np.int64(32)) | lab  # node ids 31-bit (co_order_edges)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"node": pa.array(uniq >> np.int64(32), pa.int64()),
+             "lab": pa.array(uniq & _UNPACK, pa.int64()),
+             "c": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    for _ in range(n_iters):
+        heard = hash_join(
+            sym, labels.map_batches(
+                lambda t: pa.table(
+                    {"src": t.column("node"), "lab": t.column("lab")}),
+                batch_format="pyarrow"),
+            on=("src",), num_partitions=num_partitions,
+        ).map_batches(_pair_counts, batch_format="pyarrow")
+        counts = grouped_aggregate(heard, ["node", "lab"],
+                                   Sum("c", alias_name="c"))
+
+        def _pack(t: pa.Table) -> pa.Table:
+            c = pc.cast(t.column("c"), pa.int64()).to_numpy()
+            lab = pc.cast(t.column("lab"), pa.int64()).to_numpy()
+            packed = (c << np.int64(32)) | (_UNPACK - lab)
+            return pa.table({"node": t.column("node"),
+                             "packed": pa.array(packed, pa.int64())})
+
+        labels = (
+            grouped_aggregate(
+                counts.map_batches(_pack, batch_format="pyarrow"),
+                ["node"], Max("packed", alias_name="packed"))
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": pc.cast(t.column("node"), pa.int64()),
+                     "lab": pa.array(
+                         _UNPACK - (pc.cast(t.column("packed"), pa.int64())
+                                    .to_numpy() & _UNPACK), pa.int64())}),
+                batch_format="pyarrow")
+            .repartition(num_partitions)
+            .materialize()
+        )
+    return labels

@@ -4561,6 +4561,43 @@ def q_order_deciles(sf_dir: str):
     return ranked.map_batches(finish, batch_format="pandas")
 
 
+def q_graph_lpa(sf_dir: str):
+    """Synchronous label-propagation communities on the co-purchase graph
+    (3 rounds, deterministic max-count-then-min-label update) →
+    (node, lab) — the entity-cluster refiner that splits CC chains whose
+    junction nodes hear a different majority (functions/graph.
+    label_propagation). Replicated by 3 unrolled SQL rounds of
+    count + row_number argmax."""
+    from ..functions.graph import label_propagation
+
+    return label_propagation(_graph_edges(sf_dir, min_n=2).materialize(),
+                             n_iters=3)
+
+
+def _lpa_sql(n_iters: int = 3) -> str:
+    """Unrolled synchronous LPA replicating functions/graph.
+    label_propagation: labₖ₊₁(x) = argmax_ℓ neighbor-label count, ties →
+    min ℓ (ORDER BY c DESC, lab)."""
+    parts = [f"""ed AS (SELECT u, v FROM ({_co_edges_sql(2)})),
+    e AS (SELECT u AS src, v AS dst FROM ed
+          UNION ALL SELECT v AS src, u AS dst FROM ed),
+    l0 AS (SELECT node, node AS lab FROM
+             (SELECT DISTINCT u AS node FROM ed
+              UNION SELECT DISTINCT v FROM ed))"""]
+    for r in range(1, n_iters + 1):
+        parts.append(f"""c{r} AS (
+        SELECT e.dst AS node, l.lab, COUNT(*) AS c
+        FROM e JOIN l{r - 1} l ON l.node = e.src GROUP BY 1, 2),
+    l{r} AS (SELECT node, lab FROM (
+          SELECT node, lab, row_number() OVER
+            (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c{r})
+        WHERE rn = 1)""")
+    return ("WITH " + ",\n    ".join(parts)
+            + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS lab
+    FROM l{n_iters}""")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
@@ -4687,6 +4724,7 @@ def queries() -> dict:
         "user_type_gini": q_user_type_gini,
         "value_trend": q_value_trend,
         "order_deciles": q_order_deciles,
+        "graph_lpa": q_graph_lpa,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6395,6 +6433,7 @@ def oracle_sql() -> dict:
                                AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
         """,
+        "graph_lpa": _lpa_sql(3),
         "order_deciles": f"""
             SELECT o_orderkey,
                    CAST(NTILE({_NTILE_K}) OVER
