@@ -4561,6 +4561,71 @@ def q_order_deciles(sf_dir: str):
     return ranked.map_batches(finish, batch_format="pandas")
 
 
+def _value_hist(sf_dir: str) -> pd.DataFrame:
+    """(event_type, value_cents, n) value-count histogram — ONE corpus scan;
+    integer cents have bounded cardinality so the aggregate stays small at
+    any row count (the value_median / value_outliers shared skeleton)."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist(),
+                           "value_cents": _cents(np.asarray(t.column("value")))})
+        g = (df.groupby(["event_type", "value_cents"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "value_cents"], Sum("n", alias_name="n"),
+    ).to_pandas()
+
+
+def q_value_mode(sf_dir: str):
+    """Exact per-group MODE (most frequent value, ties → smallest value)
+    read from the one-scan value-count histogram — the argmax-by-count dual
+    of value_median's quantile walk; at 100 TB the histogram is the only
+    exchange and the argmax runs on its bounded cardinality."""
+    hist = _value_hist(sf_dir)
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values(["n", "value_cents"], ascending=[False, True])
+        rows.append((etype, int(g.iloc[0]["value_cents"]), int(g.iloc[0]["n"])))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "mode_cents": pa.array([r[1] for r in rows], pa.int64()),
+         "n_mode": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def q_value_mad(sf_dir: str):
+    """Median absolute deviation per group — the robust dispersion gate
+    (quality filters prefer MAD to stddev because one corrupt value moves
+    stddev unboundedly). Both medians use the exact integer lower-median
+    rule (2·cum ≥ n) and BOTH are read from the SAME one-scan value-count
+    histogram: the deviation histogram |x − med| is a re-bucketing of the
+    value histogram, not a second corpus pass."""
+    hist = _value_hist(sf_dir)
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("value_cents")
+        vals = g["value_cents"].to_numpy(dtype=np.int64)
+        cnt = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        med = int(vals[np.searchsorted(2 * cum, n, side="left")])
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dcum = np.cumsum(cnt[order])
+        mad = int(dev[order][np.searchsorted(2 * dcum, n, side="left")])
+        rows.append((etype, n, med, mad))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n": pa.array([r[1] for r in rows], pa.int64()),
+         "median_cents": pa.array([r[2] for r in rows], pa.int64()),
+         "mad_cents": pa.array([r[3] for r in rows], pa.int64())})
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -4725,6 +4790,8 @@ def queries() -> dict:
         "value_trend": q_value_trend,
         "order_deciles": q_order_deciles,
         "graph_lpa": q_graph_lpa,
+        "value_mode": q_value_mode,
+        "value_mad": q_value_mad,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6434,6 +6501,39 @@ def oracle_sql() -> dict:
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
         """,
         "graph_lpa": _lpa_sql(3),
+        "value_mode": """
+            WITH b AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                              CAST(COUNT(*) AS BIGINT) AS k
+                       FROM events GROUP BY 1, 2)
+            SELECT event_type, mode_cents, n_mode FROM (
+              SELECT event_type, c AS mode_cents, k AS n_mode,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY k DESC, c) AS rn
+              FROM b) WHERE rn = 1
+        """,
+        "value_mad": """
+            WITH b AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                              CAST(COUNT(*) AS BIGINT) AS k
+                       FROM events GROUP BY 1, 2),
+            cm AS (SELECT event_type, c, k,
+                          SUM(k) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+                          SUM(k) OVER (PARTITION BY event_type) AS n
+                   FROM b),
+            m AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                         CAST(MIN(CASE WHEN 2 * cum >= n THEN c END) AS BIGINT) AS med
+                  FROM cm GROUP BY 1),
+            d AS (SELECT b.event_type, ABS(b.c - m.med) AS dv, b.k, m.n, m.med
+                  FROM b JOIN m USING (event_type)),
+            dc AS (SELECT event_type, dv, k, n, med,
+                          SUM(k) OVER (PARTITION BY event_type ORDER BY dv) AS cum
+                   FROM d)
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MAX(med) AS BIGINT) AS median_cents,
+                   CAST(MIN(CASE WHEN 2 * cum >= n THEN dv END) AS BIGINT) AS mad_cents
+            FROM dc GROUP BY event_type
+        """,
         "order_deciles": f"""
             SELECT o_orderkey,
                    CAST(NTILE({_NTILE_K}) OVER
