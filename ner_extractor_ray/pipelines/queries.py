@@ -4626,6 +4626,40 @@ def q_value_mad(sf_dir: str):
          "mad_cents": pa.array([r[3] for r in rows], pa.int64())})
 
 
+_MELT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT / melt wide→long (the inverse of events_pivot): the four
+    lineitem measures become (orderkey, linenumber, measure, value_cents)
+    rows — the reshape feeding any per-measure generic pipeline (histogram,
+    outlier gate, drift) without per-measure code. Pure row-local
+    vectorized expansion inside map_batches — a k× row flat-map with ZERO
+    shuffle at any scale; value unification to integer centi-units keeps
+    the long column hash-comparable."""
+    ds = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", *_MELT_MEASURES])
+
+    def melt(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy()
+        ln = pc.cast(t.column("l_linenumber"), pa.int64()).to_numpy()
+        oks, lns, ms, vs = [], [], [], []
+        for m in _MELT_MEASURES:
+            v = np.floor(np.asarray(t.column(m), dtype=np.float64)
+                         * 100 + 0.5).astype(np.int64)
+            oks.append(ok)
+            lns.append(ln)
+            ms.append(np.full(len(ok), m, dtype=object))
+            vs.append(v)
+        return pa.table(
+            {"l_orderkey": pa.array(np.concatenate(oks), pa.int64()),
+             "l_linenumber": pa.array(np.concatenate(lns), pa.int64()),
+             "measure": pa.array(np.concatenate(ms), pa.string()),
+             "value_cents": pa.array(np.concatenate(vs), pa.int64())})
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -4792,6 +4826,7 @@ def queries() -> dict:
         "graph_lpa": q_graph_lpa,
         "value_mode": q_value_mode,
         "value_mad": q_value_mad,
+        "lineitem_unpivot": q_lineitem_unpivot,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6501,6 +6536,21 @@ def oracle_sql() -> dict:
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
         """,
         "graph_lpa": _lpa_sql(3),
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber, measure,
+                   CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS value_cents
+            FROM (
+              SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                     l_quantity AS v FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                     l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+              FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        """,
         "value_mode": """
             WITH b AS (SELECT event_type,
                               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
