@@ -4660,6 +4660,97 @@ def q_lineitem_unpivot(sf_dir: str):
     return ds.map_batches(melt, batch_format="pyarrow")
 
 
+def q_value_minmax(sf_dir: str):
+    """Per-row min-max feature scaling within each group — the normalize
+    step before any model consumes a raw metric. Two-phase shape: a
+    group-cardinality (type, min, max) aggregate is broadcast back (group
+    vocabulary is bounded — type-sized, NOT corpus-sized, so the broadcast
+    is always legal), then a row-local integer rescale
+    scaled_ppm = 10⁶·(x − min) // (max − min) — no sqrt/log, so the value
+    is bit-exact and hash-comparable (the z-score variant is NOT: sqrt
+    differs in the last ulp across engines). Emits (event_id, event_type,
+    scaled_ppm); degenerate max == min groups pin to 0."""
+    from ray.data.aggregate import Max as AMax
+    from ray.data.aggregate import Min as AMin
+
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": pc.cast(t.column("event_id"), pa.int64()),
+             "event_type": t.column("event_type"),
+             "c": pa.array(_cents(np.asarray(t.column("value"))), pa.int64())})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+    mm = {r["event_type"]: (int(r["lo"]), int(r["hi"]))
+          for r in grouped_aggregate(
+              cds, ["event_type"],
+              AMin("c", alias_name="lo"), AMax("c", alias_name="hi")
+          ).take_all()}
+
+    def scale(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        c = pc.cast(t.column("c"), pa.int64()).to_numpy()
+        lo = np.array([mm[e][0] for e in et], np.int64)
+        hi = np.array([mm[e][1] for e in et], np.int64)
+        span = np.maximum(hi - lo, 1)
+        return pa.table(
+            {"event_id": t.column("event_id"),
+             "event_type": t.column("event_type"),
+             "scaled_ppm": pa.array(1_000_000 * (c - lo) // span, pa.int64())})
+
+    return cds.map_batches(scale, batch_format="pyarrow")
+
+
+def q_user_streaks(sf_dir: str):
+    """Gaps-and-islands: per user, distinct active days and the LONGEST run
+    of consecutive days — the retention/engagement-streak primitive. Plan:
+    per-batch distinct (user, epoch-day) partials (16 B/row — the fact
+    table's timestamps never shuffle twice), coarse user-hash buckets
+    co-locate each user's days, and inside the bucket the classic
+    day − row-position grouping runs vectorized (sort + cumcount, no
+    Python loop over users); each bucket emits finished user rows, so the
+    output needs no further exchange. Islands are detected on the DISTINCT
+    day set — duplicate same-day events must not break or inflate runs."""
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    P = _compact_blocks()
+
+    def day_partials(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        day = (t.column("ts").cast(pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        if uid.size and (uid.max() >= 1 << 31 or uid.min() < 0
+                         or day.max() >= 1 << 31 or day.min() < 0):
+            raise ValueError("user_streaks: user_id/day must fit 31 bits")
+        key = np.unique((uid << np.int64(32)) | day)
+        u = key >> np.int64(32)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "day": pa.array(key & ((1 << 32) - 1), pa.int64()),
+                         "__part": pa.array(u % P, pa.int64())})
+
+    def bucket_streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g[["user_id", "day"]].drop_duplicates()
+             .sort_values(["user_id", "day"]))
+        pos = g.groupby("user_id", sort=False).cumcount()
+        g = g.assign(grp=g["day"].to_numpy() - pos.to_numpy())
+        runs = (g.groupby(["user_id", "grp"], as_index=False)
+                .size().rename(columns={"size": "len"}))
+        out = runs.groupby("user_id", as_index=False).agg(
+            n_days=("len", "sum"), max_streak=("len", "max"))
+        return out.astype({"user_id": "int64", "n_days": "int64",
+                           "max_streak": "int64"})
+
+    return (
+        ds.map_batches(day_partials, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(bucket_streaks, batch_format="pandas")
+    )
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -4827,6 +4918,8 @@ def queries() -> dict:
         "value_mode": q_value_mode,
         "value_mad": q_value_mad,
         "lineitem_unpivot": q_lineitem_unpivot,
+        "value_minmax": q_value_minmax,
+        "user_streaks": q_user_streaks,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6536,6 +6629,31 @@ def oracle_sql() -> dict:
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
         """,
         "graph_lpa": _lpa_sql(3),
+        "user_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+                       FROM events),
+            g AS (SELECT user_id, day,
+                         day - row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY day) AS grp
+                  FROM d),
+            s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+                   CAST(MAX(len) AS BIGINT) AS max_streak
+            FROM s GROUP BY user_id
+        """,
+        "value_minmax": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+                       FROM events),
+            mm AS (SELECT event_type, MIN(c) AS lo,
+                          GREATEST(MAX(c) - MIN(c), 1) AS span
+                   FROM c GROUP BY 1)
+            SELECT c.event_id, c.event_type,
+                   CAST((1000000 * (c.c - mm.lo)) // mm.span AS BIGINT)
+                       AS scaled_ppm
+            FROM c JOIN mm USING (event_type)
+        """,
         "lineitem_unpivot": """
             SELECT l_orderkey, l_linenumber, measure,
                    CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS value_cents
