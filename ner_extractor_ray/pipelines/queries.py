@@ -4751,6 +4751,74 @@ def q_user_streaks(sf_dir: str):
     )
 
 
+def q_profile_events(sf_dir: str):
+    """Table PROFILER: per column, (n_rows, n_null, n_distinct) — the
+    data-quality report every ingest job runs first. Exact distinct counts
+    at any scale via the melt trick: each column's values canonicalize to
+    an injective string key (ints/µs-timestamps verbatim, the 2-decimal
+    float as cents — injective on this data; a general profiler would use
+    a 128-bit value hash), batch-level dedup shrinks the exchange, ONE
+    (col, key) distinct aggregate serves every column together, and the
+    final count-per-column is column-cardinality. Null/row tallies ride a
+    separate 2·|cols|-row partial-sum aggregate — nothing row-sized ever
+    reaches the driver."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", None)
+
+    def canon(t: pa.Table) -> dict[str, np.ndarray]:
+        return {
+            "event_id": pc.cast(t.column("event_id"), pa.int64())
+            .to_numpy().astype("U"),
+            "ts": t.column("ts").cast(pa.int64()).to_numpy().astype("U"),
+            "user_id": pc.cast(t.column("user_id"), pa.int64())
+            .to_numpy().astype("U"),
+            "event_type": np.asarray(t.column("event_type").to_pylist(),
+                                     dtype=object),
+            "value": _cents(np.asarray(t.column("value"))).astype("U"),
+            "props": np.asarray(t.column("props").to_pylist(), dtype=object),
+        }
+
+    def melt_keys(t: pa.Table) -> pa.Table:
+        cols, keys = [], []
+        for name, vals in canon(t).items():
+            u = np.unique(vals[vals != np.array(None)])
+            cols.append(np.full(len(u), name, dtype=object))
+            keys.append(u.astype(object))
+        return pa.table({"col": pa.array(np.concatenate(cols), pa.string()),
+                         "key": pa.array(np.concatenate(keys), pa.string())})
+
+    def tallies(t: pa.Table) -> pa.Table:
+        names = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        return pa.table(
+            {"col": pa.array(names, pa.string()),
+             "n_rows": pa.array([t.num_rows] * len(names), pa.int64()),
+             "n_null": pa.array([t.column(n).null_count for n in names],
+                                pa.int64())})
+
+    distinct = grouped_aggregate(
+        ds.map_batches(melt_keys, batch_format="pyarrow"),
+        ["col", "key"], Count(alias_name="_n"))
+    n_distinct = grouped_aggregate(
+        distinct.map_batches(
+            lambda t: pa.table({"col": t.column("col"),
+                                "one": pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["col"], Sum("one", alias_name="n_distinct")).to_pandas()
+    tally = grouped_aggregate(
+        ds.map_batches(tallies, batch_format="pyarrow"),
+        ["col"], Sum("n_rows", alias_name="n_rows"),
+        Sum("n_null", alias_name="n_null")).to_pandas()
+
+    out = tally.merge(n_distinct, on="col").sort_values("col")
+    return pa.table(
+        {"col": pa.array(out["col"], pa.string()),
+         "n_rows": pa.array(out["n_rows"].astype("int64")),
+         "n_null": pa.array(out["n_null"].astype("int64")),
+         "n_distinct": pa.array(out["n_distinct"].astype("int64"))})
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -4920,6 +4988,7 @@ def queries() -> dict:
         "lineitem_unpivot": q_lineitem_unpivot,
         "value_minmax": q_value_minmax,
         "user_streaks": q_user_streaks,
+        "profile_events": q_profile_events,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6629,6 +6698,28 @@ def oracle_sql() -> dict:
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
         """,
         "graph_lpa": _lpa_sql(3),
+        "profile_events": """
+            SELECT 'event_id' AS col, COUNT(*) AS n_rows,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+            FROM events
+            UNION ALL
+            SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+                   COUNT(DISTINCT ts) FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+                   COUNT(DISTINCT user_id) FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+                   COUNT(DISTINCT event_type) FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   COUNT(DISTINCT CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            FROM events
+            UNION ALL
+            SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+                   COUNT(DISTINCT props) FROM events
+        """,
         "user_streaks": """
             WITH d AS (SELECT DISTINCT user_id,
                               CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
