@@ -4819,6 +4819,70 @@ def q_profile_events(sf_dir: str):
          "n_distinct": pa.array(out["n_distinct"].astype("int64"))})
 
 
+_VOWEL_RUNS = re.compile(r"[aeiouy]+")
+_SENT_ENDS = re.compile(r"[.!?]+")
+
+
+def q_readability(sf_dir: str):
+    """Flesch-style readability per document in integer milli-points —
+    the classic curation quality gate alongside `quality`'s ratio checks.
+    All three inputs are integer counts from compiled regexes (words =
+    alnum runs, sentences = terminal-punctuation runs clamped ≥ 1,
+    syllables ≈ vowel runs), and the score composes with integer floor
+    divisions only: 206835 − 1015·W//S − 84600·Y//W — no float, so the
+    value is engine-exact. Pure row-local map, ZERO shuffle."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
+        words, sents, sylls, scores = [], [], [], []
+        for txt in t.column("text").to_pylist():
+            low = (txt or "").lower()
+            w = len(_ALNUM.findall(low))
+            s = max(len(_SENT_ENDS.findall(low)), 1)
+            y = len(_VOWEL_RUNS.findall(low))
+            wc = max(w, 1)
+            words.append(w)
+            sents.append(s)
+            sylls.append(y)
+            scores.append(206_835 - (1_015 * w) // s - (84_600 * y) // wc)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_words": pa.array(words, pa.int64()),
+             "n_sents": pa.array(sents, pa.int64()),
+             "n_sylls": pa.array(sylls, pa.int64()),
+             "flesch_milli": pa.array(scores, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_events_calendar(sf_dir: str):
+    """Calendar-dimension histogram: event counts and value sums by
+    (day-of-week, hour-of-day) — the seasonality heatmap. Day-of-week is
+    computed engine-neutrally as (epoch_day + 4) % 7 (0 = Sunday; no
+    reliance on either engine's locale-dependent DOW function), hour as
+    (epoch_s // 3600) % 24 — both from the same integer µs timestamps.
+    Per-batch partials → one ≤ 168-row aggregate at any scale."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        dow = ((us // 86_400_000_000 + 4) % 7).astype(np.int64)
+        hour = ((us // 3_600_000_000) % 24).astype(np.int64)
+        df = pd.DataFrame({"dow": dow, "hour": hour,
+                           "n": np.ones(len(us), np.int64),
+                           "value_cents": _cents(np.asarray(t.column("value")))})
+        g = df.groupby(["dow", "hour"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dow", "hour"],
+        Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -4989,6 +5053,8 @@ def queries() -> dict:
         "value_minmax": q_value_minmax,
         "user_streaks": q_user_streaks,
         "profile_events": q_profile_events,
+        "readability": q_readability,
+        "events_calendar": q_events_calendar,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6698,6 +6764,30 @@ def oracle_sql() -> dict:
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
         """,
         "graph_lpa": _lpa_sql(3),
+        "readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+                     GREATEST(len(regexp_extract_all(lower(text),
+                                                     '[.!?]+')), 1) AS s,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+              FROM documents)
+            SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+                   CAST(s AS BIGINT) AS n_sents,
+                   CAST(y AS BIGINT) AS n_sylls,
+                   CAST(206835 - (1015 * w) // s
+                               - (84600 * y) // GREATEST(w, 1)
+                        AS BIGINT) AS flesch_milli
+            FROM c
+        """,
+        "events_calendar": """
+            SELECT CAST((FLOOR(epoch(ts) / 86400) + 4) % 7 AS BIGINT) AS dow,
+                   CAST(FLOOR(epoch(ts) / 3600) % 24 AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
         "profile_events": """
             SELECT 'event_id' AS col, COUNT(*) AS n_rows,
                    CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
