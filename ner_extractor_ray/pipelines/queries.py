@@ -4883,6 +4883,65 @@ def q_events_calendar(sf_dir: str):
         Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
 
 
+_ACTIVE_WINDOW_S = 300
+
+
+def q_user_active_seconds(sf_dir: str):
+    """INTERVAL UNION per user: each event opens a 300 s activity window
+    [ts, ts+300); the metric is the total length of the union of those
+    intervals and the number of disjoint islands — billing/engagement time
+    that double-counts nothing however bursty the events. Plan: narrow
+    (user, epoch-s) rows, coarse user-hash buckets, and a vectorized sweep
+    inside the bucket: sort by start, island starts where start > running
+    max of previous ends (cummax shifted by one), then per-island
+    max(end) − min(start) sums per user. Finished user rows leave the
+    bucket — one narrow shuffle total."""
+    from ..stages.canonicalize import _compact_blocks
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    P = _compact_blocks()
+    W = _ACTIVE_WINDOW_S
+
+    def narrow(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        s = (t.column("ts").cast(pa.int64()).to_numpy()
+             // 1_000_000).astype(np.int64)
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "__part": pa.array(uid % P, pa.int64())})
+
+    def bucket_union(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s"])
+        uid = g["user_id"].to_numpy()
+        start = g["s"].to_numpy()
+        end = start + W
+        # fixed window ⇒ end is monotone within each (sorted) user, so the
+        # running max of previous ends is simply the previous row's end —
+        # and it must NOT accumulate across user boundaries
+        prev_end = np.empty_like(end)
+        prev_end[0] = np.iinfo(np.int64).min
+        prev_end[1:] = end[:-1]
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        island = np.cumsum(new_user | (start > prev_end))
+        df = pd.DataFrame({"user_id": uid, "island": island,
+                           "start": start, "end": end})
+        isl = df.groupby(["user_id", "island"], as_index=False).agg(
+            lo=("start", "min"), hi=("end", "max"))
+        isl["len"] = isl["hi"] - isl["lo"]
+        out = isl.groupby("user_id", as_index=False).agg(
+            active_s=("len", "sum"), n_islands=("len", "size"))
+        return out.astype({"user_id": "int64", "active_s": "int64",
+                           "n_islands": "int64"})
+
+    return (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(bucket_union, batch_format="pandas")
+    )
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -5055,6 +5114,7 @@ def queries() -> dict:
         "profile_events": q_profile_events,
         "readability": q_readability,
         "events_calendar": q_events_calendar,
+        "user_active_seconds": q_user_active_seconds,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6764,6 +6824,25 @@ def oracle_sql() -> dict:
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
         """,
         "graph_lpa": _lpa_sql(3),
+        "user_active_seconds": f"""
+            WITH iv AS (SELECT user_id,
+                               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+                        FROM events),
+            o AS (SELECT user_id, s, s + {_ACTIVE_WINDOW_S} AS e,
+                         LAG(s + {_ACTIVE_WINDOW_S}) OVER
+                           (PARTITION BY user_id ORDER BY s) AS pe
+                  FROM iv),
+            g AS (SELECT user_id, s, e,
+                         SUM(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM o),
+            i AS (SELECT user_id, isl, MAX(e) - MIN(s) AS len
+                  FROM g GROUP BY 1, 2)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands
+            FROM i GROUP BY 1
+        """,
         "readability": """
             WITH c AS (
               SELECT doc_id,
