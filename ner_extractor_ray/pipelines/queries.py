@@ -4942,6 +4942,51 @@ def q_user_active_seconds(sf_dir: str):
     )
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION statistics of the embedding vector column — the
+    whitening / feature-normalization precompute (mean and second moment
+    per dim) every ANN index build runs first. The list<float> column is
+    unnested BATCH-LOCALLY into a (dim, Σq, Σq², n) partial per batch
+    (matrix reshape, no per-row Python), so the exchange is dim-sized
+    however many vectors stream through; values quantize with kmeans'
+    exact grid (floor((x+1)·10⁶) — functions/kmeans.py) so the sums are
+    integer-exact and engine-comparable. mean_q = Σq // n."""
+    from ..functions.kmeans import KM_OFFSET, KM_SCALE
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sq": pa.array([], pa.int64()),
+                             "sqq": pa.array([], pa.int64())})
+        q = np.floor((mat + KM_OFFSET) * KM_SCALE).astype(np.int64)
+        return pa.table(
+            {"dim": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+             "n": pa.array(np.full(q.shape[1], q.shape[0], np.int64)),
+             "sq": pa.array(q.sum(axis=0), pa.int64()),
+             "sqq": pa.array((q * q).sum(axis=0), pa.int64())})
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim"], Sum("n", alias_name="n"), Sum("sq", alias_name="sq"),
+        Sum("sqq", alias_name="sqq"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"dim": pc.cast(t.column("dim"), pa.int64()),
+             "n": pc.cast(t.column("n"), pa.int64()),
+             "sum_q": pc.cast(t.column("sq"), pa.int64()),
+             "sum_qq": pc.cast(t.column("sqq"), pa.int64()),
+             "mean_q": pa.array(
+                 pc.cast(t.column("sq"), pa.int64()).to_numpy()
+                 // pc.cast(t.column("n"), pa.int64()).to_numpy(),
+                 pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -5115,6 +5160,7 @@ def queries() -> dict:
         "readability": q_readability,
         "events_calendar": q_events_calendar,
         "user_active_seconds": q_user_active_seconds,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6824,6 +6870,20 @@ def oracle_sql() -> dict:
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
         """,
         "graph_lpa": _lpa_sql(3),
+        "embedding_dim_stats": """
+            WITH q AS (
+              SELECT dim,
+                     CAST(floor((CAST(v AS DOUBLE) + 1.0) * 1000000)
+                          AS BIGINT) AS x
+              FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                           unnest(embedding) AS v FROM embeddings))
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sum_q,
+                   CAST(SUM(x * x) AS BIGINT) AS sum_qq,
+                   CAST(SUM(x) // COUNT(*) AS BIGINT) AS mean_q
+            FROM q GROUP BY dim
+        """,
         "user_active_seconds": f"""
             WITH iv AS (SELECT user_id,
                                CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
