@@ -350,24 +350,74 @@ def khop_distances(
     """Min-hop distances (≤ k) from a seed node → (node, hops).
 
     Bounded-round BFS — the KG neighborhood query ("everything within k
-    hops of entity X") as k relaxation rounds of the SAME join machinery as
-    connected_components: the symmetrized edge list (weight 1) is unioned
-    with per-node SELF-LOOPS (weight 0) so one hash_join + groupby-Min per
-    round both propagates hops+1 to neighbors and preserves existing labels
-    — no label∪proposal union, whose mixed block types Ray's shuffle
-    rejects. Labels are node-sized and materialized per round; edges are
-    never broadcast; every value is an int64 min, so the result is exactly
-    replicable by k unrolled SQL CTEs. ``seed`` defaults to the globally
-    minimal node id.
+    hops of entity X"). Unit-weight instance of ``_bounded_relax``; see
+    there for the distributed shape.
+    """
+    return _bounded_relax(edges_ds, k=k, seed=seed,
+                          num_partitions=num_partitions,
+                          edge_w=None, out="hops")
+
+
+SSSP_WSCALE = 1_000_000  # inverse-strength edge cost numerator
+
+
+def sssp_distances(
+    edges_ds: "ray.data.Dataset",
+    *,
+    k: int = 3,
+    seed: int | None = None,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """WEIGHTED shortest-path distances within ≤ k relaxations (bounded
+    Bellman–Ford) from a seed node → (node, dist).
+
+    Edge cost = SSSP_WSCALE // n (inverse co-occurrence strength, exact
+    integer): strongly-linked entities are "close", weak links expensive —
+    the KG relatedness query khop's unit hops cannot express (a 2-hop path
+    through strong edges beats a direct weak edge). Same one-join-one-Min
+    round machinery as khop (``_bounded_relax``); k bounds work, and
+    because every relaxation is an int64 min the result is exactly
+    replicable by k unrolled SQL CTEs.
+    """
+    def edge_w(n: np.ndarray) -> np.ndarray:
+        return SSSP_WSCALE // n
+
+    return _bounded_relax(edges_ds, k=k, seed=seed,
+                          num_partitions=num_partitions,
+                          edge_w=edge_w, out="dist")
+
+
+def _bounded_relax(
+    edges_ds: "ray.data.Dataset",
+    *,
+    k: int,
+    seed: int | None,
+    num_partitions: int | None,
+    edge_w,
+    out: str,
+) -> "ray.data.Dataset":
+    """k rounds of min-plus relaxation from ``seed`` over (u, v[, n]) edges
+    → (node, <out>). ``edge_w`` maps the co-occurrence count column n to
+    int64 edge costs (None ⇒ unit weights / BFS).
+
+    The symmetrized weighted edge list is unioned with per-node SELF-LOOPS
+    (weight 0) so one hash_join + groupby-Min per round both propagates
+    dist+w to neighbors and preserves existing labels — no label∪proposal
+    union, whose mixed block types Ray's shuffle rejects. Labels are
+    node-sized and materialized per round; edges are never broadcast.
+    ``seed`` defaults to the globally minimal node id.
     """
     def _sym_w(t: pa.Table) -> pa.Table:
         u = pc.cast(t.column("u"), pa.int64()).to_numpy()
         v = pc.cast(t.column("v"), pa.int64()).to_numpy()
-        n = len(u)
+        if edge_w is None:
+            w = np.ones(len(u), np.int64)
+        else:
+            w = edge_w(pc.cast(t.column("n"), pa.int64()).to_numpy())
         return pa.table(
             {"src": pa.array(np.concatenate([u, v]), pa.int64()),
              "dst": pa.array(np.concatenate([v, u]), pa.int64()),
-             "w": pa.array(np.ones(2 * n, np.int64), pa.int64())}
+             "w": pa.array(np.concatenate([w, w]), pa.int64())}
         )
 
     def _loops(t: pa.Table) -> pa.Table:
@@ -396,14 +446,14 @@ def khop_distances(
             import ray.data as _rd
 
             return _rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
-                                            "hops": pa.array([], pa.int64())}))
+                                            out: pa.array([], pa.int64())}))
         seed = int(s)
 
     import ray.data as _rd
 
     labels = _rd.from_arrow(
         pa.table({"node": pa.array([seed], pa.int64()),
-                  "hops": pa.array([0], pa.int64())})
+                  out: pa.array([0], pa.int64())})
     ).materialize()
 
     def _relax_add(df: pd.DataFrame) -> pd.DataFrame:
@@ -415,13 +465,13 @@ def khop_distances(
                                  "h2": pd.Series([], dtype="int64")})
         return pd.DataFrame(
             {"dst": df["dst"].astype("int64"),
-             "h2": (df["hops"] + df["w"]).astype("int64")}
+             "h2": (df[out] + df["w"]).astype("int64")}
         )
 
     for _ in range(k):
         lab_src = labels.map_batches(
             lambda t: pa.table({"src": pc.cast(t.column("node"), pa.int64()),
-                                "hops": pc.cast(t.column("hops"), pa.int64())}),
+                                out: pc.cast(t.column(out), pa.int64())}),
             batch_format="pyarrow",
         )
         joined = hash_join(graph, lab_src, on=("src",),
@@ -429,12 +479,12 @@ def khop_distances(
         labels = (
             grouped_aggregate(
                 joined.map_batches(_relax_add, batch_format="pandas"),
-                ["dst"], Min("h2", alias_name="hops"),
+                ["dst"], Min("h2", alias_name=out),
                 num_buckets=num_partitions)
             .map_batches(
                 lambda t: pa.table(
                     {"node": pc.cast(t.column("dst"), pa.int64()),
-                     "hops": pc.cast(t.column("hops"), pa.int64())}
+                     out: pc.cast(t.column(out), pa.int64())}
                 ),
                 batch_format="pyarrow",
             )

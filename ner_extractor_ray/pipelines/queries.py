@@ -4987,6 +4987,39 @@ def q_embedding_dim_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_graph_sssp(sf_dir: str):
+    """Weighted shortest-path distances (≤ 3 relaxations, bounded
+    Bellman–Ford) from the minimal node over the co-purchase graph with
+    inverse-strength integer edge costs (10⁶ // n) — the KG relatedness
+    metric unit-hop khop can't express: two strong links beat one weak
+    one (functions/graph.sssp_distances). Oracle = 3 unrolled min-plus
+    SQL rounds."""
+    from ..functions.graph import sssp_distances
+
+    return sssp_distances(_graph_edges(sf_dir, min_n=2).materialize(), k=3)
+
+
+def _sssp_sql(n_iters: int = 3) -> str:
+    """Unrolled bounded Bellman–Ford replicating functions/graph.
+    sssp_distances: d₀ = {seed: 0}; dₖ₊₁(v) = min over incoming (incl. the
+    0-cost self-loop) of dₖ(u) + w(u,v), w = 10⁶ // n."""
+    parts = [f"""ed AS (SELECT u, v, n FROM ({_co_edges_sql(2)})),
+    nodes AS (SELECT DISTINCT u AS node FROM ed
+              UNION SELECT DISTINCT v FROM ed),
+    e AS (SELECT u AS src, v AS dst, 1000000 // n AS w FROM ed
+          UNION ALL SELECT v, u, 1000000 // n FROM ed
+          UNION ALL SELECT node, node, 0 FROM nodes),
+    d0 AS (SELECT MIN(u) AS node, 0 AS d FROM ed)"""]
+    for r in range(1, n_iters + 1):
+        parts.append(f"""d{r} AS (
+        SELECT e.dst AS node, MIN(p.d + e.w) AS d
+        FROM e JOIN d{r - 1} p ON p.node = e.src GROUP BY 1)""")
+    return ("WITH " + ",\n    ".join(parts)
+            + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS dist
+    FROM d{n_iters}""")
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -5161,6 +5194,7 @@ def queries() -> dict:
         "events_calendar": q_events_calendar,
         "user_active_seconds": q_user_active_seconds,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "graph_sssp": q_graph_sssp,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6870,6 +6904,7 @@ def oracle_sql() -> dict:
             GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
         """,
         "graph_lpa": _lpa_sql(3),
+        "graph_sssp": _sssp_sql(3),
         "embedding_dim_stats": """
             WITH q AS (
               SELECT dim,
