@@ -5020,6 +5020,42 @@ def _sssp_sql(n_iters: int = 3) -> str:
     FROM d{n_iters}""")
 
 
+def q_revenue_mom(sf_dir: str):
+    """Month-over-month revenue GROWTH in integer basis points — the
+    period-over-period delta every reporting pipeline derives after the
+    calendar rollup. The corpus reduces to a month-keyed Sum aggregate
+    (timeline-sized at any scale — same contract as
+    cumulative_distinct_users); the lag + ratio then run on that small
+    table: delta_bps = trunc(10⁴·(cur − prev) / prev), truncation toward
+    zero to match DuckDB ``//``. First month has no predecessor and is
+    dropped (not zero-filled) on both sides."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        months = pd.Series(t.column("o_orderdate").to_pandas()).dt.strftime("%Y-%m")
+        df = pd.DataFrame({"month": months,
+                           "rev": _cents(np.asarray(t.column("o_totalprice")))})
+        g = df.groupby("month", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["month"], Sum("rev", alias_name="rev")).to_pandas()
+    m = m.sort_values("month").reset_index(drop=True)
+    rows = []
+    for i in range(1, len(m)):
+        cur, prev = int(m["rev"][i]), int(m["rev"][i - 1])
+        num = 10_000 * (cur - prev)
+        bps = -((-num) // prev) if num < 0 else num // prev
+        rows.append((str(m["month"][i]), cur, bps))
+    return pa.table(
+        {"month": pa.array([r[0] for r in rows], pa.string()),
+         "revenue_cents": pa.array([r[1] for r in rows], pa.int64()),
+         "delta_bps": pa.array([r[2] for r in rows], pa.int64())})
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -5195,6 +5231,7 @@ def queries() -> dict:
         "user_active_seconds": q_user_active_seconds,
         "embedding_dim_stats": q_embedding_dim_stats,
         "graph_sssp": q_graph_sssp,
+        "revenue_mom": q_revenue_mom,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6905,6 +6942,17 @@ def oracle_sql() -> dict:
         """,
         "graph_lpa": _lpa_sql(3),
         "graph_sssp": _sssp_sql(3),
+        "revenue_mom": """
+            WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                              SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            l AS (SELECT month, rev,
+                         LAG(rev) OVER (ORDER BY month) AS prev FROM m)
+            SELECT month, CAST(rev AS BIGINT) AS revenue_cents,
+                   CAST((10000 * (rev - prev)) // prev AS BIGINT) AS delta_bps
+            FROM l WHERE prev IS NOT NULL
+        """,
         "embedding_dim_stats": """
             WITH q AS (
               SELECT dim,
