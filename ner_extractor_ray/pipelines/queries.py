@@ -5056,6 +5056,80 @@ def q_revenue_mom(sf_dir: str):
          "delta_bps": pa.array([r[2] for r in rows], pa.int64())})
 
 
+def q_nation_priority_grid(sf_dir: str):
+    """DENSE dimension grid with zero-fill: every (nation, priority) cell
+    of the report matrix, including combinations no order hit — reporting
+    and ML feature matrices need the zeros a plain groupby never emits.
+    Plan: facts reduce to a (nation, priority) count aggregate (orders ⋈
+    customer on the partitioned hash-join path); the full grid is the
+    CROSS PRODUCT of the nation dimension with the (bounded) priority
+    vocabulary — 25 × 5 rows built in-memory — LEFT-joined to the counts,
+    nulls → 0. The grid side is dimension-sized at any fact count."""
+    import ray.data as _rd
+
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    joined = hash_join(
+        orders.map_batches(
+            lambda t: pa.table({"c_custkey": pc.cast(t.column("o_custkey"),
+                                                     pa.int64()),
+                                "priority": t.column("o_orderpriority")}),
+            batch_format="pyarrow"),
+        cust.map_batches(
+            lambda t: pa.table({"c_custkey": pc.cast(t.column("c_custkey"),
+                                                     pa.int64()),
+                                "n_nationkey": pc.cast(
+                                    t.column("c_nationkey"), pa.int64())}),
+            batch_format="pyarrow"),
+        on=("c_custkey",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"n_nationkey": pd.Series([], dtype="int64"),
+                                 "priority": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        g = (df.groupby(["n_nationkey", "priority"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return g.astype({"n_nationkey": "int64", "n": "int64"})
+
+    counts = grouped_aggregate(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["n_nationkey", "priority"], Sum("n", alias_name="n"))
+
+    nat = sorted((int(r["n_nationkey"]), str(r["n_name"]))
+                 for r in nation.take_all())
+    prios = sorted(set(
+        r["priority"] for r in
+        orders.map_batches(
+            lambda t: pa.table(
+                {"priority": pc.unique(t.column("o_orderpriority"))}),
+            batch_format="pyarrow").take_all()))
+    grid = _rd.from_arrow(pa.table(
+        {"n_nationkey": pa.array([k for k, _ in nat for _p in prios],
+                                 pa.int64()),
+         "n_name": pa.array([nm for _, nm in nat for _p in prios],
+                            pa.string()),
+         "priority": pa.array([p for _ in nat for p in prios],
+                              pa.string())}))
+
+    out = hash_join(grid, counts, on=("n_nationkey", "priority"), how="left")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"n_name": df["n_name"].astype("object"),
+             "priority": df["priority"].astype("object"),
+             "n_orders": df["n"].fillna(0).astype("int64")})
+        if len(df) else pd.DataFrame(
+            {"n_name": pd.Series([], dtype="object"),
+             "priority": pd.Series([], dtype="object"),
+             "n_orders": pd.Series([], dtype="int64")}),
+        batch_format="pandas")
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -5232,6 +5306,7 @@ def queries() -> dict:
         "embedding_dim_stats": q_embedding_dim_stats,
         "graph_sssp": q_graph_sssp,
         "revenue_mom": q_revenue_mom,
+        "nation_priority_grid": q_nation_priority_grid,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6942,6 +7017,19 @@ def oracle_sql() -> dict:
         """,
         "graph_lpa": _lpa_sql(3),
         "graph_sssp": _sssp_sql(3),
+        "nation_priority_grid": """
+            WITH prios AS (SELECT DISTINCT o_orderpriority AS priority
+                           FROM orders),
+            grid AS (SELECT n_nationkey, n_name, priority
+                     FROM nation CROSS JOIN prios),
+            c AS (SELECT c_nationkey AS n_nationkey,
+                         o_orderpriority AS priority, COUNT(*) AS n
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY 1, 2)
+            SELECT g.n_name, g.priority,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+            FROM grid g LEFT JOIN c USING (n_nationkey, priority)
+        """,
         "revenue_mom": """
             WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
                               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)

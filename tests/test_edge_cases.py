@@ -113,3 +113,37 @@ def test_annotations_identical_across_batch_sizes(small_pages_dir):
         )
 
     assert run(64) == run(1024)
+
+
+def test_nation_priority_grid_zero_fill(tmp_path):
+    """The sf tables populate every (nation, priority) cell, so the LEFT-join
+    zero-fill path would pass vacuously — force empty cells by restricting
+    orders to a few customers and assert absent combos appear with 0."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from ner_extractor_ray.pipelines.queries import oracle_sql, queries
+
+    sf = "/root/testdata/sf0.001"
+    for t in ("customer", "nation"):
+        pq.write_table(pq.read_table(f"{sf}/{t}.parquet"), tmp_path / f"{t}.parquet")
+    orders = pq.read_table(f"{sf}/orders.parquet")
+    small = orders.filter(pc.less(orders.column("o_custkey"), 30))
+    assert small.num_rows > 0
+    pq.write_table(small, tmp_path / "orders.parquet")
+
+    rdf = queries()["nation_priority_grid"](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    sdf = con.execute(oracle_sql()["nation_priority_grid"]).fetchdf()
+
+    def norm(df):
+        cols = sorted(df.columns)
+        return sorted(map(repr, df[cols].itertuples(index=False, name=None)))
+
+    assert (rdf["n_orders"] == 0).sum() > 0          # zero-fill exercised
+    assert len(rdf) == len(sdf)
+    assert norm(rdf) == norm(sdf)
