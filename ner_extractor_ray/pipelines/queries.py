@@ -5130,6 +5130,55 @@ def q_nation_priority_grid(sf_dir: str):
         batch_format="pandas")
 
 
+def q_integrity_audit(sf_dir: str):
+    """Referential-INTEGRITY audit between a fact table and its parent:
+    orphan lineitems (no matching order) and childless orders (no lines) —
+    the consistency check an ingest job runs before trusting a join. ONE
+    side-tagged union keyed on orderkey (orders emit (k, 1, 0); lineitem
+    batches pre-aggregate to (k, 0, n)), one keyed aggregate
+    (Max tag / Sum lines), then 4 global sums over the key-cardinality
+    table — no join, no second pass, and only 24 B/key ever shuffles.
+    Output is a single audit row."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    o = _rp(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda t: pa.table(
+            {"k": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "is_order": pa.array(np.ones(t.num_rows, np.int64)),
+             "nl": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+
+    def li_part(t: pa.Table) -> pa.Table:
+        k, cnt = np.unique(pc.cast(t.column("l_orderkey"), pa.int64())
+                           .to_numpy(), return_counts=True)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "is_order": pa.array(np.zeros(len(k), np.int64)),
+                         "nl": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        li_part, batch_format="pyarrow")
+
+    per_key = grouped_aggregate(o.union(li), ["k"],
+                                Max("is_order", alias_name="is_order"),
+                                Sum("nl", alias_name="nl"))
+
+    def tallies(t: pa.Table) -> pa.Table:
+        iso = pc.cast(t.column("is_order"), pa.int64()).to_numpy()
+        nl = pc.cast(t.column("nl"), pa.int64()).to_numpy()
+        return pa.table(
+            {"n_orders": pa.array([int(iso.sum())], pa.int64()),
+             "n_lines": pa.array([int(nl.sum())], pa.int64()),
+             "n_orphan_lines": pa.array([int(nl[iso == 0].sum())], pa.int64()),
+             "n_childless_orders": pa.array(
+                 [int(((iso == 1) & (nl == 0)).sum())], pa.int64())})
+
+    sums = per_key.map_batches(tallies, batch_format="pyarrow").sum(
+        ["n_orders", "n_lines", "n_orphan_lines", "n_childless_orders"])
+    return pa.table({c: pa.array([int(sums[f"sum({c})"])], pa.int64())
+                     for c in ("n_orders", "n_lines", "n_orphan_lines",
+                               "n_childless_orders")})
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -5307,6 +5356,7 @@ def queries() -> dict:
         "graph_sssp": q_graph_sssp,
         "revenue_mom": q_revenue_mom,
         "nation_priority_grid": q_nation_priority_grid,
+        "integrity_audit": q_integrity_audit,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7017,6 +7067,20 @@ def oracle_sql() -> dict:
         """,
         "graph_lpa": _lpa_sql(3),
         "graph_sssp": _sssp_sql(3),
+        "integrity_audit": """
+            WITH lk AS (SELECT l_orderkey AS k, COUNT(*) AS nl
+                        FROM lineitem GROUP BY 1),
+            ok AS (SELECT o_orderkey AS k FROM orders)
+            SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+                   CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_lines,
+                   CAST(COALESCE((SELECT SUM(nl) FROM lk
+                                  LEFT JOIN ok ON ok.k = lk.k
+                                  WHERE ok.k IS NULL), 0) AS BIGINT)
+                       AS n_orphan_lines,
+                   CAST((SELECT COUNT(*) FROM ok
+                         LEFT JOIN lk ON lk.k = ok.k
+                         WHERE lk.k IS NULL) AS BIGINT) AS n_childless_orders
+        """,
         "nation_priority_grid": """
             WITH prios AS (SELECT DISTINCT o_orderpriority AS priority
                            FROM orders),

@@ -147,3 +147,36 @@ def test_nation_priority_grid_zero_fill(tmp_path):
     assert (rdf["n_orders"] == 0).sum() > 0          # zero-fill exercised
     assert len(rdf) == len(sdf)
     assert norm(rdf) == norm(sdf)
+
+
+def test_integrity_audit_detects_orphans(tmp_path):
+    """The sf tables are referentially intact (0 orphans), so break the
+    fixture: drop half the orders and assert the audit counts the now-
+    orphaned lineitems, matching the SQL oracle on the same broken data."""
+    import duckdb
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ner_extractor_ray.pipelines.queries import oracle_sql, queries
+
+    sf = "/root/testdata/sf0.001"
+    pq.write_table(pq.read_table(f"{sf}/lineitem.parquet"),
+                   tmp_path / "lineitem.parquet")
+    orders = pq.read_table(f"{sf}/orders.parquet")
+    kept = orders.filter(
+        pc.equal(pc.bit_wise_and(orders.column("o_orderkey"), 1), 0))
+    pq.write_table(kept, tmp_path / "orders.parquet")
+
+    rdf = queries()["integrity_audit"](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    sdf = con.execute(oracle_sql()["integrity_audit"]).fetchdf()
+
+    def norm(df):
+        cols = sorted(df.columns)
+        return sorted(map(repr, df[cols].itertuples(index=False, name=None)))
+
+    assert int(rdf["n_orphan_lines"][0]) > 0
+    assert norm(rdf) == norm(sdf)
