@@ -5179,6 +5179,93 @@ def q_integrity_audit(sf_dir: str):
                                "n_childless_orders")})
 
 
+_SNM_WINDOW = 4
+
+
+def q_sorted_neighborhood(sf_dir: str):
+    """SORTED NEIGHBORHOOD METHOD pair generation (Hernández–Stolfo) —
+    the sort-based ER blocking alternative to LSH/meta-blocking: rows are
+    ranked by a sort key and every pair within a sliding window of w = 4
+    becomes a match candidate. Distributed WITHOUT a global sort: the sort
+    key packs each part name's first 8 bytes big-endian into an int64
+    (SQL-replicable), range-partitioned global_rank assigns positions, and
+    each row lands in OVERLAPPING TILES rank//w and rank//w + 1 — any pair
+    closer than w shares a tile (⌊ra/w⌋ and ⌊rb/w⌋ differ by ≤ 1), so
+    within-tile vectorized pairing finds every candidate with 2×
+    replication and O(w·rows) pair work; a distinct aggregate drops the
+    tile-overlap duplicates. Emits (id_a, id_b) with id_a the lower-ranked
+    row's key."""
+    from ..functions.rank import global_rank
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+    w = _SNM_WINDOW
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keys = []
+        for s in t.column("p_name").to_pylist():
+            b = (s or "").encode("utf-8")[:8].ljust(8, b"\x01")
+            keys.append(int.from_bytes(b, "big") >> 1)  # keep in int64
+        return pa.table({"p_partkey": pc.cast(t.column("p_partkey"),
+                                              pa.int64()),
+                         "sk": pa.array(keys, pa.int64())})
+
+    ranked = global_rank(ds.map_batches(keyed, batch_format="pyarrow"),
+                         "sk", "p_partkey", descending=False, n_buckets=32)
+
+    def tiles(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"tile": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64"),
+                                 "p_partkey": pd.Series([], dtype="int64")})
+        r = df["rank"].to_numpy(dtype=np.int64)
+        pk = df["p_partkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"tile": np.concatenate([r // w, r // w + 1]),
+             "rank": np.concatenate([r, r]),
+             "p_partkey": np.concatenate([pk, pk])}).astype("int64")
+
+    def tile_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="tile", suffixes=("_a", "_b"))
+        m = m[(m["rank_a"] < m["rank_b"])
+              & (m["rank_b"] - m["rank_a"] < w)]
+        if m.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": m["p_partkey_a"].astype("int64"),
+                             "id_b": m["p_partkey_b"].astype("int64")})
+
+    pairs = (
+        ranked.map_batches(tiles, batch_format="pandas")
+        .groupby("tile")
+        .map_groups(tile_pairs, batch_format="pandas")
+    )
+    dd = grouped_aggregate(pairs, ["id_a", "id_b"], Count(alias_name="_n"))
+    return dd.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t.column("id_a"), pa.int64()),
+                            "id_b": pc.cast(t.column("id_b"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _snm_sql(w: int = _SNM_WINDOW) -> str:
+    """DuckDB replication of q_sorted_neighborhood: identical big-endian
+    8-byte packed sort key (>> 1 keeps it in int64; ASCII names, chr(1)
+    pad), row_number over (key, partkey), self-join on rank distance < w."""
+    expr = "CAST(0 AS HUGEINT)"
+    for i in range(1, 9):
+        expr = (f"({expr} * 256 + ord(substr(rpad(p_name, 8, chr(1)), "
+                f"{i}, 1)))")
+    return f"""
+        WITH k AS (SELECT p_partkey,
+                          CAST({expr} // 2 AS BIGINT) AS sk FROM part),
+        r AS (SELECT p_partkey, sk,
+                     row_number() OVER (ORDER BY sk, p_partkey) AS rk
+              FROM k)
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < {w}
+    """
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -5357,6 +5444,7 @@ def queries() -> dict:
         "revenue_mom": q_revenue_mom,
         "nation_priority_grid": q_nation_priority_grid,
         "integrity_audit": q_integrity_audit,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7067,6 +7155,7 @@ def oracle_sql() -> dict:
         """,
         "graph_lpa": _lpa_sql(3),
         "graph_sssp": _sssp_sql(3),
+        "sorted_neighborhood": _snm_sql(),
         "integrity_audit": """
             WITH lk AS (SELECT l_orderkey AS k, COUNT(*) AS nl
                         FROM lineitem GROUP BY 1),
