@@ -5266,6 +5266,66 @@ def _snm_sql(w: int = _SNM_WINDOW) -> str:
     """
 
 
+def q_order_skyline(sf_dir: str):
+    """SKYLINE / Pareto frontier: orders not dominated on
+    (totalprice, orderdate) — b dominates a when b ≥ a on both axes and
+    > on at least one; maximal-tradeoff selection (best price for every
+    recency, the multi-objective top-k). Distributed dominance: each batch
+    reduces to its LOCAL skyline with a vectorized sort-desc + running-max
+    sweep (a globally dominated point is dominated inside its own batch
+    too, so global ⊆ union of locals), then the union — skyline-sized,
+    typically O(log n) for correlated axes; anti-correlated data widens
+    it, documented — is resolved exactly on the driver with the same
+    sweep. Equal (price, date) duplicates do not dominate each other and
+    are all kept."""
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_sky(t: pa.Table) -> pa.Table:
+        pk = pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy()
+        price = _cents(np.asarray(t.column("o_totalprice")))
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)  # timestamp[us] → days
+        order, keep = _skyline_mask(pk, price, day)
+        sel = order[keep]
+        return pa.table({"o_orderkey": pa.array(pk[sel], pa.int64()),
+                         "price_cents": pa.array(price[sel], pa.int64()),
+                         "day": pa.array(day[sel], pa.int64())})
+
+    cand = ds.map_batches(local_sky, batch_format="pyarrow").take_all()
+    pk = np.array([r["o_orderkey"] for r in cand], np.int64)
+    price = np.array([r["price_cents"] for r in cand], np.int64)
+    day = np.array([r["day"] for r in cand], np.int64)
+    order, keep = _skyline_mask(pk, price, day)
+    sel = np.sort(order[keep])
+    return pa.table({"o_orderkey": pa.array(pk[sel], pa.int64()),
+                     "price_cents": pa.array(price[sel], pa.int64()),
+                     "day": pa.array(day[sel], pa.int64())})
+
+
+def _skyline_mask(pk: np.ndarray, price: np.ndarray, day: np.ndarray):
+    """(order, keep): rows on the max-max Pareto frontier of (price, day).
+    Sweep price groups in descending order; a row survives iff it holds
+    its group's max day (an equal-price higher-day row dominates it) AND
+    that max strictly exceeds the best day of every strictly-higher price
+    group. Exact duplicates on both axes never dominate each other, so
+    max-day ties within a group all survive."""
+    order = np.lexsort((pk, -day, -price))
+    p, d = price[order], day[order]
+    keep = np.zeros(len(p), dtype=bool)
+    best = np.int64(-(2**62))
+    i = 0
+    while i < len(p):
+        j = i
+        while j < len(p) and p[j] == p[i]:
+            j += 1
+        grp_max = d[i:j].max()
+        if grp_max > best:
+            keep[i:j] = d[i:j] == grp_max
+            best = grp_max
+        i = j
+    return order, keep
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -5445,6 +5505,7 @@ def queries() -> dict:
         "nation_priority_grid": q_nation_priority_grid,
         "integrity_audit": q_integrity_audit,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "order_skyline": q_order_skyline,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7156,6 +7217,19 @@ def oracle_sql() -> dict:
         "graph_lpa": _lpa_sql(3),
         "graph_sssp": _sssp_sql(3),
         "sorted_neighborhood": _snm_sql(),
+        "order_skyline": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                                  AS price_cents,
+                              CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT)
+                                  AS day
+                       FROM orders)
+            SELECT a.o_orderkey, a.price_cents, a.day FROM o a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM o b
+                WHERE b.price_cents >= a.price_cents AND b.day >= a.day
+                  AND (b.price_cents > a.price_cents OR b.day > a.day))
+        """,
         "integrity_audit": """
             WITH lk AS (SELECT l_orderkey AS k, COUNT(*) AS nl
                         FROM lineitem GROUP BY 1),

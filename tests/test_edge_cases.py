@@ -180,3 +180,27 @@ def test_integrity_audit_detects_orphans(tmp_path):
 
     assert int(rdf["n_orphan_lines"][0]) > 0
     assert norm(rdf) == norm(sdf)
+
+
+def test_skyline_mask_matches_brute_force():
+    """_skyline_mask (sweep over descending price groups) equals O(n²)
+    dominance on randomized inputs incl. duplicate points and full ties."""
+    import numpy as np
+
+    from ner_extractor_ray.pipelines.queries import _skyline_mask
+
+    rng = np.random.RandomState(7)
+    for _ in range(300):
+        n = rng.randint(1, 40)
+        price = rng.randint(0, 8, n).astype(np.int64)
+        day = rng.randint(0, 8, n).astype(np.int64)
+        pk = np.arange(n, dtype=np.int64)
+        order, keep = _skyline_mask(pk, price, day)
+        got = set(pk[order[keep]])
+        want = {
+            a for a in range(n)
+            if not any(price[b] >= price[a] and day[b] >= day[a]
+                       and (price[b] > price[a] or day[b] > day[a])
+                       for b in range(n))
+        }
+        assert got == want
