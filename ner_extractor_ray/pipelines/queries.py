@@ -5326,6 +5326,92 @@ def _skyline_mask(pk: np.ndarray, price: np.ndarray, day: np.ndarray):
     return order, keep
 
 
+_DEBOUNCE_S = 60
+
+
+def q_events_debounced(sf_dir: str):
+    """DEBOUNCE / throttle dedup: an event is kept iff the previous event
+    of the same (user, type) is more than 60 s older — the stream-hygiene
+    filter that collapses double-clicks and retry storms before counting
+    anything. Per-batch narrow projection, coarse user-hash buckets, one
+    vectorized (user, type, ts, id)-ordered lag inside the bucket; emits
+    kept event ids + per-type kept counts are left to consumers. Ties
+    (identical ts) order by event_id, so exactly one of an identical
+    burst survives per window."""
+    from ..stages.canonicalize import _compact_blocks
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    P = _compact_blocks()
+
+    def narrow(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return pa.table(
+            {"event_id": pc.cast(t.column("event_id"), pa.int64()),
+             "user_id": pa.array(uid, pa.int64()),
+             "event_type": t.column("event_type"),
+             "s": pa.array(t.column("ts").cast(pa.int64()).to_numpy()
+                           // 1_000_000, pa.int64()),
+             "__part": pa.array(uid % P, pa.int64())})
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "s", "event_id"])
+        prev = (g.groupby(["user_id", "event_type"], sort=False)["s"]
+                .shift())
+        keep = prev.isna() | (g["s"] - prev > _DEBOUNCE_S)
+        out = g.loc[keep, ["event_id", "user_id", "event_type", "s"]]
+        return out.astype({"event_id": "int64", "user_id": "int64",
+                           "s": "int64"})
+
+    return (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(debounce, batch_format="pandas")
+    )
+
+
+def q_user_time_weighted_value(sf_dir: str):
+    """TIME-WEIGHTED average value per user — each event's value holds
+    until the next event, so the mean is Σ(value·Δt) / ΣΔt (the financial
+    TWAP / metrics-gauge integral), not the naive row mean that a bursty
+    sampler biases. Exact integers end to end: per-user ordered lead
+    inside coarse buckets → Σ cents·Δs and ΣΔs partial per user (the last
+    event has no successor and is excluded on both sides), final
+    twav_cents = Σ(v·Δt) // ΣΔt. One narrow shuffle; finished user rows
+    leave the bucket."""
+    from ..stages.canonicalize import _compact_blocks
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    P = _compact_blocks()
+
+    def narrow(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return pa.table(
+            {"user_id": pa.array(uid, pa.int64()),
+             "event_id": pc.cast(t.column("event_id"), pa.int64()),
+             "s": pa.array(t.column("ts").cast(pa.int64()).to_numpy()
+                           // 1_000_000, pa.int64()),
+             "v": pa.array(_cents(np.asarray(t.column("value"))), pa.int64()),
+             "__part": pa.array(uid % P, pa.int64())})
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s", "event_id"])
+        nxt = g.groupby("user_id", sort=False)["s"].shift(-1)
+        dt = (nxt - g["s"]).fillna(0).astype("int64")
+        w = g["v"].to_numpy() * dt.to_numpy()
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "wsum": w, "tsum": dt.to_numpy()})
+        out = df.groupby("user_id", as_index=False).sum()
+        out = out[out["tsum"] > 0]
+        out["twav_cents"] = out["wsum"] // out["tsum"]
+        return out[["user_id", "wsum", "tsum", "twav_cents"]].astype("int64")
+
+    return (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(twa, batch_format="pandas")
+    )
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -5506,6 +5592,8 @@ def queries() -> dict:
         "integrity_audit": q_integrity_audit,
         "sorted_neighborhood": q_sorted_neighborhood,
         "order_skyline": q_order_skyline,
+        "events_debounced": q_events_debounced,
+        "user_time_weighted_value": q_user_time_weighted_value,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7217,6 +7305,33 @@ def oracle_sql() -> dict:
         "graph_lpa": _lpa_sql(3),
         "graph_sssp": _sssp_sql(3),
         "sorted_neighborhood": _snm_sql(),
+        "events_debounced": f"""
+            WITH e AS (SELECT event_id, user_id, event_type,
+                              CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+                       FROM events),
+            l AS (SELECT *, LAG(s) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY s, event_id) AS ps
+                  FROM e)
+            SELECT event_id, user_id, event_type, s
+            FROM l WHERE ps IS NULL OR s - ps > {_DEBOUNCE_S}
+        """,
+        "user_time_weighted_value": """
+            WITH e AS (SELECT user_id, event_id,
+                              CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events),
+            l AS (SELECT user_id, v,
+                         LEAD(s) OVER (PARTITION BY user_id
+                                       ORDER BY s, event_id) - s AS dt
+                  FROM e),
+            a AS (SELECT user_id, SUM(v * dt) AS wsum, SUM(dt) AS tsum
+                  FROM l WHERE dt IS NOT NULL
+                  GROUP BY 1 HAVING SUM(dt) > 0)
+            SELECT user_id, CAST(wsum AS BIGINT) AS wsum,
+                   CAST(tsum AS BIGINT) AS tsum,
+                   CAST(wsum // tsum AS BIGINT) AS twav_cents
+            FROM a
+        """,
         "order_skyline": """
             WITH o AS (SELECT o_orderkey,
                               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)

@@ -204,3 +204,46 @@ def test_skyline_mask_matches_brute_force():
                        for b in range(n))
         }
         assert got == want
+
+
+def test_events_debounced_drops_bursts(tmp_path):
+    """The sf event stream is sparse per (user, type) (≤5 drops at sf0.01),
+    so synthesize a bursty fixture: retry storms 10 s apart must collapse
+    to one kept event per 60 s window opener, matching the SQL oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_extractor_ray.pipelines.queries import oracle_sql, queries
+
+    base = 1_600_000_000_000_000  # µs
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for k in range(8):          # burst: 10 s apart → only gaps >60 s kept
+            rows.append((eid, u, "click", base + k * 10_000_000, 1.0))
+            eid += 1
+        rows.append((eid, u, "click", base + 500_000_000, 1.0))  # far event
+        eid += 1
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    rdf = queries()["events_debounced"](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    sdf = con.execute(oracle_sql()["events_debounced"]).fetchdf()
+
+    def norm(df):
+        cols = sorted(df.columns)
+        return sorted(map(repr, df[cols].itertuples(index=False, name=None)))
+
+    assert len(rdf) == 4            # per user: burst opener + the far event
+    assert norm(rdf) == norm(sdf)
