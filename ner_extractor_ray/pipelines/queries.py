@@ -4416,6 +4416,57 @@ def q_part_cooccurrence(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_part_triples(sf_dir: str):
+    """Apriori step 2: frequent 3-ITEMSETS — unordered part triples
+    co-ordered in ≥ 2 orders, extending part_cooccurrence's pairs to the
+    next lattice level. Same bounded-basket contract: the double
+    self-merge inside a coarse order-hash bucket emits each basket's
+    O(k³) triples pre-aggregated (k ≤ 7 for TPC-H baskets, so ≤ 35
+    triples/order); at production scale the Apriori pruning (only extend
+    frequent pairs) bounds the candidate set instead — documented here,
+    unnecessary at catalogue sizes. Exchange is O(rows·k²), never
+    O(|parts|³)."""
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(ok % P, pa.int64()))
+
+    def bucket_triples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        m3 = m.merge(g.rename(columns={"l_partkey": "l_partkey_c"}),
+                     on="l_orderkey")
+        m3 = m3[m3["l_partkey_b"] < m3["l_partkey_c"]]
+        if m3.empty:
+            return pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
+                                 "part_b": pd.Series([], dtype="int64"),
+                                 "part_c": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = (m3.groupby(["l_partkey_a", "l_partkey_b", "l_partkey_c"],
+                          as_index=False)
+               .size().rename(columns={"l_partkey_a": "part_a",
+                                       "l_partkey_b": "part_b",
+                                       "l_partkey_c": "part_c",
+                                       "size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = grouped_aggregate(
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(bucket_triples, batch_format="pandas"),
+        ["part_a", "part_b", "part_c"], Sum("n", alias_name="n_orders"))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_orders"),
+                                            _COOC_MIN_ORDERS)),
+        batch_format="pyarrow")
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -5594,6 +5645,7 @@ def queries() -> dict:
         "order_skyline": q_order_skyline,
         "events_debounced": q_events_debounced,
         "user_time_weighted_value": q_user_time_weighted_value,
+        "part_triples": q_part_triples,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7305,6 +7357,18 @@ def oracle_sql() -> dict:
         "graph_lpa": _lpa_sql(3),
         "graph_sssp": _sssp_sql(3),
         "sorted_neighborhood": _snm_sql(),
+        "part_triples": f"""
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   c.l_partkey AS part_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM op a
+            JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            JOIN op c ON a.l_orderkey = c.l_orderkey
+                     AND b.l_partkey < c.l_partkey
+            GROUP BY 1, 2, 3 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}
+        """,
         "events_debounced": f"""
             WITH e AS (SELECT event_id, user_id, event_type,
                               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
