@@ -4467,6 +4467,37 @@ def q_part_triples(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_golden_records(sf_dir: str):
+    """ER SURVIVORSHIP / golden-record construction: one merged record per
+    exact-content duplicate cluster, each field resolved by its own rule —
+    id = Min (stable representative), n_chars = Max (richest capture),
+    lang/source = Min (deterministic tie-break) — the record-merge step
+    that follows any dedup decision. ONE keyed aggregate over the 32-char
+    content hash carrying five narrow survivor columns; text itself never
+    shuffles (extends exact_dedup_groups' keep-min-id to multi-column
+    rules, functions/dedup.py)."""
+    from ..functions.dedup import add_md5
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "documents",
+             ["doc_id", "text", "lang", "source", "n_chars"])
+    hashed = add_md5(ds, "text").select_columns(
+        ["h", "doc_id", "lang", "source", "n_chars"])
+    agg = grouped_aggregate(
+        hashed, ["h"],
+        Min("doc_id", alias_name="rep_id"), Count(alias_name="n_dups"),
+        Max("n_chars", alias_name="max_chars"),
+        Min("lang", alias_name="lang"), Min("source", alias_name="source"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"h": t.column("h"),
+             "rep_id": pc.cast(t.column("rep_id"), pa.int64()),
+             "n_dups": pc.cast(t.column("n_dups"), pa.int64()),
+             "max_chars": pc.cast(t.column("max_chars"), pa.int64()),
+             "lang": t.column("lang"), "source": t.column("source")}),
+        batch_format="pyarrow")
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -5646,6 +5677,7 @@ def queries() -> dict:
         "events_debounced": q_events_debounced,
         "user_time_weighted_value": q_user_time_weighted_value,
         "part_triples": q_part_triples,
+        "golden_records": q_golden_records,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7357,6 +7389,14 @@ def oracle_sql() -> dict:
         "graph_lpa": _lpa_sql(3),
         "graph_sssp": _sssp_sql(3),
         "sorted_neighborhood": _snm_sql(),
+        "golden_records": """
+            SELECT md5(text) AS h,
+                   CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+                   MIN(lang) AS lang, MIN(source) AS source
+            FROM documents GROUP BY 1
+        """,
         "part_triples": f"""
             WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
             SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -247,3 +247,45 @@ def test_events_debounced_drops_bursts(tmp_path):
 
     assert len(rdf) == 4            # per user: burst opener + the far event
     assert norm(rdf) == norm(sdf)
+
+
+def test_golden_records_survivorship(tmp_path):
+    """The sf documents have no exact duplicates, so clone some with
+    different ids/langs/sources/n_chars and assert each field follows its
+    own survivorship rule in the merged record, matching the oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_extractor_ray.pipelines.queries import oracle_sql, queries
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    head = src.slice(0, 10)
+    clones = pa.table({
+        "doc_id": pa.array([int(v.as_py()) + 100_000
+                            for v in head.column("doc_id")], pa.int64()),
+        "text": head.column("text"),
+        "lang": pa.array(["zz"] * 10, pa.string()),      # loses Min(lang)
+        "source": pa.array(["aaa"] * 10, pa.string()),   # wins Min(source)
+        "n_chars": pa.array([10**6] * 10, pa.int64()),   # wins Max(n_chars)
+    })
+    both = pa.concat_tables([src, clones.cast(src.schema)])
+    pq.write_table(both, tmp_path / "documents.parquet")
+
+    rdf = queries()["golden_records"](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    sdf = con.execute(oracle_sql()["golden_records"]).fetchdf()
+
+    def norm(df):
+        cols = sorted(df.columns)
+        return sorted(map(repr, df[cols].itertuples(index=False, name=None)))
+
+    merged = rdf[rdf["n_dups"] > 1]
+    assert len(merged) == 10
+    assert (merged["max_chars"] == 10**6).all()     # Max rule took the clone
+    assert (merged["source"] == "aaa").all()        # Min rule took the clone
+    assert not (merged["lang"] == "zz").any()       # Min rule kept original
+    assert (merged["rep_id"] < 100_000).all()       # Min id = original
+    assert norm(rdf) == norm(sdf)
