@@ -220,3 +220,46 @@ def write_partitioned(
         .count()
     )
     return finalize_table(table_dir, extra={"lineage": lineage} if lineage else None)
+
+
+def compact_table(
+    in_dir: str,
+    out_dir: str,
+    part_key: str,
+    *,
+    n_partitions: int,
+    sort_key: str | list[str] | None = None,
+) -> dict:
+    """MAINTENANCE: re-partition a written table to a new partition count —
+    the compaction / re-bucketing job run when a table's layout no longer
+    matches the cluster (a 10k-partition incremental output consolidated
+    for reads, or a grown table split finer before the next join). Pure
+    composition of the existing machinery: streaming read of the old
+    layout → ``write_partitioned`` with the new ``n_partitions`` — so the
+    output carries the same per-partition manifests, atomic tmp+rename
+    files, torn-write cleanup and resume semantics as any first-class
+    table; crc-bucket partition identity means rows land deterministically
+    whatever the old layout was. Never materializes the table: blocks
+    stream from old files to new partitions with one keyed exchange.
+    Refuses to compact a table whose completeness marker is missing
+    (a half-written source would silently lose rows)."""
+    import os
+
+    import ray.data as _rd
+
+    from ..state.manifest import table_complete
+
+    if not table_complete(in_dir):
+        raise ValueError(
+            f"compact_table: {in_dir} has no completeness marker — "
+            "refusing to compact a possibly torn table")
+    # read the table root: Ray's parquet datasource skips _-prefixed
+    # manifest files at both levels, so the part= layout reads as one table;
+    # the hive read materializes the OLD "part" as a column — drop it, the
+    # new bucketing owns that name
+    ds = _rd.read_parquet(in_dir).map_batches(
+        lambda t: t.drop_columns(["part"]) if "part" in t.column_names else t,
+        batch_format="pyarrow")
+    return write_partitioned(ds, out_dir, part_key,
+                             n_partitions=n_partitions, sort_key=sort_key,
+                             resume=False)

@@ -140,3 +140,33 @@ def test_hash_join_linking_plan_matches_broadcast(small_pages_dir):
         pages_dataset(small_pages_dir), out_dir=None, n_partitions=4, broadcast_limit=0
     )
     assert _edge_set(a) == _edge_set(b)
+
+
+def test_compact_table_repartitions_identically(small_pages_dir, tmp_path):
+    """compact_table re-buckets a finished table to a new partition count:
+    same rows, new layout, fresh per-partition manifests + completeness
+    marker; a source without its completeness marker is refused."""
+    import pytest
+    import ray.data
+
+    from ner_extractor_ray.stages.materialize import compact_table
+
+    out = str(tmp_path / "kg")
+    res = run_kg(pages_dataset(small_pages_dir), out_dir=out, n_partitions=8)
+    full = _edge_set(res)
+    edir = os.path.join(out, "edges")
+    assert len(completed_partitions(edir)) > 2
+
+    cdir = str(tmp_path / "edges_compact")
+    compact_table(edir, cdir, "subj_id", n_partitions=2,
+                  sort_key=["subj_id", "pred", "obj_id"])
+    assert table_complete(cdir)
+    assert completed_partitions(cdir) == {0, 1}
+    got = sorted(
+        (e["subj_id"], e["pred"], e["obj_id"], e["n_occurrences"])
+        for e in ray.data.read_parquet(cdir).take_all())
+    assert got == full
+
+    os.remove(os.path.join(edir, "_TABLE_MANIFEST.json"))
+    with pytest.raises(ValueError, match="refusing"):
+        compact_table(edir, str(tmp_path / "x"), "subj_id", n_partitions=2)
