@@ -227,6 +227,20 @@ def cmd_kg_update(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Re-bucket a finished part= table to a new partition count."""
+    _ensure_ray()
+    from .stages.materialize import compact_table
+
+    res = compact_table(args.table, args.out, args.part_key,
+                        n_partitions=args.n_partitions,
+                        sort_key=args.sort_key)
+    print(json.dumps({"out": args.out, "n_partitions": args.n_partitions,
+                      **{k: v for k, v in res.items()
+                         if isinstance(v, (int, str))}}))
+    return 0
+
+
 def cmd_gen(args) -> int:
     from .sources.pages import write_pages
 
@@ -295,6 +309,19 @@ def main(argv=None) -> int:
     cuu.add_argument("--text-col", default="text")
     cuu.add_argument("--n-partitions", type=int, default=16)
     cuu.set_defaults(fn=cmd_curate_update)
+
+    cp = sub.add_parser(
+        "compact",
+        help="re-bucket a finished part= table to a new partition count "
+             "(same manifests/resume semantics; refuses torn tables)")
+    cp.add_argument("--table", required=True, help="finished table dir")
+    cp.add_argument("--out", required=True, help="new table dir")
+    cp.add_argument("--part-key", required=True,
+                    help="column whose crc bucket names the new partition")
+    cp.add_argument("--n-partitions", type=int, required=True)
+    cp.add_argument("--sort-key", default=None,
+                    help="optional within-partition sort column")
+    cp.set_defaults(fn=cmd_compact)
 
     gen = sub.add_parser("gen", help="generate the synthetic pages corpus")
     gen.add_argument("--out", required=True)
