@@ -5494,6 +5494,70 @@ def q_user_time_weighted_value(sf_dir: str):
     )
 
 
+def q_graph_assortativity(sf_dir: str):
+    """DEGREE ASSORTATIVITY of the co-purchase graph — do hubs link to
+    hubs (r > 0) or to leaves (r < 0)? The KG topology diagnostic read
+    before choosing hub-salting strategy. Exact rational arithmetic with
+    NO sqrt: over the symmetrized edge list the src- and dst-degree
+    distributions are identical, so Pearson's denominator √(dx·dy) = dx
+    and r = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²) exactly — emitted as
+    assort_ppm = trunc(10⁶·num/den) plus the raw big-int moments.
+    Distributed shape: degree table attached to both endpoints via two
+    partitioned hash joins (never broadcast), five int64 Sum partials per
+    batch, big-int finish on one row."""
+    from ..functions.graph import degree_table
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    edges = _graph_edges(sf_dir, min_n=2).materialize()
+    deg = degree_table(edges)
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("u"), pa.int64()).to_numpy()
+        v = pc.cast(t.column("v"), pa.int64()).to_numpy()
+        return pa.table(
+            {"src": pa.array(np.concatenate([u, v]), pa.int64()),
+             "dst": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    s = edges.map_batches(sym, batch_format="pyarrow")
+    du = deg.map_batches(
+        lambda t: pa.table({"src": pc.cast(t.column("node"), pa.int64()),
+                            "du": pc.cast(t.column("degree"), pa.int64())}),
+        batch_format="pyarrow")
+    dv = deg.map_batches(
+        lambda t: pa.table({"dst": pc.cast(t.column("node"), pa.int64()),
+                            "dv": pc.cast(t.column("degree"), pa.int64())}),
+        batch_format="pyarrow")
+    both = hash_join(hash_join(s, du, on=("src",)), dv, on=("dst",))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"g": pd.Series([], dtype="int64"),
+                                 **{c: pd.Series([], dtype="int64")
+                                    for c in ("n", "sx", "sy", "sxy", "sxx")}})
+        x = df["du"].to_numpy(dtype=np.int64)
+        y = df["dv"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"g": [0], "n": [len(x)], "sx": [int(x.sum())],
+                             "sy": [int(y.sum())], "sxy": [int((x * y).sum())],
+                             "sxx": [int((x * x).sum())]})
+
+    agg = grouped_aggregate(
+        both.map_batches(moments, batch_format="pandas"), ["g"],
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx")).to_pandas()
+    n, sx, sy, sxy, sxx = (int(agg["n"][0]), int(agg["sx"][0]),
+                           int(agg["sy"][0]), int(agg["sxy"][0]),
+                           int(agg["sxx"][0]))
+    num = 1_000_000 * (n * sxy - sx * sy)
+    den = n * sxx - sx * sx
+    ppm = -((-num) // den) if (num < 0) != (den < 0) else abs(num) // abs(den)
+    return pa.table({"n_directed_edges": pa.array([n], pa.int64()),
+                     "assort_num": pa.array([n * sxy - sx * sy]),
+                     "assort_den": pa.array([den], pa.int64()),
+                     "assort_ppm": pa.array([ppm], pa.int64())})
+
+
 def q_graph_lpa(sf_dir: str):
     """Synchronous label-propagation communities on the co-purchase graph
     (3 rounds, deterministic max-count-then-min-label update) →
@@ -5678,6 +5742,7 @@ def queries() -> dict:
         "user_time_weighted_value": q_user_time_weighted_value,
         "part_triples": q_part_triples,
         "golden_records": q_golden_records,
+        "graph_assortativity": q_graph_assortativity,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7388,6 +7453,25 @@ def oracle_sql() -> dict:
         """,
         "graph_lpa": _lpa_sql(3),
         "graph_sssp": _sssp_sql(3),
+        "graph_assortativity": f"""
+            WITH ed AS (SELECT u, v FROM ({_co_edges_sql(2)})),
+            deg AS (SELECT node, COUNT(*) AS d FROM
+                      (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed)
+                    GROUP BY 1),
+            e AS (SELECT u AS src, v AS dst FROM ed
+                  UNION ALL SELECT v, u FROM ed),
+            j AS (SELECT du.d AS x, dv.d AS y
+                  FROM e JOIN deg du ON du.node = e.src
+                         JOIN deg dv ON dv.node = e.dst),
+            m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM j)
+            SELECT CAST(n AS BIGINT) AS n_directed_edges,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS assort_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS assort_den,
+                   CAST((1000000 * (n * sxy - sx * sy))
+                        // (n * sxx - sx * sx) AS BIGINT) AS assort_ppm
+            FROM m
+        """,
         "sorted_neighborhood": _snm_sql(),
         "golden_records": """
             SELECT md5(text) AS h,
