@@ -4498,6 +4498,141 @@ def q_golden_records(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_part_lift(sf_dir: str):
+    """Association-rule LIFT for frequent part pairs in integer ppm:
+    lift(a,b) = P(ab)/(P(a)·P(b)) = n_ab·N / (n_a·n_b) — the rule-mining
+    score layered on part_cooccurrence's pair counts (> 10⁶ ppm ⇒
+    positively associated). Item supports are attached to the pair table
+    by TWO partitioned hash joins (item vocabulary is corpus-scale at
+    100 TB — never broadcast); N is one count. All integers:
+    lift_ppm = 10⁶·n_ab·N // (n_a·n_b), big-int finish per row on the
+    pair-cardinality table."""
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+    from ..stages.joins import hash_join
+
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(ok % P, pa.int64()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        if m.empty:
+            return pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
+                                 "part_b": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = (m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
+               .size().rename(columns={"l_partkey_a": "part_a",
+                                       "l_partkey_b": "part_b", "size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def bucket_items(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct (order, part) must dedupe across the WHOLE order — the
+        # coarse bucket co-locates whole orders (a per-batch dedup would
+        # double-count orders straddling batches and skew every lift)
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        out = (g.groupby("l_partkey", as_index=False)
+               .size().rename(columns={"l_partkey": "pk", "size": "ni"}))
+        return out.astype({"pk": "int64", "ni": "int64"})
+
+    pre = ds.map_batches(add_part, batch_format="pyarrow").materialize()
+    pairs = grouped_aggregate(
+        pre.groupby("__part").map_groups(bucket_pairs, batch_format="pandas"),
+        ["part_a", "part_b"], Sum("n", alias_name="n_ab"))
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_ab"),
+                                            _COOC_MIN_ORDERS)),
+        batch_format="pyarrow")
+    items = grouped_aggregate(
+        pre.groupby("__part").map_groups(bucket_items, batch_format="pandas"),
+        ["pk"], Sum("ni", alias_name="ni"))
+    n_orders = int(_rp(sf_dir, "orders", ["o_orderkey"]).count())
+
+    ja = hash_join(
+        pairs.map_batches(
+            lambda t: pa.table({"pk": t.column("part_a"),
+                                "part_b": t.column("part_b"),
+                                "n_ab": t.column("n_ab")}),
+            batch_format="pyarrow"),
+        items.map_batches(
+            lambda t: pa.table({"pk": t.column("pk"),
+                                "n_a": t.column("ni")}),
+            batch_format="pyarrow"),
+        on=("pk",))
+    jb = hash_join(
+        ja.map_batches(
+            lambda df: pd.DataFrame(
+                {"part_a": df["pk"], "pk": df["part_b"],
+                 "n_ab": df["n_ab"], "n_a": df["n_a"]}).astype("int64")
+            if len(df) else pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("part_a", "pk", "n_ab", "n_a")}),
+            batch_format="pandas"),
+        items.map_batches(
+            lambda t: pa.table({"pk": t.column("pk"),
+                                "n_b": t.column("ni")}),
+            batch_format="pyarrow"),
+        on=("pk",))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("part_a", "part_b", "n_ab",
+                                           "lift_ppm")})
+        out = pd.DataFrame({"part_a": df["part_a"], "part_b": df["pk"],
+                            "n_ab": df["n_ab"]})
+        lift = [(1_000_000 * int(ab) * n_orders) // (int(a) * int(b))
+                for ab, a, b in zip(df["n_ab"], df["n_a"], df["n_b"])]
+        out["lift_ppm"] = lift
+        return out.astype("int64")
+
+    return jb.map_batches(finish, batch_format="pandas")
+
+
+def q_events_trailing7(sf_dir: str):
+    """TRAILING 7-day window per day: each calendar day's event count and
+    value with the 7-day running totals ending that day — the dashboard
+    smoothing query (calendar-RANGE window, distinct from the hopping
+    windows in events_sliding: the frame is day-based, gaps included).
+    The corpus reduces to a timeline-sized daily aggregate; the trailing
+    sums then come from prefix sums + searchsorted on the sorted day axis
+    (exact integers, day-6 lower bound) — no self-join, no window
+    explode."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t.column("ts").cast(pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        df = pd.DataFrame({"day": day,
+                           "n": np.ones(len(day), np.int64),
+                           "v": _cents(np.asarray(t.column("value")))})
+        g = df.groupby("day", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], Sum("n", alias_name="n"), Sum("v", alias_name="v")
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(dtype=np.int64)
+    cn = np.concatenate(([0], np.cumsum(daily["n"].to_numpy(np.int64))))
+    cv = np.concatenate(([0], np.cumsum(daily["v"].to_numpy(np.int64))))
+    lo = np.searchsorted(days, days - 6, side="left")
+    hi = np.arange(1, len(days) + 1)
+    return pa.table(
+        {"day": pa.array(days, pa.int64()),
+         "n": pa.array(daily["n"].astype("int64")),
+         "value_cents": pa.array(daily["v"].astype("int64")),
+         "n_7d": pa.array(cn[hi] - cn[lo], pa.int64()),
+         "value_cents_7d": pa.array(cv[hi] - cv[lo], pa.int64())})
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -5743,6 +5878,8 @@ def queries() -> dict:
         "part_triples": q_part_triples,
         "golden_records": q_golden_records,
         "graph_assortativity": q_graph_assortativity,
+        "part_lift": q_part_lift,
+        "events_trailing7": q_events_trailing7,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7473,6 +7610,35 @@ def oracle_sql() -> dict:
             FROM m
         """,
         "sorted_neighborhood": _snm_sql(),
+        "part_lift": f"""
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                          COUNT(*) AS n_ab
+                   FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                      AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN_ORDERS}),
+            it AS (SELECT l_partkey AS pk, COUNT(*) AS ni FROM op GROUP BY 1),
+            nn AS (SELECT COUNT(*) AS n FROM orders)
+            SELECT pr.part_a, pr.part_b, CAST(pr.n_ab AS BIGINT) AS n_ab,
+                   CAST((1000000 * pr.n_ab * nn.n) // (ia.ni * ib.ni)
+                        AS BIGINT) AS lift_ppm
+            FROM pr JOIN it ia ON ia.pk = pr.part_a
+                    JOIN it ib ON ib.pk = pr.part_b
+                    CROSS JOIN nn
+        """,
+        "events_trailing7": """
+            WITH d AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(FLOOR(value * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS v
+                       FROM events GROUP BY 1)
+            SELECT day, n, v AS value_cents,
+                   CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+                   CAST(SUM(v) OVER w AS BIGINT) AS value_cents_7d
+            FROM d
+            WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING
+                         AND CURRENT ROW)
+        """,
         "golden_records": """
             SELECT md5(text) AS h,
                    CAST(MIN(doc_id) AS BIGINT) AS rep_id,
