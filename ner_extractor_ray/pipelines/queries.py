@@ -4633,6 +4633,52 @@ def q_events_trailing7(sf_dir: str):
          "value_cents_7d": pa.array(cv[hi] - cv[lo], pa.int64())})
 
 
+def q_balanced_sample(sf_dir: str):
+    """BALANCED class downsampling: every event type keeps exactly
+    min-class-count rows, selected deterministically by md5(event_id) —
+    the class-equalization step before training on skewed labels (no RNG:
+    the hash IS the sampling order, so the result is parallelism- and
+    rerun-stable). Per-batch lossless top-k combiner (each batch keeps its
+    k hash-smallest rows per type, k = min class count from a 5-row
+    aggregate), then the per-type exact re-rank runs on ≤ k·blocks rows —
+    the fact table never shuffles whole."""
+    import hashlib as _hl
+
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_id", "event_type"])
+    counts = grouped_aggregate(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"event_type": t.column("event_type"),
+                 "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["event_type"], Sum("one", alias_name="n")).take_all()
+    k = min(int(r["n"]) for r in counts)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("event_id"), pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {"event_id": ids,
+             "event_type": t.column("event_type").to_pylist(),
+             "h": [_hl.md5(str(i).encode()).hexdigest() for i in ids]})
+        df = df.sort_values(["event_type", "h", "event_id"])
+        return pa.Table.from_pandas(
+            df.groupby("event_type", sort=False).head(k),
+            preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "event_id"]).head(k)
+        return pd.DataFrame({"event_id": g["event_id"].astype("int64"),
+                             "event_type": g["event_type"]})
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -5880,6 +5926,7 @@ def queries() -> dict:
         "graph_assortativity": q_graph_assortativity,
         "part_lift": q_part_lift,
         "events_trailing7": q_events_trailing7,
+        "balanced_sample": q_balanced_sample,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7610,6 +7657,18 @@ def oracle_sql() -> dict:
             FROM m
         """,
         "sorted_neighborhood": _snm_sql(),
+        "balanced_sample": """
+            WITH c AS (SELECT event_type, COUNT(*) AS n
+                       FROM events GROUP BY 1),
+            k AS (SELECT MIN(n) AS k FROM c),
+            r AS (SELECT event_id, event_type,
+                         row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                    event_id) AS rn
+                  FROM events)
+            SELECT event_id, event_type FROM r, k WHERE rn <= k.k
+        """,
         "part_lift": f"""
             WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
