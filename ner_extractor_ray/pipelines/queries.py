@@ -4679,6 +4679,57 @@ def q_balanced_sample(sf_dir: str):
     )
 
 
+def q_props_novelty(sf_dir: str):
+    """Payload-vocabulary NOVELTY per day — of the distinct tokens seen in
+    event props on day d, how many had never appeared before d? The schema
+    / content-drift detector a streaming ingest watches (a novelty spike
+    means a producer changed payloads). Incremental first-occurrence
+    reduce: per-batch distinct (day, token) partials → (token → Min day)
+    at vocabulary cardinality → per-day new-token counts; per-day distinct
+    totals ride the same (day, token) aggregate. Nothing row-scale leaves
+    the aggregates."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["ts", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t.column("ts").cast(pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        seen: set[tuple[int, str]] = set()
+        for d, s in zip(day, t.column("props").to_pylist()):
+            for tok in _ALNUM.findall((s or "").lower()):
+                seen.add((int(d), tok))
+        return pa.table(
+            {"day": pa.array([d for d, _ in seen], pa.int64()),
+             "token": pa.array([w for _, w in seen], pa.string())})
+
+    pairs = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day", "token"], Count(alias_name="_n"))
+
+    totals = grouped_aggregate(
+        pairs.map_batches(
+            lambda t: pa.table({"day": t.column("day"),
+                                "one": pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["day"], Sum("one", alias_name="n_tokens")).to_pandas()
+    first = grouped_aggregate(pairs, ["token"], Min("day", alias_name="d0"))
+    news = grouped_aggregate(
+        first.map_batches(
+            lambda t: pa.table({"day": pc.cast(t.column("d0"), pa.int64()),
+                                "one": pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["day"], Sum("one", alias_name="n_new")).to_pandas()
+
+    out = totals.merge(news, on="day", how="left").sort_values("day")
+    return pa.table(
+        {"day": pa.array(out["day"].astype("int64")),
+         "n_tokens": pa.array(out["n_tokens"].astype("int64")),
+         "n_new": pa.array(out["n_new"].fillna(0).astype("int64"))})
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -5927,6 +5978,7 @@ def queries() -> dict:
         "part_lift": q_part_lift,
         "events_trailing7": q_events_trailing7,
         "balanced_sample": q_balanced_sample,
+        "props_novelty": q_props_novelty,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7657,6 +7709,21 @@ def oracle_sql() -> dict:
             FROM m
         """,
         "sorted_neighborhood": _snm_sql(),
+        "props_novelty": """
+            WITH dt AS (
+              SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+                     unnest(regexp_extract_all(lower(props),
+                                               '[a-z0-9]+')) AS token
+              FROM events),
+            tot AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                    FROM dt GROUP BY 1),
+            f AS (SELECT token, MIN(day) AS d0 FROM dt GROUP BY 1),
+            nw AS (SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+                   FROM f GROUP BY 1)
+            SELECT tot.day, tot.n_tokens,
+                   CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new
+            FROM tot LEFT JOIN nw USING (day)
+        """,
         "balanced_sample": """
             WITH c AS (SELECT event_type, COUNT(*) AS n
                        FROM events GROUP BY 1),
