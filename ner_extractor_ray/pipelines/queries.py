@@ -4730,6 +4730,65 @@ def q_props_novelty(sf_dir: str):
          "n_new": pa.array(out["n_new"].fillna(0).astype("int64"))})
 
 
+def q_abandoned_views(sf_dir: str):
+    """TEMPORAL ANTI-JOIN: views with NO same-user purchase within 1 h
+    after — the abandonment/churn signal, the NOT-EXISTS dual of the
+    banded interval join. Matches come from the existing banded join
+    (purchases ⋈ views with 0 ≤ p.ts − v.ts ≤ 3600, O(input) shuffle);
+    the exclusion is then the exact side-tagged anti pattern (view rows
+    tag 0 ∪ matched ids tag 1 → one keyed Max aggregate, keep tag 0) —
+    no Bloom (FPs would drop survivors) and no broadcast of the matched
+    set."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.windows import interval_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    views = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "view"))
+        .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+        .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+
+    matched = interval_join(purchases, views, on="user_id",
+                            ts_col="ts", window_s=3600)
+
+    def tag_matched(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("event_id", "user_id", "s",
+                                           "tag")})
+        return pd.DataFrame(
+            {"event_id": df["event_id_r"].astype("int64"),
+             "user_id": np.zeros(len(df), np.int64),
+             "s": np.zeros(len(df), np.int64),
+             "tag": np.ones(len(df), np.int64)})
+
+    def tag_views(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": pc.cast(t.column("event_id"), pa.int64()),
+             "user_id": pc.cast(t.column("user_id"), pa.int64()),
+             "s": pa.array(t.column("ts").cast(pa.int64()).to_numpy()
+                           // 1_000_000, pa.int64()),
+             "tag": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    union = matched.map_batches(tag_matched, batch_format="pandas").union(
+        views.map_batches(tag_views, batch_format="pyarrow"))
+    agg = grouped_aggregate(
+        union, ["event_id"],
+        Max("tag", alias_name="tag"), Max("user_id", alias_name="user_id"),
+        Max("s", alias_name="s"))
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t.column("tag"), 0))
+        return pa.table({"event_id": pc.cast(f.column("event_id"), pa.int64()),
+                         "user_id": pc.cast(f.column("user_id"), pa.int64()),
+                         "s": pc.cast(f.column("s"), pa.int64())})
+
+    return agg.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -5979,6 +6038,7 @@ def queries() -> dict:
         "events_trailing7": q_events_trailing7,
         "balanced_sample": q_balanced_sample,
         "props_novelty": q_props_novelty,
+        "abandoned_views": q_abandoned_views,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7709,6 +7769,19 @@ def oracle_sql() -> dict:
             FROM m
         """,
         "sorted_neighborhood": _snm_sql(),
+        "abandoned_views": """
+            WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                       FROM events WHERE event_type = 'view'),
+            p AS (SELECT user_id, epoch_us(ts) AS us
+                  FROM events WHERE event_type = 'purchase')
+            SELECT v.event_id, v.user_id,
+                   CAST(v.us // 1000000 AS BIGINT) AS s
+            FROM v
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p
+                WHERE p.user_id = v.user_id
+                  AND p.us >= v.us AND p.us <= v.us + 3600000000)
+        """,
         "props_novelty": """
             WITH dt AS (
               SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
