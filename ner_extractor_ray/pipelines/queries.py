@@ -4518,16 +4518,22 @@ def q_part_lift(sf_dir: str):
         return t.append_column("__part", pa.array(ok % P, pa.int64()))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # pair key packed into ONE int64 (a<<32 | b, 31-bit ids enforced —
+        # co_order_edges' convention) so the pair aggregate takes the
+        # single-int groupby fast path, not the ~10×-slower multi-key path
         g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
         m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
         m = m[m["l_partkey_a"] < m["l_partkey_b"]]
         if m.empty:
-            return pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
-                                 "part_b": pd.Series([], dtype="int64"),
+            return pd.DataFrame({"k": pd.Series([], dtype="int64"),
                                  "n": pd.Series([], dtype="int64")})
-        out = (m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
-               .size().rename(columns={"l_partkey_a": "part_a",
-                                       "l_partkey_b": "part_b", "size": "n"}))
+        a = m["l_partkey_a"].to_numpy(dtype=np.int64)
+        b = m["l_partkey_b"].to_numpy(dtype=np.int64)
+        if a.max() >= 1 << 31 or b.max() >= 1 << 31:
+            raise ValueError("part ids exceed 31 bits — widen the pair key")
+        out = (pd.DataFrame({"k": (a << 32) | b})
+               .groupby("k", as_index=False).size()
+               .rename(columns={"size": "n"}))
         out["n"] = out["n"].astype("int64")
         return out
 
@@ -4543,14 +4549,25 @@ def q_part_lift(sf_dir: str):
     pre = ds.map_batches(add_part, batch_format="pyarrow").materialize()
     pairs = grouped_aggregate(
         pre.groupby("__part").map_groups(bucket_pairs, batch_format="pandas"),
-        ["part_a", "part_b"], Sum("n", alias_name="n_ab"))
-    pairs = pairs.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("n_ab"),
-                                            _COOC_MIN_ORDERS)),
-        batch_format="pyarrow")
+        ["k"], Sum("n", alias_name="n_ab"))
+    # materialize the two aggregate outputs (pair- and vocab-cardinality):
+    # hash_join reads .schema() from each side, which on a LAZY aggregate
+    # re-executes its whole lineage — unmaterialized, this plan ran the
+    # pair/item aggregates up to 3× (60 s → 13 s at sf0.1/32cpus)
+    _UNPACK32 = (1 << 32) - 1
+
+    def unpack_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater_equal(t.column("n_ab"), _COOC_MIN_ORDERS))
+        k = pc.cast(f.column("k"), pa.int64()).to_numpy()
+        return pa.table({"part_a": pa.array(k >> np.int64(32), pa.int64()),
+                         "part_b": pa.array(k & _UNPACK32, pa.int64()),
+                         "n_ab": pc.cast(f.column("n_ab"), pa.int64())})
+
+    pairs = pairs.map_batches(unpack_filter,
+                              batch_format="pyarrow").materialize()
     items = grouped_aggregate(
         pre.groupby("__part").map_groups(bucket_items, batch_format="pandas"),
-        ["pk"], Sum("ni", alias_name="ni"))
+        ["pk"], Sum("ni", alias_name="ni")).materialize()
     n_orders = int(_rp(sf_dir, "orders", ["o_orderkey"]).count())
 
     ja = hash_join(
@@ -4563,7 +4580,7 @@ def q_part_lift(sf_dir: str):
             lambda t: pa.table({"pk": t.column("pk"),
                                 "n_a": t.column("ni")}),
             batch_format="pyarrow"),
-        on=("pk",))
+        on=("pk",)).materialize()  # pair-sized; jb's schema probe re-runs ja otherwise
     jb = hash_join(
         ja.map_batches(
             lambda df: pd.DataFrame(
