@@ -86,7 +86,10 @@ def interval_join(
     right_ts = right_ts_col or ts_col
     win_us = window_s * 1_000_000
 
-    lsch, rsch = left.schema(), right.schema()
+    from .joins import _schema_autocache
+
+    left, lsch = _schema_autocache(left)
+    right, rsch = _schema_autocache(right)
     if lsch is None or rsch is None:
         # a fully-filtered Dataset can lose its schema; callers must provide
         # one (e.g. build the empty side with from_arrow(schema.empty_table()))
