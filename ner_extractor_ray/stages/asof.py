@@ -39,7 +39,10 @@ def asof_join(
 
         num_partitions = _compact_blocks()
     right_ts = right_ts_col or ts_col
-    lsch, rsch = left.schema(), right.schema()
+    from .joins import _schema_autocache
+
+    left, lsch = _schema_autocache(left)
+    right, rsch = _schema_autocache(right)
     left_cols = list(lsch.names)
     right_cols = list(rsch.names)
     all_cols = list(dict.fromkeys(left_cols + [c + suffix for c in right_cols]))

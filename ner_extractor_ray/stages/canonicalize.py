@@ -322,9 +322,9 @@ def _driver_union_find(pairs_ds: "ray.data.Dataset", nodes_ds: "ray.data.Dataset
     the distributed plan at a fraction of the fixed cost."""
     import ray.data as _rd
 
-    from .joins import _as_pa_type
+    from .joins import _as_pa_type, _schema_autocache
 
-    sch = nodes_ds.schema()
+    nodes_ds, sch = _schema_autocache(nodes_ds)  # probe would run the agg twice
     ntype = _as_pa_type(sch.types[sch.names.index("node")])
     nodes = [r["node"] for r in nodes_ds.select_columns(["node"]).take_all()]
     parent = {n: n for n in nodes}

@@ -97,8 +97,8 @@ def interval_join(
     l_cols = [c for c in lsch.names if not c.startswith("__")]
     r_cols = [c for c in rsch.names if not c.startswith("__")]
     r_out = {c: (c + suffix if c in l_cols else c) for c in r_cols if c != on}
-    l_types = dict(zip(left.schema().names, left.schema().types))
-    r_types = dict(zip(right.schema().names, right.schema().types))
+    l_types = dict(zip(lsch.names, lsch.types))
+    r_types = dict(zip(rsch.names, rsch.types))
     all_cols: dict[str, pa.DataType] = {}
     for c in l_cols:
         all_cols[c] = l_types[c]
