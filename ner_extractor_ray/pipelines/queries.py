@@ -4806,6 +4806,76 @@ def q_abandoned_views(sf_dir: str):
     return agg.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
+_PATH_TOP_K = 10
+_PATH_GAP_US = 1_800_000_000  # 30-min session gap, µs-exact
+
+
+def q_top_session_paths(sf_dir: str):
+    """PATH ANALYSIS: the 10 most common session journeys — each session's
+    event-type sequence joined with '>' (sessions split on 30-min gaps,
+    µs-exact), counted across the corpus; ties → lexicographically first
+    path. The funnel-discovery complement of event_type_transitions
+    (whole-path counts, not Markov pairs). Coarse user buckets co-locate
+    each user's events, one vectorized sort + gap-cumsum builds session
+    ids, per-bucket path counts pre-aggregate before the path-keyed fold,
+    and the final top-k runs on a per-batch partial-top-k reduction —
+    paths never sort globally."""
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    P = _compact_blocks()
+
+    def narrow(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return pa.table(
+            {"user_id": pa.array(uid, pa.int64()),
+             "event_id": pc.cast(t.column("event_id"), pa.int64()),
+             "us": pa.array(t.column("ts").cast(pa.int64()).to_numpy(),
+                            pa.int64()),
+             "event_type": t.column("event_type"),
+             "__part": pa.array(uid % P, pa.int64())})
+
+    def bucket_paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"])
+        uid = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        prev = np.empty_like(us)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = us[:-1]
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        sid = np.cumsum(new_user | (us - prev > _PATH_GAP_US))
+        paths = (pd.DataFrame({"sid": sid,
+                               "t": g["event_type"].to_numpy()})
+                 .groupby("sid", sort=False)["t"]
+                 .agg(">".join))
+        out = (paths.to_frame("path").groupby("path", as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = grouped_aggregate(
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(bucket_paths, batch_format="pandas"),
+        ["path"], Sum("n", alias_name="n"))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"path": t.column("path").to_pylist(),
+                           "n": pc.cast(t.column("n"), pa.int64())
+                           .to_numpy()})
+        df = df.sort_values(["n", "path"],
+                            ascending=[False, True]).head(_PATH_TOP_K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = counts.map_batches(partial_topk, batch_format="pyarrow") \
+        .take_all()
+    top = sorted(cand, key=lambda r: (-int(r["n"]), r["path"]))[:_PATH_TOP_K]
+    return pa.table({"path": pa.array([r["path"] for r in top], pa.string()),
+                     "n": pa.array([int(r["n"]) for r in top], pa.int64())})
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -6056,6 +6126,7 @@ def queries() -> dict:
         "balanced_sample": q_balanced_sample,
         "props_novelty": q_props_novelty,
         "abandoned_views": q_abandoned_views,
+        "top_session_paths": q_top_session_paths,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7786,6 +7857,27 @@ def oracle_sql() -> dict:
             FROM m
         """,
         "sorted_neighborhood": _snm_sql(),
+        "top_session_paths": f"""
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                              event_type FROM events),
+            l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id) AS pus
+                  FROM e),
+            s AS (SELECT *, SUM(CASE WHEN pus IS NULL
+                                       OR us - pus > {_PATH_GAP_US}
+                                     THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM l),
+            p AS (SELECT user_id, sid,
+                         string_agg(event_type, '>'
+                                    ORDER BY us, event_id) AS path
+                  FROM s GROUP BY 1, 2),
+            c AS (SELECT path, COUNT(*) AS n FROM p GROUP BY 1)
+            SELECT path, CAST(n AS BIGINT) AS n
+            FROM c ORDER BY n DESC, path LIMIT {_PATH_TOP_K}
+        """,
         "abandoned_views": """
             WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us
                        FROM events WHERE event_type = 'view'),
