@@ -4876,6 +4876,64 @@ def q_top_session_paths(sf_dir: str):
                      "n": pa.array([int(r["n"]) for r in top], pa.int64())})
 
 
+def q_spend_rank_corr(sf_dir: str):
+    """SPEARMAN rank correlation between a customer's order count and
+    total spend — the monotone-association probe (robust to outliers where
+    Pearson is not). Under the tie-broken TOTAL orders (metric, custkey)
+    the ranks are distinct permutations, so Spearman's exact rational form
+    applies: ρ_ppm = 10⁶ − (6·10⁶·Σd²) // (n·(n²−1)) — no sqrt, engine-
+    exact. Distributed shape: one customer-cardinality aggregate, TWO
+    range-partitioned global_ranks (no global sort), one partitioned hash
+    join to pair the ranks, and a Σd² big-int fold to a single row."""
+    from ..functions.rank import global_rank
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c": pc.cast(t.column("o_custkey"), pa.int64())
+                           .to_numpy(),
+                           "n": np.ones(t.num_rows, np.int64),
+                           "v": _cents(np.asarray(t.column("o_totalprice")))})
+        g = df.groupby("c", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c"], Sum("n", alias_name="n"), Sum("v", alias_name="v")
+    ).materialize()
+
+    rn = global_rank(per_cust.select_columns(["c", "n"]), "n", "c",
+                     descending=False, n_buckets=32, out="rn")
+    rv = global_rank(per_cust.select_columns(["c", "v"]), "v", "c",
+                     descending=False, n_buckets=32, out="rv")
+    paired = hash_join(
+        rn.map_batches(lambda df: df[["c", "rn"]].astype("int64"),
+                       batch_format="pandas"),
+        rv.map_batches(lambda df: df[["c", "rv"]].astype("int64"),
+                       batch_format="pandas"),
+        on=("c",))
+
+    def d2(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"g": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "sd2": pd.Series([], dtype="int64")})
+        d = df["rn"].to_numpy(np.int64) - df["rv"].to_numpy(np.int64)
+        return pd.DataFrame({"g": [0], "n": [len(d)],
+                             "sd2": [int((d * d).sum())]})
+
+    agg = grouped_aggregate(
+        paired.map_batches(d2, batch_format="pandas"), ["g"],
+        Sum("n", alias_name="n"), Sum("sd2", alias_name="sd2")).to_pandas()
+    n, sd2 = int(agg["n"][0]), int(agg["sd2"][0])
+    rho_ppm = 1_000_000 - (6_000_000 * sd2) // (n * (n * n - 1))
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "sum_d2": pa.array([sd2], pa.int64()),
+                     "rho_ppm": pa.array([rho_ppm], pa.int64())})
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -6127,6 +6185,7 @@ def queries() -> dict:
         "props_novelty": q_props_novelty,
         "abandoned_views": q_abandoned_views,
         "top_session_paths": q_top_session_paths,
+        "spend_rank_corr": q_spend_rank_corr,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7857,6 +7916,22 @@ def oracle_sql() -> dict:
             FROM m
         """,
         "sorted_neighborhood": _snm_sql(),
+        "spend_rank_corr": """
+            WITH pc AS (SELECT o_custkey AS c, COUNT(*) AS n,
+                               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                        AS BIGINT)) AS v
+                        FROM orders GROUP BY 1),
+            r AS (SELECT c,
+                         row_number() OVER (ORDER BY n, c) AS rn,
+                         row_number() OVER (ORDER BY v, c) AS rv
+                  FROM pc),
+            a AS (SELECT COUNT(*) AS n,
+                         SUM((rn - rv) * (rn - rv)) AS sd2 FROM r)
+            SELECT CAST(n AS BIGINT) AS n, CAST(sd2 AS BIGINT) AS sum_d2,
+                   CAST(1000000 - (6000000 * sd2) // (n * (n * n - 1))
+                        AS BIGINT) AS rho_ppm
+            FROM a
+        """,
         "top_session_paths": f"""
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
                               event_type FROM events),
