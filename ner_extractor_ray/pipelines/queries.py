@@ -4390,16 +4390,21 @@ def q_part_cooccurrence(sf_dir: str):
         return t.append_column("__part", pa.array(ok % P, pa.int64()))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # pair key packed into ONE int64 (a<<32 | b, 31-bit ids enforced)
+        # so the pair aggregate takes the single-int groupby fast path
         g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
         m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
         m = m[m["l_partkey_a"] < m["l_partkey_b"]]
         if m.empty:
-            return pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
-                                 "part_b": pd.Series([], dtype="int64"),
+            return pd.DataFrame({"k": pd.Series([], dtype="int64"),
                                  "n": pd.Series([], dtype="int64")})
-        out = (m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
-               .size().rename(columns={"l_partkey_a": "part_a",
-                                       "l_partkey_b": "part_b", "size": "n"}))
+        a = m["l_partkey_a"].to_numpy(dtype=np.int64)
+        b = m["l_partkey_b"].to_numpy(dtype=np.int64)
+        if a.max() >= 1 << 31 or b.max() >= 1 << 31:
+            raise ValueError("part ids exceed 31 bits — widen the pair key")
+        out = (pd.DataFrame({"k": (a << 32) | b})
+               .groupby("k", as_index=False).size()
+               .rename(columns={"size": "n"}))
         out["n"] = out["n"].astype("int64")
         return out
 
@@ -4408,12 +4413,18 @@ def q_part_cooccurrence(sf_dir: str):
         .groupby("__part")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    agg = grouped_aggregate(pairs, ["part_a", "part_b"],
-                            Sum("n", alias_name="n_orders"))
-    return agg.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("n_orders"),
-                                            _COOC_MIN_ORDERS)),
-        batch_format="pyarrow")
+    agg = grouped_aggregate(pairs, ["k"], Sum("n", alias_name="n_orders"))
+
+    def unpack_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater_equal(t.column("n_orders"),
+                                      _COOC_MIN_ORDERS))
+        k = pc.cast(f.column("k"), pa.int64()).to_numpy()
+        return pa.table(
+            {"part_a": pa.array(k >> np.int64(32), pa.int64()),
+             "part_b": pa.array(k & ((1 << 32) - 1), pa.int64()),
+             "n_orders": pc.cast(f.column("n_orders"), pa.int64())})
+
+    return agg.map_batches(unpack_filter, batch_format="pyarrow")
 
 
 def q_part_triples(sf_dir: str):
