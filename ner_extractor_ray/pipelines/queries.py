@@ -6058,7 +6058,13 @@ def queries() -> dict:
     entry has a driver row.
     Entries after position 50 remain fully hash-checked by
     tests/test_queries_oracle.py, which runs EVERY entry that has an
-    ``oracle_sql()`` string, window or not.
+    ``oracle_sql()`` string, window or not. The late-round-3 additions
+    (positions ~89+: co-occurrence/lift/3-itemsets, LPA/SSSP/assortativity,
+    mode/MAD/trend/Gini/min-max, NTILE/skyline/Spearman, streaks/interval
+    union/debounce/TWA/trailing-window/paths, profiler/integrity/golden
+    records/SNM/balanced sample/novelty/temporal anti-join) were all
+    additionally driver-mimic-checked at sf0.01 (tools/check_window_sf001)
+    and are next-round window candidates.
     """
     return {
         # -- flagship representatives re-attested from round 2 ---------------
