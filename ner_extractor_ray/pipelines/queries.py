@@ -5111,6 +5111,34 @@ def _value_hist(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
 
 
+def q_value_trimmed_mean(sf_dir: str):
+    """5%-TRIMMED mean per group — the robust location estimate (MAD's
+    dispersion complement): drop the lowest and highest n//20 rows by
+    value, average the rest. Read from the SAME one-scan value-count
+    histogram as median/mode/MAD: with lo = n//20 and hi = n − n//20,
+    a value whose cumulative range is (prev, cum] contributes
+    max(0, min(cum, hi) − max(prev, lo)) copies — exact integer interval
+    clipping, so partial bins at the cut points are handled without
+    per-row work. tmean_cents = Σv·inc // (hi − lo)."""
+    hist = _value_hist(sf_dir)
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("value_cents")
+        vals = g["value_cents"].to_numpy(dtype=np.int64)
+        cnt = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        prev = np.concatenate(([0], cum[:-1]))
+        n = int(cum[-1])
+        lo, hi = n // 20, n - n // 20
+        inc = np.maximum(0, np.minimum(cum, hi) - np.maximum(prev, lo))
+        tsum = int((vals * inc).sum())
+        rows.append((etype, hi - lo, tsum // (hi - lo)))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "trimmed_n": pa.array([r[1] for r in rows], pa.int64()),
+         "tmean_cents": pa.array([r[2] for r in rows], pa.int64())})
+
+
 def q_value_mode(sf_dir: str):
     """Exact per-group MODE (most frequent value, ties → smallest value)
     read from the one-scan value-count histogram — the argmax-by-count dual
@@ -6203,6 +6231,7 @@ def queries() -> dict:
         "abandoned_views": q_abandoned_views,
         "top_session_paths": q_top_session_paths,
         "spend_rank_corr": q_spend_rank_corr,
+        "value_trimmed_mean": q_value_trimmed_mean,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7933,6 +7962,28 @@ def oracle_sql() -> dict:
             FROM m
         """,
         "sorted_neighborhood": _snm_sql(),
+        "value_trimmed_mean": """
+            WITH b AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                              CAST(COUNT(*) AS BIGINT) AS k
+                       FROM events GROUP BY 1, 2),
+            cm AS (SELECT event_type, c, k,
+                          SUM(k) OVER (PARTITION BY event_type
+                                       ORDER BY c) AS cum,
+                          SUM(k) OVER (PARTITION BY event_type
+                                       ORDER BY c) - k AS prev,
+                          SUM(k) OVER (PARTITION BY event_type) AS n
+                   FROM b),
+            inc AS (SELECT event_type, c, n,
+                           GREATEST(0, LEAST(cum, n - n // 20)
+                                       - GREATEST(prev, n // 20)) AS i
+                    FROM cm)
+            SELECT event_type,
+                   CAST(MAX(n) - 2 * (MAX(n) // 20) AS BIGINT) AS trimmed_n,
+                   CAST(SUM(c * i) // (MAX(n) - 2 * (MAX(n) // 20))
+                        AS BIGINT) AS tmean_cents
+            FROM inc GROUP BY event_type
+        """,
         "spend_rank_corr": """
             WITH pc AS (SELECT o_custkey AS c, COUNT(*) AS n,
                                SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
