@@ -4945,6 +4945,122 @@ def q_spend_rank_corr(sf_dir: str):
                      "rho_ppm": pa.array([rho_ppm], pa.int64())})
 
 
+_KT_BUCKETS = 16
+
+
+def q_spend_kendall_tau(sf_dir: str):
+    """Exact KENDALL τ between order count and spend per customer —
+    τ_ppm = 10⁶ − (4·10⁶·inv)//(n(n−1)) where inv = discordant pairs,
+    i.e. the INVERSION COUNT between the two rankings (tie-broken total
+    orders ⇒ τ-a applies exactly, no sqrt). Distributed inversion
+    counting with NO global sort and NO driver materialization of the
+    rank table: ranks come from two range-partitioned global_ranks; rows
+    bucket by rv-range (ranks are a permutation ⇒ buckets exactly
+    balanced); each bucket counts its WITHIN inversions locally and emits
+    its rn array as one binary blob; every unordered bucket pair is then
+    co-located by a pair-keyed exchange (each blob replicated B−1 times —
+    O(B·n) bytes moved) and CROSS inversions fall out of one vectorized
+    searchsorted per pair: x in the higher-rv bucket is discordant with
+    every lower-rv y having rn_y > rn_x. Within-bucket counting is the
+    O(m²) broadcast comparison (m = n/B; size B so m² fits a task — the
+    at-scale knob)."""
+    from ..functions.rank import global_rank
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c": pc.cast(t.column("o_custkey"), pa.int64())
+                           .to_numpy(),
+                           "n": np.ones(t.num_rows, np.int64),
+                           "v": _cents(np.asarray(t.column("o_totalprice")))})
+        g = df.groupby("c", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c"], Sum("n", alias_name="n"), Sum("v", alias_name="v")
+    ).materialize()
+    n_rows = per_cust.count()
+    B = min(_KT_BUCKETS, max(1, n_rows))
+    size = -(-n_rows // B)  # ceil
+
+    rn = global_rank(per_cust.select_columns(["c", "n"]), "n", "c",
+                     descending=False, n_buckets=32, out="rn")
+    rv = global_rank(per_cust.select_columns(["c", "v"]), "v", "c",
+                     descending=False, n_buckets=32, out="rv")
+    paired = hash_join(
+        rn.map_batches(lambda df: df[["c", "rn"]].astype("int64"),
+                       batch_format="pandas"),
+        rv.map_batches(lambda df: df[["c", "rv"]].astype("int64"),
+                       batch_format="pandas"),
+        on=("c",))
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"b": pd.Series([], dtype="int64"),
+                                 "rn": pd.Series([], dtype="int64"),
+                                 "rv": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({"b": (df["rv"].astype("int64") - 1) // size,
+                            "rn": df["rn"], "rv": df["rv"]})
+        return out.astype("int64")
+
+    def bucket_blob(g: pd.DataFrame) -> pd.DataFrame:
+        # within-bucket discordant pairs: order by rn, count rv inversions
+        # (O(m²) broadcast comparison — B sizes m so this fits a task)
+        g = g.sort_values(["rn"])
+        rv_seq = g["rv"].to_numpy(dtype=np.int64)
+        inv_w = int(np.triu(rv_seq[:, None] > rv_seq[None, :], 1).sum())
+        rn_sorted = np.sort(g["rn"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"b": [int(g["b"].iloc[0])],
+                             "nb": [len(rv_seq)], "inv_w": [inv_w],
+                             "blob": [rn_sorted.tobytes()]})
+
+    blobs = (
+        paired.map_batches(bucketize, batch_format="pandas")
+        .groupby("b")
+        .map_groups(bucket_blob, batch_format="pandas")
+    ).materialize()
+
+    def pair_out(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"pk": [], "side": [], "blob": []}
+        for r in df.itertuples(index=False):
+            for other in range(B):
+                if other == r.b:
+                    continue
+                lo, hi = min(r.b, other), max(r.b, other)
+                rows["pk"].append(lo * B + hi)
+                rows["side"].append("A" if r.b == lo else "B")
+                rows["blob"].append(r.blob)
+        return pd.DataFrame(rows)
+
+    def pair_cross(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["side"] == "A", "blob"]
+        bb = g.loc[g["side"] == "B", "blob"]
+        if a.empty or bb.empty:
+            return pd.DataFrame({"inv": pd.Series([], dtype="int64")})
+        A = np.frombuffer(a.iloc[0], dtype=np.int64)
+        Bx = np.frombuffer(bb.iloc[0], dtype=np.int64)
+        # x ∈ higher-rv bucket discordant with lower-rv y iff rn_y > rn_x
+        cross = int((len(A) - np.searchsorted(A, Bx, side="right")).sum())
+        return pd.DataFrame({"inv": pd.Series([cross], dtype="int64")})
+
+    cross_ds = (
+        blobs.map_batches(pair_out, batch_format="pandas")
+        .groupby("pk")
+        .map_groups(pair_cross, batch_format="pandas")
+    )
+    inv = int(sum(r["inv"] for r in cross_ds.take_all()))
+    inv += int(sum(r["inv_w"] for r in
+                   blobs.select_columns(["inv_w"]).take_all()))
+    n = n_rows
+    tau_ppm = 1_000_000 - (4_000_000 * inv) // (n * (n - 1))
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "n_discordant": pa.array([inv], pa.int64()),
+                     "tau_ppm": pa.array([tau_ppm], pa.int64())})
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -6232,6 +6348,7 @@ def queries() -> dict:
         "top_session_paths": q_top_session_paths,
         "spend_rank_corr": q_spend_rank_corr,
         "value_trimmed_mean": q_value_trimmed_mean,
+        "spend_kendall_tau": q_spend_kendall_tau,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -7962,6 +8079,24 @@ def oracle_sql() -> dict:
             FROM m
         """,
         "sorted_neighborhood": _snm_sql(),
+        "spend_kendall_tau": """
+            WITH pc AS (SELECT o_custkey AS c, COUNT(*) AS n,
+                               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                        AS BIGINT)) AS v
+                        FROM orders GROUP BY 1),
+            r AS (SELECT c,
+                         row_number() OVER (ORDER BY n, c) AS rn,
+                         row_number() OVER (ORDER BY v, c) AS rv
+                  FROM pc),
+            d AS (SELECT COUNT(*) AS inv
+                  FROM r a JOIN r b ON a.rn < b.rn AND a.rv > b.rv),
+            t AS (SELECT COUNT(*) AS n FROM r)
+            SELECT CAST(t.n AS BIGINT) AS n,
+                   CAST(d.inv AS BIGINT) AS n_discordant,
+                   CAST(1000000 - (4000000 * d.inv) // (t.n * (t.n - 1))
+                        AS BIGINT) AS tau_ppm
+            FROM d, t
+        """,
         "value_trimmed_mean": """
             WITH b AS (SELECT event_type,
                               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
