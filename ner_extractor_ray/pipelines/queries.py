@@ -5061,6 +5061,103 @@ def q_spend_kendall_tau(sf_dir: str):
                      "tau_ppm": pa.array([tau_ppm], pa.int64())})
 
 
+def q_nation_share_of_region(sf_dir: str):
+    """Share-of-parent in a dimension hierarchy: each nation's revenue as
+    integer ppm of its REGION's revenue — the drill-down percentage every
+    rollup report shows next to the absolute number. One fact scan feeds a
+    nation-keyed integer aggregate; the parent totals are a second
+    aggregate OF THE FIRST (region table is dimension-sized), attached by
+    a dimension-side join — the fact table is never re-scanned or
+    re-shuffled for the parent level (same one-scan contract as
+    orders_cube). share_ppm = 10⁶·nation // region, exact."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _rp(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    facts = hash_join(
+        orders.map_batches(
+            lambda t: pa.table(
+                {"c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                 "cents": pa.array(_cents(np.asarray(t.column("o_totalprice"))),
+                                   pa.int64())}),
+            batch_format="pyarrow"),
+        cust.map_batches(
+            lambda t: pa.table(
+                {"c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                 "n_nationkey": pc.cast(t.column("c_nationkey"),
+                                        pa.int64())}),
+            batch_format="pyarrow"),
+        on=("c_custkey",))
+
+    def npart(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"n_nationkey": pd.Series([], dtype="int64"),
+                                 "cents": pd.Series([], dtype="int64")})
+        return (df.groupby("n_nationkey", as_index=False)["cents"].sum()
+                .astype("int64"))
+
+    per_nation = grouped_aggregate(
+        facts.map_batches(npart, batch_format="pandas"),
+        ["n_nationkey"], Sum("cents", alias_name="cents")).to_pandas()
+
+    nat = {int(r["n_nationkey"]): (str(r["n_name"]), int(r["n_regionkey"]))
+           for r in nation.take_all()}
+    reg = {int(r["r_regionkey"]): str(r["r_name"]) for r in region.take_all()}
+    per_nation["rk"] = [nat[k][1] for k in per_nation["n_nationkey"]]
+    rtot = per_nation.groupby("rk")["cents"].sum().to_dict()
+    rows = sorted(
+        (nat[int(k)][0], reg[int(r)], int(c),
+         (1_000_000 * int(c)) // int(rtot[r]))
+        for k, r, c in zip(per_nation["n_nationkey"], per_nation["rk"],
+                           per_nation["cents"]))
+    return pa.table(
+        {"n_name": pa.array([r[0] for r in rows], pa.string()),
+         "r_name": pa.array([r[1] for r in rows], pa.string()),
+         "revenue_cents": pa.array([r[2] for r in rows], pa.int64()),
+         "share_ppm": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def q_priority_month_chi2(sf_dir: str):
+    """CHI-SQUARE independence statistic for the (order priority × month)
+    contingency table in exact integers — does priority mix drift by
+    season? Cell χ² contribution ≈ (o·N − r·c)²/(r·c·N), scaled to ppm
+    with the SAME truncation on both engines, so the summed statistic is
+    hash-exact (a float χ² would differ in the last ulp). Shuffle is one
+    contingency-cell aggregate (≤ |priorities|·|months| rows); margins and
+    the fold run on that bounded table."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        months = pd.Series(t.column("o_orderdate").to_pandas()).dt.strftime("%Y-%m")
+        df = pd.DataFrame({"priority": t.column("o_orderpriority").to_pylist(),
+                           "month": months,
+                           "n": np.ones(t.num_rows, np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["priority", "month"], as_index=False).sum(),
+            preserve_index=False)
+
+    cells = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["priority", "month"], Sum("n", alias_name="n")).to_pandas()
+    N = int(cells["n"].sum())
+    rm = cells.groupby("priority")["n"].sum().to_dict()
+    cm = cells.groupby("month")["n"].sum().to_dict()
+    chi2 = 0
+    for r in cells.itertuples(index=False):
+        o, rr, cc = int(r.n), int(rm[r.priority]), int(cm[r.month])
+        num = (o * N - rr * cc)
+        chi2 += (1_000_000 * num * num) // (rr * cc * N)
+    return pa.table({"n": pa.array([N], pa.int64()),
+                     "n_cells": pa.array([len(cells)], pa.int64()),
+                     "chi2_ppm": pa.array([chi2], pa.int64())})
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -6349,6 +6446,8 @@ def queries() -> dict:
         "spend_rank_corr": q_spend_rank_corr,
         "value_trimmed_mean": q_value_trimmed_mean,
         "spend_kendall_tau": q_spend_kendall_tau,
+        "nation_share_of_region": q_nation_share_of_region,
+        "priority_month_chi2": q_priority_month_chi2,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -8079,6 +8178,40 @@ def oracle_sql() -> dict:
             FROM m
         """,
         "sorted_neighborhood": _snm_sql(),
+        "nation_share_of_region": """
+            WITH f AS (SELECT c_nationkey,
+                              CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM orders JOIN customer ON o_custkey = c_custkey),
+            nrev AS (SELECT n_nationkey, n_name, n_regionkey,
+                            SUM(cents) AS cents
+                     FROM f JOIN nation ON n_nationkey = f.c_nationkey
+                     GROUP BY 1, 2, 3),
+            rrev AS (SELECT n_regionkey, SUM(cents) AS rc
+                     FROM nrev GROUP BY 1)
+            SELECT n_name, r_name,
+                   CAST(nrev.cents AS BIGINT) AS revenue_cents,
+                   CAST((1000000 * nrev.cents) // rrev.rc AS BIGINT)
+                       AS share_ppm
+            FROM nrev JOIN rrev USING (n_regionkey)
+                      JOIN region ON r_regionkey = n_regionkey
+        """,
+        "priority_month_chi2": """
+            WITH cells AS (SELECT o_orderpriority AS p,
+                                  strftime(o_orderdate, '%Y-%m') AS m,
+                                  COUNT(*) AS n
+                           FROM orders GROUP BY 1, 2),
+            tot AS (SELECT SUM(n) AS nn FROM cells),
+            rm AS (SELECT p, SUM(n) AS r FROM cells GROUP BY 1),
+            cm AS (SELECT m, SUM(n) AS c FROM cells GROUP BY 1)
+            SELECT CAST(tot.nn AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM((1000000 * (cells.n * tot.nn - rm.r * cm.c)
+                                     * (cells.n * tot.nn - rm.r * cm.c))
+                            // (rm.r * cm.c * tot.nn)) AS BIGINT) AS chi2_ppm
+            FROM cells JOIN rm USING (p) JOIN cm USING (m) CROSS JOIN tot
+            GROUP BY tot.nn
+        """,
         "spend_kendall_tau": """
             WITH pc AS (SELECT o_custkey AS c, COUNT(*) AS n,
                                SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
