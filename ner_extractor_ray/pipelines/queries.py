@@ -5158,6 +5158,267 @@ def q_priority_month_chi2(sf_dir: str):
                      "chi2_ppm": pa.array([chi2], pa.int64())})
 
 
+_Z_BITS = 16
+
+
+def q_orders_zorder(sf_dir: str):
+    """Z-ORDER (Morton) curve index per order from (price, date) — the
+    multi-dimensional clustering key a lakehouse sorts by before writing
+    so range predicates on EITHER column prune row groups (1-D sort keys
+    prune only their own column). Both dimensions quantize to 16-bit
+    lattice coordinates with exact integer scaling, then bits interleave
+    (x even positions, y odd) — a pure row-local vectorized map, ZERO
+    shuffle; the layout sort itself is the existing range-partitioned
+    machinery. Emits (o_orderkey, zx, zy, zvalue)."""
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def zmap(t: pa.Table) -> pa.Table:
+        cents = _cents(np.asarray(t.column("o_totalprice")))
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        # 16-bit lattice: cents // 4096 (≤ ~$2.7M), day − 9131 (1995-01-01
+        # epoch day) — both clamped into [0, 2^16)
+        zx = np.clip(cents // 4096, 0, (1 << _Z_BITS) - 1)
+        zy = np.clip(day - 9131, 0, (1 << _Z_BITS) - 1)
+        z = np.zeros(len(zx), np.int64)
+        for i in range(_Z_BITS):
+            z |= ((zx >> i) & 1) << (2 * i)
+            z |= ((zy >> i) & 1) << (2 * i + 1)
+        return pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "zx": pa.array(zx, pa.int64()), "zy": pa.array(zy, pa.int64()),
+             "zvalue": pa.array(z, pa.int64())})
+
+    return ds.map_batches(zmap, batch_format="pyarrow")
+
+
+def q_events_anomalies(sf_dir: str):
+    """Timeline ANOMALY DETECTION: days whose event count deviates from
+    the corpus daily median by more than 3× the daily MAD — the
+    robust-statistics alert rule (median/MAD immune to the anomalies
+    themselves, unlike mean/stddev). The corpus reduces to the
+    timeline-sized daily count aggregate; median, MAD and the 3-MAD gate
+    all read from that one small table with exact integer arithmetic
+    (|count − med| > 3·MAD compares integers — no float threshold).
+    Emits the anomalous days with their deviation."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t.column("ts").cast(pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    daily = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], Sum("n", alias_name="n")).to_pandas().sort_values("n")
+    cnt = daily["n"].to_numpy(dtype=np.int64)
+    m = len(cnt)
+    med = int(cnt[(m - 1) // 2]) if m % 2 else int(cnt[m // 2 - 1])
+    dev = np.sort(np.abs(cnt - med))
+    mad = int(dev[(m - 1) // 2]) if m % 2 else int(dev[m // 2 - 1])
+    out = daily[np.abs(daily["n"] - med) > 3 * mad].sort_values("day")
+    return pa.table(
+        {"day": pa.array(out["day"].astype("int64")),
+         "n": pa.array(out["n"].astype("int64")),
+         "deviation": pa.array((out["n"] - med).astype("int64"))})
+
+
+_INV_DF_CAP = 32
+
+
+def q_inverted_index(sf_dir: str):
+    """INVERTED-INDEX build over the corpus — the retrieval-index
+    materialization: per term, EXACT document frequency plus the posting-
+    list HEAD (first 32 docs by doc id, each at its first-occurrence token
+    position). Stage 1 is row-local: each doc emits each DISTINCT term
+    once, so (term, doc) rows are globally unique and df is a plain sum of
+    per-batch partial counts. The per-batch COMBINER is lossless the same
+    way top3_events_per_user's is: any doc in the global head-32 of a term
+    is in its batch's head-32, so each batch ships ≤ 32 posting rows per
+    term plus ONE count row — the shuffle is O(vocab·32·blocks), NOT
+    O(index size), and a stopword's corpus-sized posting set never travels
+    or materializes. Rows hash-partition on md5(term) so one
+    ``map_groups`` bucket finalizes each term. Output: (token, df,
+    postings) with postings 'doc:pos,…' sorted by doc id."""
+    from ..functions.textfns import md5_hash64
+    from ..stages.canonicalize import _compact_blocks
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    P = _compact_blocks()
+
+    def postings(t: pa.Table) -> pa.Table:
+        heads: dict[str, list] = {}
+        cnts: dict[str, int] = {}
+        for did, s in zip(pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
+                          t.column("text").to_pylist()):
+            first: dict[str, int] = {}
+            for i, w in enumerate(_ALNUM.findall((s or "").lower())):
+                if w not in first:
+                    first[w] = i
+            for w, pos in first.items():
+                cnts[w] = cnts.get(w, 0) + 1
+                h = heads.setdefault(w, [])
+                h.append((did, pos))
+        o_t, o_d, o_p, o_c = [], [], [], []
+        for w, h in heads.items():
+            # docs arrive in arbitrary id order within the batch: keep the
+            # 32 smallest doc ids (the batch-local head) + one count row
+            h.sort()
+            for did, pos in h[:_INV_DF_CAP]:
+                o_t.append(w); o_d.append(did); o_p.append(pos); o_c.append(0)
+            o_t.append(w); o_d.append(-1); o_p.append(0); o_c.append(cnts[w])
+        part = np.fromiter((md5_hash64(w) % P for w in o_t),
+                           dtype=np.int64, count=len(o_t))
+        return pa.table(
+            {"token": pa.array(o_t, pa.string()),
+             "doc": pa.array(o_d, pa.int64()),
+             "pos": pa.array(o_p, pa.int64()),
+             "cnt": pa.array(o_c, pa.int64()),
+             "__part": pa.array(part, pa.int64())}
+        )
+
+    def part_index(g: pd.DataFrame) -> pd.DataFrame:
+        dfs = g.groupby("token", as_index=False)["cnt"].sum().rename(
+            columns={"cnt": "df"})
+        posts = g[g["doc"] >= 0].sort_values(["token", "doc"])
+        posts = posts.groupby("token").head(_INV_DF_CAP)
+        pairs = posts["doc"].astype(str) + ":" + posts["pos"].astype(str)
+        agg = posts.assign(__pp=pairs).groupby("token", as_index=False).agg(
+            postings=("__pp", ",".join))
+        out = dfs.merge(agg, on="token", how="left")
+        out["df"] = out["df"].astype("int64")
+        out["postings"] = out["postings"].fillna("")
+        return out[["token", "df", "postings"]]
+
+    return (
+        ds.map_batches(postings, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_index, batch_format="pandas")
+    )
+
+
+_FH_DIMS = 64
+
+
+def q_feature_hashing(sf_dir: str):
+    """HASHING-TRICK featurization (Weinberger et al.): every document maps
+    to a fixed 64-dim signed sparse count vector with dim = md5(term) % 64
+    and sign = bit 6 of the hash — the signed trick that makes collision
+    noise zero-mean. Needs NO vocabulary pass and no state, so the stage is
+    entirely ROW-LOCAL with zero shuffle: the property that makes it the
+    default featurizer when the vocabulary itself would be a 100-TB-scale
+    distributed object. Zero-sum cells (sign cancellation) are dropped to
+    keep the output sparse. Output: (doc_id, dim, val)."""
+    from ..functions.textfns import md5_hash64
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        hcache: dict[str, tuple[int, int]] = {}
+        o_id, o_dim, o_val = [], [], []
+        for did, s in zip(pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
+                          t.column("text").to_pylist()):
+            cnt: dict[str, int] = {}
+            for w in _ALNUM.findall((s or "").lower()):
+                cnt[w] = cnt.get(w, 0) + 1
+            cell: dict[int, int] = {}
+            for w, c in cnt.items():
+                if w in hcache:
+                    d, sgn = hcache[w]
+                else:
+                    h = md5_hash64(w)
+                    d, sgn = int(h % _FH_DIMS), (1 if (h // _FH_DIMS) % 2 else -1)
+                    hcache[w] = (d, sgn)
+                cell[d] = cell.get(d, 0) + sgn * c
+            for d in sorted(cell):
+                if cell[d]:
+                    o_id.append(did); o_dim.append(d); o_val.append(cell[d])
+        return pa.table(
+            {"doc_id": pa.array(o_id, pa.int64()),
+             "dim": pa.array(o_dim, pa.int64()),
+             "val": pa.array(o_val, pa.int64())}
+        )
+
+    return ds.map_batches(featurize, batch_format="pyarrow")
+
+
+_NEG_K = 2
+
+
+def q_negative_edges(sf_dir: str):
+    """NEGATIVE SAMPLING for link-prediction training: K=2 deterministic
+    non-edges per node of the co-purchase graph — the contrastive examples
+    a graph-embedding trainer needs alongside `link_predict`'s positives.
+    Candidate partners come from a hash-to-rank map (md5(u:i) mod n →
+    the node at that rank), so sampling is uniform over the ACTUAL node
+    set without any driver-side node list: ranks come from the
+    range-partitioned global_rank (no global sort), candidates meet their
+    partner via ONE node-sized hash join, unordered pairs dedup through a
+    per-batch combiner, and known edges are removed by an exact
+    partitioned LEFT-join anti pass (a Bloom prefilter would silently drop
+    legitimate negatives on false positives — same caveat as
+    customers_without_urgent_orders). Output: (u, v) non-edges, u < v."""
+    from ..functions.graph import degree_table
+    from ..functions.rank import global_rank
+    from ..functions.textfns import md5_hash64
+    from ..stages.canonicalize import pre_aggregated_count
+    from ..stages.joins import hash_join
+
+    edges = _graph_edges(sf_dir, 2).materialize()
+    nodes = degree_table(edges).select_columns(["node"]).materialize()
+    n = nodes.count()
+    ranked = global_rank(nodes, "node", "node", descending=False, out="rk")
+
+    def cands(t: pa.Table) -> pa.Table:
+        o_u, o_rk = [], []
+        for u in pc.cast(t.column("node"), pa.int64()).to_pylist():
+            for i in range(_NEG_K):
+                o_u.append(u)
+                o_rk.append(md5_hash64(f"{u}:{i}") % n + 1)
+        return pa.table({"u0": pa.array(o_u, pa.int64()),
+                         "rk": pa.array(o_rk, pa.int64())})
+
+    rk_nodes = ranked.map_batches(
+        lambda t: pa.table({"rk": pc.cast(t.column("rk"), pa.int64()),
+                            "v0": pc.cast(t.column("node"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    pairs = hash_join(nodes.map_batches(cands, batch_format="pyarrow"),
+                      rk_nodes, on=("rk",))
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("u0"), pa.int64()).to_numpy()
+        b = pc.cast(t.column("v0"), pa.int64()).to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"u": pa.array(np.minimum(a, b), pa.int64()),
+                         "v": pa.array(np.maximum(a, b), pa.int64())})
+
+    uniq = pre_aggregated_count(
+        pairs.map_batches(norm, batch_format="pyarrow"), ["u", "v"], "m")
+    ekeys = edges.map_batches(
+        lambda t: pa.table({"u": pc.cast(t.column("u"), pa.int64()),
+                            "v": pc.cast(t.column("v"), pa.int64()),
+                            "e": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(uniq, ekeys, on=("u", "v"), how="left")
+
+    def anti(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "e" not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        keep = t.filter(pc.is_null(t.column("e"), nan_is_null=True))
+        return pa.table({"u": pc.cast(keep.column("u"), pa.int64()),
+                         "v": pc.cast(keep.column("v"), pa.int64())})
+
+    return joined.map_batches(anti, batch_format="pyarrow")
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -6448,6 +6709,11 @@ def queries() -> dict:
         "spend_kendall_tau": q_spend_kendall_tau,
         "nation_share_of_region": q_nation_share_of_region,
         "priority_month_chi2": q_priority_month_chi2,
+        "orders_zorder": q_orders_zorder,
+        "events_anomalies": q_events_anomalies,
+        "inverted_index": q_inverted_index,
+        "feature_hashing": q_feature_hashing,
+        "negative_edges": q_negative_edges,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -6702,6 +6968,28 @@ def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3) -> str:
       SELECT vec_id, cj,
              row_number() OVER (PARTITION BY vec_id ORDER BY d, cj) AS rn
       FROM df) WHERE rn = 1"""
+
+
+def _zorder_oracle_sql() -> str:
+    """Morton interleave unrolled to 32 integer terms — bit i of zx lands at
+    position 2i, bit i of zy at 2i+1, exactly mirroring q_orders_zorder's
+    shift loop."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((zx // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((zy // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    interleave = " + ".join(terms)
+    return f"""
+        WITH b AS (SELECT o_orderkey,
+               LEAST(GREATEST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                              // 4096, 0), 65535) AS zx,
+               LEAST(GREATEST(CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT)
+                              - 9131, 0), 65535) AS zy
+               FROM orders)
+        SELECT o_orderkey, zx, zy,
+               CAST({interleave} AS BIGINT) AS zvalue
+        FROM b
+    """
 
 
 def oracle_sql() -> dict:
@@ -8229,6 +8517,76 @@ def oracle_sql() -> dict:
                    CAST(1000000 - (4000000 * d.inv) // (t.n * (t.n - 1))
                         AS BIGINT) AS tau_ppm
             FROM d, t
+        """,
+        "orders_zorder": _zorder_oracle_sql(),
+        "feature_hashing": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+                  FROM tok),
+            c AS (SELECT doc_id, CAST(h % {_FH_DIMS} AS BIGINT) AS dim,
+                         CAST((h // {_FH_DIMS}) % 2 AS BIGINT) * 2 - 1 AS sgn
+                  FROM h)
+            SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS val
+            FROM c GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+        """,
+        "negative_edges": f"""
+            WITH e AS ({_co_edges_sql(2)}),
+            nd AS (SELECT DISTINCT node FROM
+                     (SELECT u AS node FROM e
+                      UNION ALL SELECT v AS node FROM e)),
+            r AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS rr
+                  FROM nd),
+            t AS (SELECT CAST(COUNT(*) AS UBIGINT) AS n FROM nd),
+            c AS (SELECT nd.node AS u0,
+                         CAST(('0x' || substr(md5(nd.node || ':' || i.i),
+                                              1, 16))::UBIGINT % t.n
+                              AS BIGINT) AS rr
+                  FROM nd
+                  CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) i
+                  CROSS JOIN t),
+            p AS (SELECT DISTINCT LEAST(u0, r.node) AS u,
+                                  GREATEST(u0, r.node) AS v
+                  FROM c JOIN r USING (rr) WHERE u0 <> r.node)
+            SELECT p.u, p.v
+            FROM p LEFT JOIN e ON e.u = p.u AND e.v = p.v
+            WHERE e.u IS NULL
+        """,
+        "inverted_index": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(l) AS w,
+                     generate_subscripts(l, 1) - 1 AS pos
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+                    FROM documents)),
+            f AS (SELECT w, doc_id, MIN(pos) AS pos FROM tok GROUP BY 1, 2),
+            r AS (SELECT w, doc_id, pos,
+                         row_number() OVER (PARTITION BY w ORDER BY doc_id)
+                             AS rn
+                  FROM f)
+            SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS df,
+                   COALESCE(string_agg(
+                       CASE WHEN rn <= {_INV_DF_CAP}
+                            THEN doc_id || ':' || pos END,
+                       ',' ORDER BY doc_id), '') AS postings
+            FROM r GROUP BY w
+        """,
+        "events_anomalies": """
+            WITH d AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            m AS (SELECT n AS med FROM
+                    (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM d)
+                  WHERE rn = (SELECT (COUNT(*) + 1) // 2 FROM d)),
+            a AS (SELECT ABS(d.n - m.med) AS dev FROM d, m),
+            md AS (SELECT dev AS mad FROM
+                     (SELECT dev, row_number() OVER (ORDER BY dev) AS rn FROM a)
+                   WHERE rn = (SELECT (COUNT(*) + 1) // 2 FROM a))
+            SELECT d.day, d.n, CAST(d.n - m.med AS BIGINT) AS deviation
+            FROM d, m, md WHERE ABS(d.n - m.med) > 3 * md.mad
         """,
         "value_trimmed_mean": """
             WITH b AS (SELECT event_type,
