@@ -5419,6 +5419,266 @@ def q_negative_edges(sf_dir: str):
     return joined.map_batches(anti, batch_format="pyarrow")
 
 
+def q_image_phash_neardup(sf_dir: str):
+    """Multimodal image NEAR-DUP (stages/multimodal.py phash_neardup_pairs):
+    perceptual-hash banding over decoded payloads — the LSH plan applied to
+    pixels instead of shingles. Each doc's 16-char text prefix stands in as
+    the binary payload (FakeCodec decode is deterministic per byte string),
+    modelling the same stock asset embedded on many pages: prefix
+    collisions land at Hamming 0 and make the run non-vacuous;
+    planted-pixel unit tests (PatternCodec) pin Hamming-1 recall and the
+    skew cap. Rows-only vs SQL (decode not SQL-expressible). Output:
+    (id_a, id_b, hamming)."""
+    from ..stages.multimodal import phash_neardup_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {"id": pc.cast(t.column("doc_id"), pa.int64()),
+             "payload": pa.array([(s or "")[:16].encode("utf-8") for s in texts],
+                                 pa.binary())}
+        )
+
+    return phash_neardup_pairs(ds.map_batches(to_payload, batch_format="pyarrow"))
+
+
+_CUME_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_order_cume_dist(sf_dir: str):
+    """Per-group CUME_DIST (fraction of the group at or below each value) in
+    exact ppm for every order within its priority class — the window
+    function SQL computes with PARTITION BY … RANGE UNBOUNDED PRECEDING,
+    done distributed WITHOUT a global sort: the fact reduces to a
+    (priority, cents) value HISTOGRAM (distinct-value sized); the
+    within-group cumulative comes from the range-partitioned
+    ``keyed_prefix_sum`` over a PACKED (prio_idx << 44 | cents) int key —
+    group boundaries fall out by subtracting each group's base offset
+    (five numbers from a tiny per-group total, shipped in the closure) —
+    and every order row meets its group cumulative via ONE
+    single-int-key hash join. cume_ppm = 10⁶·|{≤ v}| // n exactly.
+    Output: (o_orderkey, o_orderpriority, cents, cume_ppm)."""
+    from ..functions.rank import keyed_prefix_sum
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    pidx = {p: i for i, p in enumerate(_CUME_PRIOS)}
+
+    def keyed(t: pa.Table) -> pa.Table:
+        cents = _cents(np.asarray(t.column("o_totalprice")))
+        pi = np.fromiter((pidx[p] for p in
+                          t.column("o_orderpriority").to_pylist()),
+                         np.int64, t.num_rows)
+        return pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "pk": pa.array((pi << 44) | cents, pa.int64())})
+
+    rows = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"pk": t.column("pk"),
+                         "k": pa.array(np.ones(t.num_rows, np.int64))})
+
+    hist = grouped_aggregate(
+        rows.map_batches(ones, batch_format="pyarrow"),
+        ["pk"], Sum("k", alias_name="k"),
+    ).materialize()
+
+    def to_prio(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"pi": pa.array(pc.cast(t.column("pk"), pa.int64()).to_numpy()
+                            >> 44, pa.int64()),
+             "k": t.column("k")})
+
+    totals = {int(r["pi"]): int(r["k"]) for r in grouped_aggregate(
+        hist.map_batches(to_prio, batch_format="pyarrow"),
+        ["pi"], Sum("k", alias_name="k")).take_all()}
+    base, acc = {}, 0
+    for i in range(len(_CUME_PRIOS)):
+        base[i] = acc
+        acc += totals.get(i, 0)
+
+    cum = keyed_prefix_sum(hist, "pk", "k", out="ps")
+
+    def finish(t: pa.Table) -> pa.Table:
+        pk = pc.cast(t.column("pk"), pa.int64()).to_numpy()
+        pi = pk >> 44
+        k = pc.cast(t.column("k"), pa.int64()).to_numpy()
+        ps = pc.cast(t.column("ps"), pa.int64()).to_numpy()
+        b = np.fromiter((base[int(i)] for i in pi), np.int64, len(pi))
+        n = np.fromiter((totals[int(i)] for i in pi), np.int64, len(pi))
+        cle = ps + k - b
+        return pa.table(
+            {"pk": pa.array(pk, pa.int64()),
+             "cume_ppm": pa.array(1_000_000 * cle // n, pa.int64())})
+
+    joined = hash_join(rows, cum.map_batches(finish, batch_format="pyarrow"),
+                       on=("pk",))
+
+    def out(t: pa.Table) -> pa.Table:
+        pk = pc.cast(t.column("pk"), pa.int64()).to_numpy()
+        pi = (pk >> 44).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "o_orderpriority": pa.array([_CUME_PRIOS[i] for i in pi],
+                                         pa.string()),
+             "cents": pa.array(pk & ((1 << 44) - 1), pa.int64()),
+             "cume_ppm": pc.cast(t.column("cume_ppm"), pa.int64())})
+
+    return joined.map_batches(out, batch_format="pyarrow")
+
+
+def q_value_mannwhitney_u(sf_dir: str):
+    """MANN-WHITNEY U between two event populations (purchase vs view
+    values) — the standard nonparametric two-sample test, computed EXACTLY
+    from the value histogram with ties handled by midranks kept integer at
+    2× scale: U₂ = Σ_v n₁(v)·(2·|{view < v}| + n₂(v)) = 2U. The fact
+    reduces to per-value (n₁, n₂) counts; |{view < v}| is the
+    range-partitioned exclusive prefix sum of n₂ in value order (no global
+    sort); the final reduce is one scalar partial sum per block. Never a
+    float, so the oracle hash-matches. Output: (n1, n2, u2)."""
+    from ..functions.rank import keyed_prefix_sum
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        cents = _cents(np.asarray(t.column("value")))
+        is1 = np.fromiter((e == "purchase" for e in et), bool, len(et))
+        is2 = np.fromiter((e == "view" for e in et), bool, len(et))
+        keep = is1 | is2
+        c, one = cents[keep], is1[keep]
+        u, inv = np.unique(c, return_inverse=True)
+        n1 = np.bincount(inv, weights=one).astype(np.int64)
+        n2 = np.bincount(inv, weights=~one).astype(np.int64)
+        return pa.table({"c": pa.array(u, pa.int64()),
+                         "n1": pa.array(n1, pa.int64()),
+                         "n2": pa.array(n2, pa.int64())})
+
+    hist = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c"], Sum("n1", alias_name="n1"), Sum("n2", alias_name="n2"))
+    cum = keyed_prefix_sum(hist, "c", "n2", out="n2_less")
+
+    def reduce_u(t: pa.Table) -> pa.Table:
+        n1 = pc.cast(t.column("n1"), pa.int64()).to_numpy()
+        n2 = pc.cast(t.column("n2"), pa.int64()).to_numpy()
+        le = pc.cast(t.column("n2_less"), pa.int64()).to_numpy()
+        return pa.table({"n1": pa.array([int(n1.sum())], pa.int64()),
+                         "n2": pa.array([int(n2.sum())], pa.int64()),
+                         "u2": pa.array([int((n1 * (2 * le + n2)).sum())],
+                                        pa.int64())})
+
+    out = grouped_aggregate(
+        cum.map_batches(reduce_u, batch_format="pyarrow")
+        .map_batches(lambda t: t.append_column(
+            "__g", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["__g"], Sum("n1", alias_name="n1"), Sum("n2", alias_name="n2"),
+        Sum("u2", alias_name="u2"))
+    return out.map_batches(lambda t: t.select(["n1", "n2", "u2"]),
+                           batch_format="pyarrow")
+
+
+def q_user_pareto(sf_dir: str):
+    """PARETO / LORENZ concentration point: how few of the heaviest users
+    produce ≥ 80 % of all events. User totals pre-aggregate per batch; the
+    heaviest-first cumulative is the range-partitioned exclusive prefix sum
+    over a PACKED descending key ((2³¹ − cnt) ≪ 32 | user — ascending key
+    order IS count-descending, user-ascending total order, no global
+    sort); a user is in the 80 % head iff its exclusive prefix is below
+    the threshold, compared in integers (10·prefix < 8·total). Output:
+    (n_users, n_events, n_users_80, users_share_ppm)."""
+    from ..functions.rank import keyed_prefix_sum
+    from ..stages.canonicalize import grouped_aggregate, pre_aggregated_count
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+    ucnt = pre_aggregated_count(ds, ["user_id"], "cnt").materialize()
+    tot_tbl = grouped_aggregate(
+        ucnt.map_batches(
+            lambda t: pa.table(
+                {"__g": pa.array(np.zeros(t.num_rows, np.int64)),
+                 "cnt": pc.cast(t.column("cnt"), pa.int64()),
+                 "u": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["__g"], Sum("cnt", alias_name="tot"), Sum("u", alias_name="nu"),
+    ).take_all()
+    tot, nu = int(tot_tbl[0]["tot"]), int(tot_tbl[0]["nu"])
+
+    def packed(t: pa.Table) -> pa.Table:
+        cnt = pc.cast(t.column("cnt"), pa.int64()).to_numpy()
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return pa.table(
+            {"dk": pa.array((((1 << 31) - cnt) << 32) | uid, pa.int64()),
+             "cnt": pa.array(cnt, pa.int64())})
+
+    cum = keyed_prefix_sum(ucnt.map_batches(packed, batch_format="pyarrow"),
+                           "dk", "cnt", out="ps")
+
+    def head_count(t: pa.Table) -> pa.Table:
+        ps = pc.cast(t.column("ps"), pa.int64()).to_numpy()
+        return pa.table(
+            {"__g": pa.array([0], pa.int64()),
+             "n80": pa.array([int((10 * ps < 8 * tot).sum())], pa.int64())})
+
+    n80 = sum(int(r["n80"]) for r in grouped_aggregate(
+        cum.map_batches(head_count, batch_format="pyarrow"),
+        ["__g"], Sum("n80", alias_name="n80")).take_all())
+    return pa.table(
+        {"n_users": pa.array([nu], pa.int64()),
+         "n_events": pa.array([tot], pa.int64()),
+         "n_users_80": pa.array([n80], pa.int64()),
+         "users_share_ppm": pa.array([1_000_000 * n80 // nu], pa.int64())})
+
+
+def q_orders_zonemap(sf_dir: str):
+    """ZONE-MAP (data-skipping metadata) generation — the lakehouse
+    companion to `orders_zorder` and the `compact` maintenance op: per
+    1000-key tile of the order-key space, min/max of price and date plus
+    the row count, i.e. exactly the per-row-group stats a reader consults
+    to prune scans. Min/max/count are all mergeable, so each batch emits
+    one pre-aggregated row per tile it touches and the shuffle is
+    tile-sized, never fact-sized. Output: (tile, n, min_cents, max_cents,
+    min_day, max_day)."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "orders",
+             ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy()
+        cents = _cents(np.asarray(t.column("o_totalprice")))
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        tile = key // 1000
+        u, inv = np.unique(tile, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        mn_c = np.full(len(u), np.iinfo(np.int64).max)
+        mx_c = np.full(len(u), np.iinfo(np.int64).min)
+        mn_d = mn_c.copy(); mx_d = mx_c.copy()
+        np.minimum.at(mn_c, inv, cents); np.maximum.at(mx_c, inv, cents)
+        np.minimum.at(mn_d, inv, day); np.maximum.at(mx_d, inv, day)
+        return pa.table(
+            {"tile": pa.array(u, pa.int64()),
+             "n": pa.array(n, pa.int64()),
+             "min_cents": pa.array(mn_c, pa.int64()),
+             "max_cents": pa.array(mx_c, pa.int64()),
+             "min_day": pa.array(mn_d, pa.int64()),
+             "max_day": pa.array(mx_d, pa.int64())})
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tile"], Sum("n", alias_name="n"),
+        Min("min_cents", alias_name="min_cents"),
+        Max("max_cents", alias_name="max_cents"),
+        Min("min_day", alias_name="min_day"),
+        Max("max_day", alias_name="max_day"))
+
+
 def q_user_type_gini(sf_dir: str):
     """Behavioral-diversity score per user: Gini impurity of the user's
     event-type distribution, in integer ppm — 0 for a single-type user,
@@ -6714,6 +6974,11 @@ def queries() -> dict:
         "inverted_index": q_inverted_index,
         "feature_hashing": q_feature_hashing,
         "negative_edges": q_negative_edges,
+        "image_phash_neardup": q_image_phash_neardup,
+        "order_cume_dist": q_order_cume_dist,
+        "value_mannwhitney_u": q_value_mannwhitney_u,
+        "user_pareto": q_user_pareto,
+        "orders_zonemap": q_orders_zonemap,
         "dedup_ngram_spans": q_dedup_ngram_spans,
         "neardup_keep_best": q_neardup_keep_best,
         "customer_p90_spend": q_customer_p90_spend,
@@ -8519,6 +8784,70 @@ def oracle_sql() -> dict:
             FROM d, t
         """,
         "orders_zorder": _zorder_oracle_sql(),
+        "orders_zonemap": """
+            SELECT o_orderkey // 1000 AS tile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS min_cents,
+                   CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS max_cents,
+                   CAST(MIN(CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT))
+                        AS BIGINT) AS min_day,
+                   CAST(MAX(CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT))
+                        AS BIGINT) AS max_day
+            FROM orders GROUP BY 1
+        """,
+        "value_mannwhitney_u": """
+            WITH b AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')),
+            h AS (SELECT c,
+                         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                              AS BIGINT) AS n1,
+                         CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                              AS BIGINT) AS n2
+                  FROM b GROUP BY c),
+            w AS (SELECT n1, n2,
+                         COALESCE(SUM(n2) OVER (ORDER BY c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n2_less
+                  FROM h)
+            SELECT CAST(SUM(n1) AS BIGINT) AS n1,
+                   CAST(SUM(n2) AS BIGINT) AS n2,
+                   CAST(SUM(n1 * (2 * n2_less + n2)) AS BIGINT) AS u2
+            FROM w
+        """,
+        "user_pareto": """
+            WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1),
+            t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
+                         CAST(COUNT(*) AS BIGINT) AS nu FROM u),
+            r AS (SELECT cnt,
+                         SUM(cnt) OVER (ORDER BY cnt DESC, user_id) - cnt
+                             AS ps
+                  FROM u)
+            SELECT t.nu AS n_users, t.tot AS n_events,
+                   CAST(COUNT(*) FILTER (WHERE 10 * r.ps < 8 * t.tot)
+                        AS BIGINT) AS n_users_80,
+                   CAST(1000000 * COUNT(*) FILTER (WHERE 10 * r.ps
+                                                         < 8 * t.tot)
+                        // t.nu AS BIGINT) AS users_share_ppm
+            FROM r CROSS JOIN t GROUP BY t.nu, t.tot
+        """,
+        "order_cume_dist": """
+            SELECT o_orderkey, o_orderpriority, cents,
+                   CAST(1000000 * cle // n AS BIGINT) AS cume_ppm
+            FROM (SELECT o_orderkey, o_orderpriority, c AS cents,
+                         COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY c
+                                        RANGE BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS cle,
+                         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+                  FROM (SELECT o_orderkey, o_orderpriority,
+                               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                                   AS c
+                        FROM orders))
+        """,
         "feature_hashing": f"""
             WITH tok AS (
               SELECT doc_id,

@@ -50,6 +50,24 @@ class FakeCodec:
         return rng.randint(-(2**15), 2**15, size=n, dtype=np.int16)
 
 
+class PatternCodec:
+    """Test codec with CONTROLLED pixels: the payload's first 8 bytes are an
+    8×8 bit pattern; bit (r, c) becomes a 4×4 block of brightness 200 (set)
+    or 0 (clear) in a 32×32 image. ImageFeatureStage's phash samples pixel
+    (4r, 4c) — exactly cell (r, c) — so planted Hamming distances between
+    payloads are exact. Lives in the library (not test code) because Ray
+    workers must unpickle the codec."""
+
+    def decode_image(self, payload: bytes, *, size: tuple[int, int] = (32, 32)) -> np.ndarray:
+        p = (bytes(payload or b"") + b"\x00" * 8)[:8]
+        img = np.zeros((32, 32, 3), np.uint8)
+        for r in range(8):
+            for c in range(8):
+                if (p[r] >> c) & 1:
+                    img[4 * r:4 * r + 4, 4 * c:4 * c + 4, :] = 200
+        return img
+
+
 class RealCodec:  # pragma: no cover - requires image libs not in this sandbox
     def __init__(self):
         raise NotImplementedError(
@@ -214,3 +232,116 @@ def audio_chunks(
         AudioChunkStage(codec, chunk_samples=chunk_samples),
         batch_format="pyarrow", batch_size=batch_size,
     )
+
+
+def phash_neardup_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    codec=None,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bucket_cap: int = 64,
+    batch_size: int = 64,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> "ray.data.Dataset":
+    """Image NEAR-DUPLICATE pairs by perceptual-hash banding — the
+    multimodal analog of functions/dedup.py's MinHash-LSH plan: decode +
+    hash once per image (the binary payload NEVER shuffles; band rows are
+    24 B), slice the 64-bit phash into ``n_bands`` 16-bit bands
+    (pigeonhole: a pair within Hamming distance ``n_bands − 1`` shares at
+    least one identical band, so recall is exact for ``max_hamming`` ≤
+    n_bands − 1), bucket-groupby with the same sorted-chain skew cap as
+    lsh_near_dup_pairs, XOR-popcount verify in-bucket (the phash rides
+    along in the band row — no payload re-join), and pair-dedup across
+    bands through one packed-uint64 groupby keeping the min distance.
+    Rows-only vs SQL (the decode is not SQL-expressible); planted-pixel
+    unit tests pin recall and the cap path. Output: (id_a, id_b, hamming),
+    id_a < id_b, ids < 2^32 (_encode_pair contract)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from ..functions.graph import _encode_pair
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+
+    feats = image_features(
+        ds, codec=codec, batch_size=batch_size,
+        id_col=id_col, payload_col=payload_col,
+    )
+    P = _compact_blocks()
+
+    def bands(t: pa.Table) -> pa.Table:
+        ph = pc.cast(t.column("phash"), pa.int64()).to_numpy().astype(np.uint64)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy()
+        buckets = [
+            ((np.int64(b) << np.int64(16))
+             | ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            for b in range(n_bands)
+        ]
+        part = np.concatenate(buckets) % P
+        return pa.table(
+            {"bucket": pa.array(np.concatenate(buckets), pa.int64()),
+             "doc": pa.array(np.tile(ids, n_bands), pa.int64()),
+             "ph": pa.array(np.tile(ph.astype(np.int64), n_bands), pa.int64()),
+             "__part": pa.array(part, pa.int64())}
+        )
+
+    def part_cands(group: pd.DataFrame) -> pd.DataFrame:
+        a, b, h = [], [], []
+        for _, g in group.groupby("bucket", sort=False):
+            g = g.drop_duplicates("doc").sort_values("doc")
+            ids = g["doc"].to_numpy()
+            phs = g["ph"].to_numpy().astype(np.uint64)
+            n = len(ids)
+            if n < 2:
+                continue
+            pairs = (
+                [(i, j) for i in range(n) for j in range(i + 1, n)]
+                if n <= bucket_cap
+                else [(i, i + 1) for i in range(n - 1)]  # sorted-chain skew cap
+            )
+            ii = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+            jj = np.fromiter((p[1] for p in pairs), np.int64, len(pairs))
+            x = phs[ii] ^ phs[jj]
+            hd = np.unpackbits(x.view(np.uint8)).reshape(len(pairs), 64).sum(1)
+            keep = hd <= max_hamming
+            a.extend(ids[ii[keep]].tolist())
+            b.extend(ids[jj[keep]].tolist())
+            h.extend(hd[keep].astype(np.int64).tolist())
+        return pd.DataFrame(
+            {"id_a": pd.Series(a, dtype="int64"),
+             "id_b": pd.Series(b, dtype="int64"),
+             "hamming": pd.Series(h, dtype="int64")}
+        )
+
+    def pack(t: pa.Table) -> pa.Table:
+        aa = pc.cast(t.column("id_a"), pa.int64()).to_numpy()
+        bb = pc.cast(t.column("id_b"), pa.int64()).to_numpy()
+        return pa.table(
+            {"k": pa.array(_encode_pair(aa, bb), pa.uint64()),
+             "hamming": t.column("hamming")}
+        )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        k = t.column("k").to_numpy()
+        return pa.table(
+            {"id_a": pa.array((k >> np.uint64(32)).astype(np.int64), pa.int64()),
+             "id_b": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                              pa.int64()),
+             "hamming": pc.cast(t.column("hamming"), pa.int64())}
+        )
+
+    cands = (
+        feats.map_batches(bands, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_cands, batch_format="pandas")
+    )
+    return grouped_aggregate(
+        cands.map_batches(pack, batch_format="pyarrow"),
+        ["k"], Min("hamming", alias_name="hamming"),
+    ).map_batches(unpack, batch_format="pyarrow")

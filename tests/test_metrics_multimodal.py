@@ -136,3 +136,37 @@ def test_audio_chunks_actor_plan_matches():
         key=lambda r: (r["id"], r["chunk_id"]),
     )
     assert a == b
+
+
+def test_phash_neardup_finds_planted_pairs():
+    from ner_extractor_ray.stages.multimodal import PatternCodec, phash_neardup_pairs
+
+    base = bytes([0xFF] * 4 + [0x00] * 4)   # top half set: 32 bright cells
+    dup = bytes(base)
+    near1 = bytes([0xFE]) + base[1:]        # flip cell (0,0): Hamming 1
+    far = base[:7] + bytes([0xFF])          # flip row 7: Hamming 7 (bit 63 masked)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "payload": pa.array([base, dup, near1, far], pa.binary()),
+    }))
+    out = phash_neardup_pairs(ds, codec=PatternCodec()).take_all()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs[(1, 2)] == 0          # exact dup
+    assert pairs[(1, 3)] == 1          # one flipped cell
+    assert pairs[(2, 3)] == 1
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # Hamming 7 rejected
+
+
+def test_phash_neardup_bucket_cap_chain():
+    from ner_extractor_ray.stages.multimodal import PatternCodec, phash_neardup_pairs
+
+    base = bytes([0xFF] * 4 + [0x00] * 4)
+    # five exact copies: full pairing would be C(5,2)=10; cap=2 forces the
+    # sorted-chain fallback (4 consecutive pairs), connectivity preserved
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "payload": pa.array([base] * 5, pa.binary()),
+    }))
+    out = phash_neardup_pairs(ds, codec=PatternCodec(), bucket_cap=2).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert pairs == {(1, 2), (2, 3), (3, 4), (4, 5)}
