@@ -6806,6 +6806,675 @@ def _lpa_sql(n_iters: int = 3) -> str:
 
 # --------------------------------------------------------------------------
 
+def _ts_us(s: str) -> int:
+    """Epoch µs of an ISO date — deterministic, engine-neutral (the SQL side
+    compares against TIMESTAMP literals; both resolve to the same instant)."""
+    return int(np.datetime64(s, "us").astype(np.int64))
+
+
+def q_late_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS semi-join at fact scale: count Q1-1996 orders
+    per priority that have at least one RETURNED lineitem. The EXISTS side
+    (lineitem, the bigger table) is predicate-filtered at the read and
+    reduced to DISTINCT order keys by a per-batch combiner (one 8 B row per
+    key — the matching rows themselves never ship), then ONE partitioned
+    hash join flags membership; the date window prunes orders BEFORE the
+    join. Bloom would be a legal prefilter here (semi-join false positives
+    only cost verify work, unlike the anti case) but the distinct-key table
+    is already ≤ order-cardinality, so the exact plan wins. Final priority
+    histogram is ≤ 5 rows at any scale."""
+    from ..stages.canonicalize import pre_aggregated_count
+    from ..stages.joins import hash_join
+
+    lo, hi = _ts_us("1996-01-01"), _ts_us("1996-04-01")
+
+    def date_window(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("o_orderdate"), pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        return pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "o_orderpriority": pc.cast(t.column("o_orderpriority"), pa.string())})
+
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        date_window, batch_format="pyarrow")
+    returned = _rp(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("l_returnflag"), "R"))
+                   .select(["l_orderkey"]),
+        batch_format="pyarrow")
+    rkeys = pre_aggregated_count(returned, ["l_orderkey"], "m").map_batches(
+        lambda t: pa.table({"o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64())})
+        if t.num_rows else pa.table({"o_orderkey": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+
+    joined = hash_join(orders, rkeys, on=("o_orderkey",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object"),
+                                 "n_orders": pd.Series([], dtype="int64")})
+        g = df.groupby("o_orderpriority", as_index=False).size().rename(
+            columns={"size": "n_orders"})
+        return g.astype({"n_orders": "int64"})
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_orders", alias_name="n_orders")))
+
+
+def q_top_return_customers(sf_dir: str):
+    """TPC-H Q10 shape — who returned the most money in H1-1996. Fact×fact
+    hash-join chain with aggregation pushed BELOW each join: returned-item
+    revenue (exact integer cents, the same IEEE FLOOR(price·(1−disc)·100
+    + 0.5) expression both engines) is pre-aggregated PER ORDER before
+    joining the date-windowed orders — the join ships one row per order,
+    not per lineitem — then re-aggregated per customer, and the top 20 is
+    found with a lossless per-batch top-k combiner (any global top-20 row
+    is a batch top-20 row), so the customer-sized table never sorts
+    globally. Names attach by filtering the customer DIMENSION against the
+    broadcast 20-key winner set — never the reverse."""
+    from ..stages.joins import hash_join
+
+    lo, hi = _ts_us("1996-01-01"), _ts_us("1996-07-01")
+    K = 20
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        price = np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(t.column("l_discount"), dtype=np.float64)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy(),
+             "rev_cents": rev})
+        g = df.groupby("o_orderkey", as_index=False)["rev_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = _gagg(
+        _rp(sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+            ).map_batches(li_partial, batch_format="pyarrow"),
+        "o_orderkey", Sum("rev_cents", alias_name="rev_cents"))
+
+    def date_window(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("o_orderdate"), pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        return pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "c_custkey": pc.cast(t.column("o_custkey"), pa.int64())})
+
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        date_window, batch_format="pyarrow")
+
+    joined = hash_join(per_order, orders, on=("o_orderkey",))
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                 "revenue_cents": pd.Series([], dtype="int64")})
+        g = df.groupby("c_custkey", as_index=False).agg(
+            revenue_cents=("rev_cents", "sum"))
+        return g.astype({"c_custkey": "int64", "revenue_cents": "int64"})
+
+    per_cust = _gagg(joined.map_batches(cust_partial, batch_format="pandas"),
+                     "c_custkey", Sum("revenue_cents", alias_name="revenue_cents"))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_cents", "c_custkey"],
+                              ascending=[False, True]).head(K)
+
+    top = (per_cust.map_batches(topk, batch_format="pandas")
+           .repartition(1).map_batches(topk, batch_format="pandas").take_all())
+    winners = {int(r["c_custkey"]): int(r["revenue_cents"]) for r in top}
+    wref = ray.put(winners)
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()}
+    nref = ray.put(nation)
+
+    def attach(t: pa.Table) -> pa.Table:
+        w, nm = ray.get(wref), ray.get(nref)
+        keys = pc.cast(t.column("c_custkey"), pa.int64()).to_numpy()
+        keep = np.array([int(k) in w for k in keys], dtype=bool)
+        t = t.filter(pa.array(keep))
+        keys = pc.cast(t.column("c_custkey"), pa.int64()).to_numpy()
+        return pa.table(
+            {"c_custkey": pa.array(keys, pa.int64()),
+             "c_name": pc.cast(t.column("c_name"), pa.string()),
+             "n_name": pa.array(
+                 [nm[int(k)] for k in pc.cast(t.column("c_nationkey"),
+                                              pa.int64()).to_numpy()], pa.string()),
+             "revenue_cents": pa.array([w[int(k)] for k in keys], pa.int64())})
+
+    return _nonempty_or_empty_table(
+        _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+            attach, batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
+                   ("n_name", pa.string()), ("revenue_cents", pa.int64())]))
+
+
+def q_part_revenue_share(sf_dir: str):
+    """TPC-H Q11 shape — groups exceeding a FRACTION of the GLOBAL total:
+    parts whose revenue share exceeds 100 ppm. Two-level exact plan: the
+    fact table is scanned ONCE into a per-part integer-cents aggregate;
+    the global total is then an aggregate OF THE PART-SIZED TABLE (one
+    scalar to the driver — legal at any scale), and the threshold is the
+    cross-multiplied integer rev·10⁴ > total — no division in the filter,
+    so no rounding ambiguity. share_ppm = rev·10⁶ // total is exact trunc
+    division, identical in DuckDB."""
+    per_part = _gagg(
+        _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]).map_batches(
+            lambda t: pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"p_partkey": pc.cast(t.column("l_partkey"), pa.int64()).to_numpy(),
+                     "rev_cents": _cents(np.asarray(t.column("l_extendedprice")))})
+                .groupby("p_partkey", as_index=False)["rev_cents"].sum(),
+                preserve_index=False),
+            batch_format="pyarrow"),
+        "p_partkey", Sum("rev_cents", alias_name="rev_cents")).materialize()
+    total = int(per_part.sum("rev_cents"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = pc.cast(t.column("rev_cents"), pa.int64()).to_numpy()
+        keep = rev * 10_000 > total
+        rev = rev[keep]
+        return pa.table(
+            {"p_partkey": pa.array(
+                pc.cast(t.column("p_partkey"), pa.int64()).to_numpy()[keep], pa.int64()),
+             "rev_cents": pa.array(rev, pa.int64()),
+             "share_ppm": pa.array(rev * 1_000_000 // total, pa.int64())})
+
+    return _nonempty_or_empty_table(
+        per_part.map_batches(finish, batch_format="pyarrow"),
+        pa.schema([("p_partkey", pa.int64()), ("rev_cents", pa.int64()),
+                   ("share_ppm", pa.int64())]))
+
+
+def q_supplier_diversity(sf_dir: str):
+    """TPC-H Q16 shape — COUNT(DISTINCT supplier) per part attribute group,
+    excluding a dimension-derived blocklist (suppliers in deficit). The
+    exclusion must be EXACT (a Bloom false positive would silently DROP a
+    legitimate supplier — the anti-join dual), so the blocklist attaches
+    via one partitioned hash LEFT join against the DISTINCT (supp, part)
+    pair table, which a per-batch combiner reduces FIRST — the join and
+    everything downstream run at pair, not lineitem, cardinality. Part
+    attributes attach by a second hash join; the distinct count is a third
+    combiner + count at group cardinality. Blocklist is empty at sf0.001
+    (6 suppliers at sf0.01) — the exclusion path is pinned by a synthetic
+    fixture in tests/test_round3_ops.py."""
+    from ..stages.canonicalize import pre_aggregated_count
+    from ..stages.joins import hash_join
+
+    pairs = pre_aggregated_count(
+        _rp(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]),
+        ["l_suppkey", "l_partkey"], "m").map_batches(
+        lambda t: pa.table(
+            {"l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+             "p_partkey": pc.cast(t.column("l_partkey"), pa.int64())}),
+        batch_format="pyarrow")
+    bad = _rp(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).map_batches(
+        lambda t: (lambda f: pa.table(
+            {"l_suppkey": pc.cast(f.column("s_suppkey"), pa.int64()),
+             "bad": pa.array(np.ones(f.num_rows, np.int64), pa.int64())}))(
+            t.filter(pc.less(t.column("s_acctbal"), 0.0))),
+        batch_format="pyarrow")
+    survivors = hash_join(pairs, bad, on=("l_suppkey",), how="left").map_batches(
+        lambda t: (t.filter(pc.is_null(t.column("bad"), nan_is_null=True))
+                   .select(["l_suppkey", "p_partkey"]))
+        if t.num_rows and "bad" in t.column_names
+        else (t.select(["l_suppkey", "p_partkey"]) if t.num_rows else pa.table(
+            {"l_suppkey": pa.array([], pa.int64()),
+             "p_partkey": pa.array([], pa.int64())})),
+        batch_format="pyarrow")
+    part = _rp(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: pa.table(
+            {"p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+             "p_brand": pc.cast(t.column("p_brand"), pa.string()),
+             "p_size": pc.cast(t.column("p_size"), pa.int64())}),
+        batch_format="pyarrow")
+    attrs = hash_join(survivors, part, on=("p_partkey",))
+    triple = pre_aggregated_count(
+        attrs, ["p_brand", "p_size", "l_suppkey"], "m")
+    return pre_aggregated_count(triple, ["p_brand", "p_size"], "n_suppliers")
+
+
+def q_churned_high_value(sf_dir: str):
+    """TPC-H Q22 shape — high-balance customers gone quiet: balance above
+    the mean POSITIVE balance, no order since 2000-08-01. The global mean
+    is carried as the exact integer pair (total, n) and applied by
+    cross-multiplication bal·n > total — no division, so the threshold is
+    hash-exact. Recent-order keys reduce to a distinct-key combiner at
+    order scale; the anti step is the exact LEFT-join null-match (Bloom is
+    unsafe for antis — an FP would drop a legitimate churn risk). Output:
+    per-nation count + total balance of the at-risk book."""
+    from ..stages.canonicalize import pre_aggregated_count
+    from ..stages.joins import hash_join
+
+    cutoff = _ts_us("2000-08-01")
+    cust = _rp(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+             "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+             "bal_cents": pa.array(_cents(np.asarray(t.column("c_acctbal"))),
+                                   pa.int64())}),
+        batch_format="pyarrow").materialize()
+    stats = cust.map_batches(
+        lambda t: (lambda b: pa.table(
+            {"tot": pa.array([int(b.sum())], pa.int64()),
+             "n": pa.array([int(b.size)], pa.int64())}))(
+            pc.cast(t.column("bal_cents"), pa.int64()).to_numpy()[
+                pc.cast(t.column("bal_cents"), pa.int64()).to_numpy() > 0]),
+        batch_format="pyarrow").sum(["tot", "n"])
+    tot, n_pos = int(stats["sum(tot)"]), int(stats["sum(n)"])
+
+    recent = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            pc.cast(t.column("o_orderdate"), pa.int64()), cutoff))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow")
+    rkeys = pre_aggregated_count(recent, ["o_custkey"], "m").map_batches(
+        lambda t: pa.table(
+            {"c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+             "m": pa.array(np.ones(t.num_rows, np.int64), pa.int64())})
+        if t.num_rows else pa.table({"c_custkey": pa.array([], pa.int64()),
+                                     "m": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    joined = hash_join(cust, rkeys, on=("c_custkey",), how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                              "n_customers": pd.Series([], dtype="int64"),
+                              "total_bal_cents": pd.Series([], dtype="int64")})
+        if df.empty or "m" not in df.columns:
+            return empty
+        keep = df[df["m"].isna()
+                  & (df["bal_cents"].to_numpy(dtype=np.int64) * n_pos > tot)]
+        if keep.empty:
+            return empty
+        g = keep.groupby("c_nationkey", as_index=False).agg(
+            n_customers=("bal_cents", "size"), total_bal_cents=("bal_cents", "sum"))
+        return g.astype({"c_nationkey": "int64", "n_customers": "int64",
+                         "total_bal_cents": "int64"})
+
+    return (joined.map_batches(finish, batch_format="pandas")
+            .groupby("c_nationkey")
+            .aggregate(Sum("n_customers", alias_name="n_customers"),
+                       Sum("total_bal_cents", alias_name="total_bal_cents")))
+
+
+def q_orders_benford(sf_dir: str):
+    """Benford first-digit profile of order totals — the classic fraud /
+    synthetic-data smell test. The leading digit comes from a vectorized
+    integer divide-down loop (≤ 9 ``//10`` steps on cents — no log10: float
+    logs are not bit-reproducible across engines); per-batch digit-count
+    partials fold into a ≤ 9-row histogram, and the ppm share is computed
+    against the total INSIDE the single final block. Zero joins; the
+    exchange is 9 rows at any corpus size."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = _cents(np.asarray(t.column("o_totalprice")))
+        m = d >= 10
+        while m.any():
+            d[m] //= 10
+            m = d >= 10
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"digit": pa.array(uniq, pa.int64()),
+                         "n_orders": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    hist = (_rp(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("digit").aggregate(Sum("n_orders", alias_name="n_orders")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_orders"), pa.int64()).to_numpy()
+        total = int(n.sum()) or 1
+        return pa.table({"digit": pc.cast(t.column("digit"), pa.int64()),
+                         "n_orders": pa.array(n, pa.int64()),
+                         "share_ppm": pa.array(n * 1_000_000 // total, pa.int64())})
+
+    return hist.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def q_nations_intersect_all(sf_dir: str):
+    """INTERSECT ALL — the bag complement of nations_except_all: a key with
+    multiplicity l among customers and r among suppliers keeps min(l, r)
+    occurrences. Identical side-tagged count-partial plan (the multiset
+    stays in (k, n) aggregate form end to end; no joins, no driver sets);
+    only the row-local finish differs (min instead of clamped difference)."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    def side(name: str, col: str, tag: int) -> "ray.data.Dataset":
+        def partial(t: pa.Table) -> pa.Table:
+            k = pc.cast(t.column(col), pa.int64()).to_numpy()
+            uniq, cnt = np.unique(k, return_counts=True)
+            c = cnt.astype(np.int64)
+            return pa.table(
+                {"k": pa.array(uniq, pa.int64()),
+                 "l": pa.array(c if tag == 0 else np.zeros_like(c), pa.int64()),
+                 "r": pa.array(c if tag == 1 else np.zeros_like(c), pa.int64())})
+
+        return _rp(sf_dir, name, [col]).map_batches(partial, batch_format="pyarrow")
+
+    both = side("customer", "c_nationkey", 0).union(side("supplier", "s_nationkey", 1))
+    agg = grouped_aggregate(both, ["k"], Sum("l", alias_name="l"),
+                            Sum("r", alias_name="r"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        l = pc.cast(t.column("l"), pa.int64()).to_numpy()
+        r = pc.cast(t.column("r"), pa.int64()).to_numpy()
+        n = np.minimum(l, r)
+        keep = n > 0
+        return pa.table(
+            {"k": pa.array(pc.cast(t.column("k"), pa.int64()).to_numpy()[keep],
+                           pa.int64()),
+             "n": pa.array(n[keep], pa.int64())})
+
+    return _nonempty_or_empty_table(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        pa.schema([("k", pa.int64()), ("n", pa.int64())]))
+
+
+_WAIT_GRACE_US = 90 * 86_400_000_000  # 90 days in µs
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — suppliers who were the SOLE late supplier on a
+    multi-supplier order ("late" = any lineitem shipped > 90 days after the
+    order date; the schema has no commit/receipt dates). The classic plan is
+    EXISTS(other supplier) AND NOT EXISTS(other LATE supplier) — two fact
+    self-joins; here both fold into ONE per-order aggregate pass: lineitem
+    first reduces to DISTINCT (order, supplier, max_shipdate) — a supplier is
+    late iff its LATEST line is (max is the OR-fold of per-line lateness) —
+    the pair table hash-joins the date-keyed orders (one row per pair, never
+    per lineitem), and a second grouped aggregate computes per order
+    (n_suppliers, n_late, argmax-late-supplier) in integer form. The sole
+    late supplier is exactly the max of late·suppkey when n_late = 1, so
+    the filter + final per-supplier count never revisit the fact table."""
+    from ..stages.canonicalize import grouped_aggregate, pre_aggregated_count
+    from ..stages.joins import hash_join
+
+    pairs = grouped_aggregate(
+        _rp(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+            lambda t: pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"o_orderkey": pc.cast(t.column("l_orderkey"),
+                                           pa.int64()).to_numpy(),
+                     "l_suppkey": pc.cast(t.column("l_suppkey"),
+                                          pa.int64()).to_numpy(),
+                     "ship_us": pc.cast(t.column("l_shipdate"),
+                                        pa.int64()).to_numpy()})
+                .groupby(["o_orderkey", "l_suppkey"], as_index=False)["ship_us"]
+                .max(), preserve_index=False),
+            batch_format="pyarrow"),
+        ["o_orderkey", "l_suppkey"], Max("ship_us", alias_name="ship_us"))
+
+    odates = _rp(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "odate_us": pc.cast(t.column("o_orderdate"), pa.int64())}),
+        batch_format="pyarrow")
+    joined = hash_join(pairs, odates, on=("o_orderkey",))
+
+    def per_pair(t: pa.Table) -> pa.Table:
+        sk = pc.cast(t.column("l_suppkey"), pa.int64()).to_numpy()
+        late = (pc.cast(t.column("ship_us"), pa.int64()).to_numpy()
+                > pc.cast(t.column("odate_us"), pa.int64()).to_numpy()
+                + _WAIT_GRACE_US).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "one": pa.array(np.ones(len(sk), np.int64), pa.int64()),
+             "late": pa.array(late, pa.int64()),
+             # max(cand) over the order = the late supplier when n_late == 1;
+             # -1 sentinel keeps the max well-defined for all-on-time orders
+             "cand": pa.array(np.where(late == 1, sk, -1), pa.int64())})
+
+    per_order = grouped_aggregate(
+        joined.map_batches(per_pair, batch_format="pyarrow"),
+        ["o_orderkey"], Sum("one", alias_name="n_supp"),
+        Sum("late", alias_name="n_late"), Max("cand", alias_name="cand"))
+
+    def sole(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(pc.cast(t.column("n_supp"), pa.int64()), 2),
+            pc.equal(pc.cast(t.column("n_late"), pa.int64()), 1))
+        t = t.filter(keep)
+        return pa.table({"l_suppkey": pc.cast(t.column("cand"), pa.int64())})
+
+    return _nonempty_or_empty_table(
+        pre_aggregated_count(
+            per_order.map_batches(sole, batch_format="pyarrow"),
+            ["l_suppkey"], "n_orders"),
+        pa.schema([("l_suppkey", pa.int64()), ("n_orders", pa.int64())]))
+
+
+def q_nation_pair_volume(sf_dir: str):
+    """TPC-H Q7 shape — 1996 trade volume by (customer nation, supplier
+    nation) pair: a FOUR-table chain where aggregation is pushed below every
+    join so each exchange runs at the smaller post-aggregate cardinality:
+    lineitem (date-pruned at the read) pre-aggregates to (order, supplier)
+    cents, the supplier nation attaches by partitioned hash join (supplier
+    is customer-scale at 100 TB — never broadcast), rows re-aggregate to
+    (order, supp_nation) before the orders join, then to (custkey,
+    supp_nation) before the customer join, and the final pair groupby is
+    nations² rows. Revenue in exact integer cents throughout."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    lo, hi = _ts_us("1996-01-01"), _ts_us("1997-01-01")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("l_shipdate"), pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        price = np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(t.column("l_discount"), dtype=np.float64)
+        df = pd.DataFrame(
+            {"o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy(),
+             "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()).to_numpy(),
+             "rev_cents": np.floor(price * (1.0 - disc) * 100.0 + 0.5)
+                            .astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["o_orderkey", "s_suppkey"], as_index=False)["rev_cents"]
+              .sum(), preserve_index=False)
+
+    per_pair = grouped_aggregate(
+        _rp(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+             "l_discount"]).map_batches(li_partial, batch_format="pyarrow"),
+        ["o_orderkey", "s_suppkey"], Sum("rev_cents", alias_name="rev_cents"))
+
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+             "supp_nation": pc.cast(t.column("s_nationkey"), pa.int64())}),
+        batch_format="pyarrow")
+    per_osn = grouped_aggregate(
+        hash_join(per_pair, supp, on=("s_suppkey",)).map_batches(
+            lambda t: t.select(["o_orderkey", "supp_nation", "rev_cents"]),
+            batch_format="pyarrow"),
+        ["o_orderkey", "supp_nation"], Sum("rev_cents", alias_name="rev_cents"))
+
+    ocust = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "c_custkey": pc.cast(t.column("o_custkey"), pa.int64())}),
+        batch_format="pyarrow")
+    per_csn = grouped_aggregate(
+        hash_join(per_osn, ocust, on=("o_orderkey",)).map_batches(
+            lambda t: t.select(["c_custkey", "supp_nation", "rev_cents"]),
+            batch_format="pyarrow"),
+        ["c_custkey", "supp_nation"], Sum("rev_cents", alias_name="rev_cents"))
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+             "cust_nation": pc.cast(t.column("c_nationkey"), pa.int64())}),
+        batch_format="pyarrow")
+    return _nonempty_or_empty_table(
+        grouped_aggregate(
+            hash_join(per_csn, cust, on=("c_custkey",)).map_batches(
+                lambda t: t.select(["cust_nation", "supp_nation", "rev_cents"]),
+                batch_format="pyarrow"),
+            ["cust_nation", "supp_nation"],
+            Sum("rev_cents", alias_name="rev_cents")),
+        pa.schema([("cust_nation", pa.int64()), ("supp_nation", pa.int64()),
+                   ("rev_cents", pa.int64())]))
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — the revenue-champion supplier(s) of Q1-1996, TIES
+    KEPT (= the view + WHERE rev = (SELECT MAX ...) formulation). Per-batch
+    partials fold into a supplier-sized integer-cents aggregate; the global
+    max is then ONE scalar off that aggregate (never the fact table) and
+    the winners are a distributed equality filter — no global sort, no
+    top-k heap, and exact under ties, which LIMIT 1 would break."""
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("l_shipdate"), pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, _ts_us("1996-01-01")),
+                             pc.less(us, _ts_us("1996-04-01"))))
+        price = np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(t.column("l_discount"), dtype=np.float64)
+        df = pd.DataFrame(
+            {"l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()).to_numpy(),
+             "revenue_cents": np.floor(price * (1.0 - disc) * 100.0 + 0.5)
+                                .astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("l_suppkey", as_index=False)["revenue_cents"].sum(),
+            preserve_index=False)
+
+    per_supp = _gagg(
+        _rp(sf_dir, "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+            ).map_batches(partial, batch_format="pyarrow"),
+        "l_suppkey", Sum("revenue_cents", alias_name="revenue_cents")
+    ).materialize()
+    schema = pa.schema([("l_suppkey", pa.int64()),
+                        ("revenue_cents", pa.int64())])
+    if per_supp.count() == 0:
+        return schema.empty_table()
+    mx = int(per_supp.max("revenue_cents"))
+    return per_supp.map_batches(
+        lambda t: (lambda f: pa.table(
+            {"l_suppkey": pc.cast(f.column("l_suppkey"), pa.int64()),
+             "revenue_cents": pc.cast(f.column("revenue_cents"), pa.int64())}))(
+            t.filter(pc.equal(pc.cast(t.column("revenue_cents"), pa.int64()),
+                              mx))),
+        batch_format="pyarrow")
+
+
+_BIG_ORDER_MIN_QTY = 250
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18 shape — large-volume orders: HAVING on a fact aggregate,
+    then a join BACK to the parent table for attributes. The per-order
+    quantity sum (quantities are integral — summed as int64, hash-exact)
+    filters DISTRIBUTED right off the aggregate (~1% of orders survive
+    at threshold 250), and only the survivor keys join orders — a
+    semi-join-shaped hash join whose build side is the filtered aggregate,
+    so the wide order attributes never ship for non-qualifying orders."""
+    from ..stages.joins import hash_join
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy(),
+             "total_qty": np.asarray(t.column("l_quantity"),
+                                     dtype=np.float64).astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("o_orderkey", as_index=False)["total_qty"].sum(),
+            preserve_index=False)
+
+    big = _gagg(
+        _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            partial, batch_format="pyarrow"),
+        "o_orderkey", Sum("total_qty", alias_name="total_qty")).map_batches(
+        lambda t: t.filter(pc.greater(pc.cast(t.column("total_qty"), pa.int64()),
+                                      _BIG_ORDER_MIN_QTY)),
+        batch_format="pyarrow")
+
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+             "price_cents": pa.array(_cents(np.asarray(t.column("o_totalprice"))),
+                                     pa.int64())}),
+        batch_format="pyarrow")
+    return _nonempty_or_empty_table(
+        hash_join(big, orders, on=("o_orderkey",)).map_batches(
+            lambda t: t.select(["o_orderkey", "o_custkey", "total_qty",
+                                "price_cents"]),
+            batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                   ("total_qty", pa.int64()), ("price_cents", pa.int64())]))
+
+
+# Q19 brackets: (brand, max size, qty lo, qty hi) — disjuncts share nothing,
+# so only the UNION of the part-side predicates can prune before the join.
+_BRACKETS = (("Brand#11", 15, 1, 15), ("Brand#22", 25, 10, 25),
+             ("Brand#33", 35, 20, 35))
+
+
+def q_brand_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive multi-bracket predicate spanning BOTH
+    join sides: revenue where (brand, size, quantity) satisfies any of three
+    OR'd brackets. No single conjunct can be pushed down, but the UNION of
+    each side's disjuncts can: the part side prunes to the three brands
+    (dimension-side filter), the lineitem side to the overall quantity hull
+    [1, 35] at the read — then the exact OR mask evaluates VECTORIZED after
+    one partitioned hash join, and the survivors fold to a single integer
+    cents scalar (per-batch partial sums; the exchange is one row/batch)."""
+    from ..stages.joins import hash_join
+
+    brands = [b for b, _, _, _ in _BRACKETS]
+    qty_hull = (min(lo for _, _, lo, _ in _BRACKETS),
+                max(hi for _, _, _, hi in _BRACKETS))
+
+    part = _rp(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: (lambda f: pa.table(
+            {"p_partkey": pc.cast(f.column("p_partkey"), pa.int64()),
+             "p_brand": pc.cast(f.column("p_brand"), pa.string()),
+             "p_size": pc.cast(f.column("p_size"), pa.int64())}))(
+            t.filter(pc.is_in(t.column("p_brand"),
+                              value_set=pa.array(brands)))),
+        batch_format="pyarrow")
+
+    def li_prune(t: pa.Table) -> pa.Table:
+        qty = np.asarray(t.column("l_quantity"), dtype=np.float64)
+        keep = (qty >= qty_hull[0]) & (qty <= qty_hull[1])
+        price = np.asarray(t.column("l_extendedprice"), dtype=np.float64)[keep]
+        disc = np.asarray(t.column("l_discount"), dtype=np.float64)[keep]
+        return pa.table(
+            {"p_partkey": pa.array(
+                pc.cast(t.column("l_partkey"), pa.int64()).to_numpy()[keep],
+                pa.int64()),
+             "qty": pa.array(qty[keep].astype(np.int64), pa.int64()),
+             "rev_cents": pa.array(
+                 np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64),
+                 pa.int64())})
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+             ).map_batches(li_prune, batch_format="pyarrow")
+    joined = hash_join(li, part, on=("p_partkey",))
+
+    def bracket_sum(t: pa.Table) -> pa.Table:
+        brand = t.column("p_brand").to_pandas().to_numpy(dtype=object)
+        size = pc.cast(t.column("p_size"), pa.int64()).to_numpy()
+        qty = pc.cast(t.column("qty"), pa.int64()).to_numpy()
+        rev = pc.cast(t.column("rev_cents"), pa.int64()).to_numpy()
+        mask = np.zeros(len(rev), dtype=bool)
+        for b, smax, qlo, qhi in _BRACKETS:
+            mask |= (brand == b) & (size >= 1) & (size <= smax) \
+                    & (qty >= qlo) & (qty <= qhi)
+        return pa.table({"revenue_cents":
+                         pa.array([int(rev[mask].sum())], pa.int64())})
+
+    total = joined.map_batches(bracket_sum, batch_format="pyarrow"
+                               ).sum("revenue_cents")
+    return pa.table({"revenue_cents": pa.array([int(total or 0)], pa.int64())})
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -7017,6 +7686,20 @@ def queries() -> dict:
         "cluster_homogeneity": q_cluster_homogeneity,
         "mention_confusion": q_mention_confusion,
         "kg_edges": q_kg_edges,
+        # ---- late-round-3 additions (oracle-backed; next-round window
+        # candidates — appended so the attested first-50 window is stable) ----
+        "late_order_priority": q_late_order_priority,
+        "top_return_customers": q_top_return_customers,
+        "part_revenue_share": q_part_revenue_share,
+        "supplier_diversity": q_supplier_diversity,
+        "churned_high_value": q_churned_high_value,
+        "orders_benford": q_orders_benford,
+        "nations_intersect_all": q_nations_intersect_all,
+        "waiting_suppliers": q_waiting_suppliers,
+        "nation_pair_volume": q_nation_pair_volume,
+        "top_supplier": q_top_supplier,
+        "big_orders": q_big_orders,
+        "brand_bracket_revenue": q_brand_bracket_revenue,
     }
 
 
@@ -9416,5 +10099,150 @@ def oracle_sql() -> dict:
                    CAST(MIN(CASE WHEN cum * 100 >= 99 * tot THEN bin END)
                         * {_HQ_BIN_CENTS} AS BIGINT) AS p99_lo_cents
             FROM c GROUP BY event_type
+        """,
+        "late_order_priority": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_returnflag = 'R')
+            GROUP BY 1
+        """,
+        "top_return_customers": """
+            WITH r AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                           AS revenue_cents
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1996-07-01'
+                GROUP BY 1
+                ORDER BY revenue_cents DESC, o_custkey LIMIT 20)
+            SELECT c_custkey, c_name, n_name, revenue_cents
+            FROM r JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "part_revenue_share": """
+            WITH p AS (SELECT l_partkey AS p_partkey,
+                              CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS rev_cents
+                       FROM lineitem GROUP BY 1),
+                 t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM p)
+            SELECT p_partkey, rev_cents,
+                   CAST(rev_cents * 1000000 // t.total AS BIGINT) AS share_ppm
+            FROM p, t WHERE rev_cents * 10000 > t.total
+        """,
+        "supplier_diversity": """
+            SELECT p_brand, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+        """,
+        "churned_high_value": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+                       FROM customer),
+                 s AS (SELECT CAST(SUM(bal) AS BIGINT) AS tot,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM c WHERE bal > 0),
+                 recent AS (SELECT DISTINCT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2000-08-01')
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(bal) AS BIGINT) AS total_bal_cents
+            FROM c, s
+            WHERE c.bal * s.n > s.tot
+              AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+            GROUP BY 1
+        """,
+        "orders_benford": """
+            WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100
+                                + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                       FROM orders),
+                 c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+                       FROM d GROUP BY 1)
+            SELECT digit, n_orders,
+                   CAST(n_orders * 1000000
+                        // (SELECT SUM(n_orders) FROM c) AS BIGINT) AS share_ppm
+            FROM c
+        """,
+        "nations_intersect_all": """
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT c_nationkey AS k FROM customer
+                  INTERSECT ALL
+                  SELECT s_nationkey AS k FROM supplier)
+            GROUP BY 1
+        """,
+        "waiting_suppliers": """
+            WITH pair AS (SELECT l_orderkey, l_suppkey,
+                                 MAX(l_shipdate) AS ship
+                          FROM lineitem GROUP BY 1, 2),
+                 j AS (SELECT l_orderkey, l_suppkey,
+                              CASE WHEN ship > o_orderdate + INTERVAL 90 DAY
+                                   THEN 1 ELSE 0 END AS late
+                       FROM pair JOIN orders ON l_orderkey = o_orderkey),
+                 per AS (SELECT l_orderkey, COUNT(*) AS n_supp,
+                                SUM(late) AS n_late,
+                                MAX(CASE WHEN late = 1 THEN l_suppkey END)
+                                    AS sole
+                         FROM j GROUP BY 1)
+            SELECT sole AS l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM per WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY 1
+        """,
+        "nation_pair_volume": """
+            SELECT c_nationkey AS cust_nation, s_nationkey AS supp_nation,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS rev_cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+        """,
+        "top_supplier": """
+            WITH r AS (SELECT l_suppkey,
+                              CAST(SUM(CAST(FLOOR(l_extendedprice
+                                                  * (1 - l_discount) * 100
+                                                  + 0.5) AS BIGINT))
+                                   AS BIGINT) AS revenue_cents
+                       FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate <  TIMESTAMP '1996-04-01'
+                       GROUP BY 1)
+            SELECT l_suppkey, revenue_cents
+            FROM r WHERE revenue_cents = (SELECT MAX(revenue_cents) FROM r)
+        """,
+        "big_orders": """
+            WITH q AS (SELECT l_orderkey,
+                              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                                  AS total_qty
+                       FROM lineitem GROUP BY 1
+                       HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+            SELECT o_orderkey, o_custkey, total_qty,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents
+            FROM q JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "brand_bracket_revenue": """
+            SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice
+                                                * (1 - l_discount) * 100
+                                                + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 35)
         """,
     }

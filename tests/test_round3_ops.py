@@ -85,3 +85,131 @@ def test_anomalies_planted_spike(tmp_path):
     out = q_events_anomalies(str(tmp_path)).to_pandas()
     assert len(out) == 1
     assert out.iloc[0]["n"] == 100 and out.iloc[0]["deviation"] == 90
+
+
+def test_supplier_diversity_exclusion(tmp_path):
+    # suppliers 1, 2 sell part 10 (BrandA, size 5); supplier 2 is in deficit
+    # → excluded, leaving exactly one distinct supplier. The sf0.001 table
+    # has NO deficit suppliers, so this pins the anti path.
+    from ner_extractor_ray.pipelines.queries import q_supplier_diversity
+
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([10, 10, 10], pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([10], pa.int64()),
+        "p_brand": pa.array(["BrandA"]),
+        "p_size": pa.array([5], pa.int64()),
+    }), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_acctbal": pa.array([100.0, -1.0]),
+    }), tmp_path / "supplier.parquet")
+    out = q_supplier_diversity(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["p_brand"], out.iloc[0]["p_size"],
+            out.iloc[0]["n_suppliers"]) == ("BrandA", 5, 1)
+
+
+def test_churned_high_value_threshold_and_anti(tmp_path):
+    # positive balances 100, 300 → mean 200 (pair tot=20000 cents, n=2).
+    # cust 1 (bal 300 > mean, no recent order) survives; cust 2 (300 but
+    # HAS a recent order) and cust 3 (100 < mean) and cust 4 (negative —
+    # excluded from the mean, below it anyway) do not.
+    from ner_extractor_ray.pipelines.queries import q_churned_high_value
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_nationkey": pa.array([7, 7, 7, 7], pa.int64()),
+        "c_acctbal": pa.array([300.0, 300.0, 100.0, -50.0]),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([2], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("2001-01-01")],
+                                pa.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    out = q_churned_high_value(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["c_nationkey"], out.iloc[0]["n_customers"],
+            out.iloc[0]["total_bal_cents"]) == (7, 1, 30000)
+
+
+def test_benford_known_digits(tmp_path):
+    # totals 1.00, 12.34, 190.00 → cents 100, 1234, 19000 → digit 1 ×3;
+    # 55.00 → 5500 → digit 5 ×1. Shares: 750000 / 250000 ppm.
+    from ner_extractor_ray.pipelines.queries import q_orders_benford
+
+    pq.write_table(pa.table({
+        "o_totalprice": pa.array([1.00, 12.34, 190.00, 55.00]),
+    }), tmp_path / "orders.parquet")
+    out = (q_orders_benford(str(tmp_path)).to_pandas()
+           .sort_values("digit").reset_index(drop=True))
+    assert list(out["digit"]) == [1, 5]
+    assert list(out["n_orders"]) == [3, 1]
+    assert list(out["share_ppm"]) == [750000, 250000]
+
+
+def test_waiting_suppliers_sole_late_only(tmp_path):
+    # order 1: suppliers 10 (late) + 11 (on time)  → supplier 10 counted.
+    # order 2: suppliers 10 + 11 BOTH late          → nobody counted.
+    # order 3: single supplier 10, late             → not counted (no peers).
+    # Supplier 10's order-1 lateness comes from its SECOND line (max-fold).
+    from ner_extractor_ray.pipelines.queries import q_waiting_suppliers
+
+    d = pd.Timestamp("2000-01-01")
+    late = pd.Timestamp("2000-06-01")   # > 90 days after d
+    ok = pd.Timestamp("2000-02-01")     # within grace
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([10, 10, 11, 10, 11, 10], pa.int64()),
+        "l_shipdate": pa.array([ok, late, ok, late, late, late],
+                               pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([d, d, d], pa.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    out = q_waiting_suppliers(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["l_suppkey"], out.iloc[0]["n_orders"]) == (10, 1)
+
+
+def test_top_supplier_keeps_ties(tmp_path):
+    # suppliers 1 and 2 tie at 200.00 in-window; supplier 3's larger revenue
+    # is OUT of the Q1-1996 window and must not win.
+    from ner_extractor_ray.pipelines.queries import q_top_supplier
+
+    win = pd.Timestamp("1996-02-01")
+    out_w = pd.Timestamp("1996-06-01")
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "l_shipdate": pa.array([win, win, out_w], pa.timestamp("us")),
+        "l_extendedprice": pa.array([200.0, 200.0, 900.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+    }), tmp_path / "lineitem.parquet")
+    out = q_top_supplier(str(tmp_path)).to_pandas().sort_values("l_suppkey")
+    assert list(out["l_suppkey"]) == [1, 2]
+    assert list(out["revenue_cents"]) == [20000, 20000]
+
+
+def test_brand_bracket_near_misses(tmp_path):
+    # line 1 matches bracket 1 exactly (Brand#11, size 15, qty 15 → edges).
+    # line 2 same brand/size but qty 16 → outside bracket 1's qty range
+    #   (and wrong brand for brackets 2/3) → excluded.
+    # line 3 Brand#22 size 26 → size over bracket 2's cap → excluded.
+    from ner_extractor_ray.pipelines.queries import q_brand_bracket_revenue
+
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([100, 100, 200], pa.int64()),
+        "l_quantity": pa.array([15.0, 16.0, 12.0]),
+        "l_extendedprice": pa.array([10.0, 10.0, 10.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([100, 200], pa.int64()),
+        "p_brand": pa.array(["Brand#11", "Brand#22"]),
+        "p_size": pa.array([15, 26], pa.int64()),
+    }), tmp_path / "part.parquet")
+    out = q_brand_bracket_revenue(str(tmp_path)).to_pandas()
+    assert list(out["revenue_cents"]) == [1000]
