@@ -340,6 +340,193 @@ def triangle_count(
     )
 
 
+def local_triangle_table(
+    edges_ds: "ray.data.Dataset",
+    *,
+    broadcast_threshold: int = 2_000_000,
+    degree_broadcast_threshold: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """PER-NODE triangle counts (node, tri) — the per-vertex refinement of
+    :func:`triangle_count`, for local clustering coefficients.
+
+    Same degree-ordered orientation (each triangle generated once, at its
+    unique two-out-edge apex) and the same two membership plans, but every
+    matched wedge credits all THREE corners: the apex locally, and the two
+    endpoints decoded from the matched uint64 pair key (b = k >> 32,
+    c = k & 0xffffffff). Per-bucket credits fold through a per-batch
+    ``np.unique`` combiner before the node-sized grouped aggregate, so the
+    exchange is one row per (bucket, node-with-a-triangle), never per
+    triangle. Nodes in no triangle are absent (LEFT-join against the degree
+    table to zero-fill)."""
+    degs = degree_table(edges_ds)
+    n_nodes = degs.count()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                        "tri": pa.array([], pa.int64())}))
+
+    if n_nodes <= degree_broadcast_threshold:
+        deg = {int(r["node"]): int(r["degree"]) for r in degs.take_all()}
+        dref = ray.put(deg)
+
+        def orient(t: pa.Table) -> pa.Table:
+            dm = ray.get(dref)
+            u = pc.cast(t.column("u"), pa.int64()).to_numpy()
+            v = pc.cast(t.column("v"), pa.int64()).to_numpy()
+            du = np.fromiter((dm[x] for x in u), np.int64, len(u))
+            dv = np.fromiter((dm[x] for x in v), np.int64, len(v))
+            fwd = (du < dv) | ((du == dv) & (u < v))
+            return pa.table(
+                {"src": pa.array(np.where(fwd, u, v), pa.int64()),
+                 "dst": pa.array(np.where(fwd, v, u), pa.int64()),
+                 "ddeg": pa.array(np.where(fwd, dv, du), pa.int64())})
+
+        oriented = edges_ds.map_batches(orient, batch_format="pyarrow").materialize()
+    else:
+        du_side = degs.map_batches(
+            lambda t: pa.table({"u": pc.cast(t.column("node"), pa.int64()),
+                                "deg_u": pc.cast(t.column("degree"), pa.int64())}),
+            batch_format="pyarrow")
+        dv_side = degs.map_batches(
+            lambda t: pa.table({"v": pc.cast(t.column("node"), pa.int64()),
+                                "deg_v": pc.cast(t.column("degree"), pa.int64())}),
+            batch_format="pyarrow")
+        with_deg = hash_join(
+            hash_join(edges_ds.select_columns(["u", "v"]), du_side, on=("u",)),
+            dv_side, on=("v",))
+
+        def orient_joined(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                     "dst": pd.Series([], dtype="int64"),
+                                     "ddeg": pd.Series([], dtype="int64")})
+            u = df["u"].to_numpy(dtype=np.int64)
+            v = df["v"].to_numpy(dtype=np.int64)
+            du = df["deg_u"].to_numpy(dtype=np.int64)
+            dv = df["deg_v"].to_numpy(dtype=np.int64)
+            fwd = (du < dv) | ((du == dv) & (u < v))
+            return pd.DataFrame(
+                {"src": np.where(fwd, u, v), "dst": np.where(fwd, v, u),
+                 "ddeg": np.where(fwd, dv, du)})
+
+        oriented = with_deg.map_batches(
+            orient_joined, batch_format="pandas").materialize()
+
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("src"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(s % P, pa.int64()))
+
+    def iter_wedges(g: pd.DataFrame):
+        for apex, grp in g.groupby("src", sort=False):
+            nb = grp["dst"].to_numpy()
+            if len(nb) < 2:
+                continue
+            key = np.lexsort((nb, grp["ddeg"].to_numpy()))
+            nb = nb[key]
+            i, j = np.triu_indices(len(nb), k=1)
+            yield int(apex), nb[i], nb[j]
+
+    def _credit_rows(nodes: list[np.ndarray]) -> pd.DataFrame:
+        if not nodes:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "tri": pd.Series([], dtype="int64")})
+        uniq, cnt = np.unique(np.concatenate(nodes), return_counts=True)
+        return pd.DataFrame({"node": uniq.astype(np.int64),
+                             "tri": cnt.astype(np.int64)})
+
+    by_src = oriented.map_batches(add_part, batch_format="pyarrow").groupby("__part")
+
+    if n_edges <= broadcast_threshold:
+        def edge_keys(t: pa.Table) -> pa.Table:
+            k = _encode_pair(
+                pc.cast(t.column("src"), pa.int64()).to_numpy(),
+                pc.cast(t.column("dst"), pa.int64()).to_numpy())
+            return pa.table({"k": pa.array(k, pa.uint64())})
+
+        key_chunks = [
+            b.column("k").to_numpy(zero_copy_only=False)
+            for b in oriented.map_batches(edge_keys, batch_format="pyarrow")
+            .iter_batches(batch_size=65536, batch_format="pyarrow")
+        ]
+        keys = np.sort(np.concatenate(key_chunks)) if key_chunks else np.array([], np.uint64)
+        kref = ray.put(keys)
+
+        def part_credits(g: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(kref)
+            credits: list[np.ndarray] = []
+            if len(ks):
+                for apex, b, c in iter_wedges(g):
+                    q = _encode_pair(b, c)
+                    pos = np.searchsorted(ks, q)
+                    pos[pos == len(ks)] = 0
+                    hit = ks[pos] == q
+                    n_hit = int(hit.sum())
+                    if n_hit:
+                        credits.append(np.full(n_hit, apex, np.int64))
+                        credits.append((q[hit] >> np.uint64(32)).astype(np.int64))
+                        credits.append((q[hit] & np.uint64(0xFFFFFFFF)).astype(np.int64))
+            return _credit_rows(credits)
+
+        per_bucket = by_src.map_groups(part_credits, batch_format="pandas")
+    else:
+        def part_wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+            ks, apexes = [], []
+            for apex, b, c in iter_wedges(g):
+                q = _encode_pair(b, c)
+                ks.append(q)
+                apexes.append(np.full(len(q), apex, np.int64))
+            if not ks:
+                return pd.DataFrame({"k": pd.Series([], dtype="uint64"),
+                                     "apex": pd.Series([], dtype="int64"),
+                                     "w": pd.Series([], dtype="int64")})
+            w = pd.DataFrame({"k": np.concatenate(ks),
+                              "apex": np.concatenate(apexes)})
+            return (w.groupby(["k", "apex"], as_index=False, sort=False)
+                    .size().rename(columns={"size": "w"}).astype({"w": "int64"}))
+
+        wedge_rows = by_src.map_groups(part_wedge_rows, batch_format="pandas")
+
+        def edge_rows_fn(t: pa.Table) -> pa.Table:
+            k = _encode_pair(
+                pc.cast(t.column("src"), pa.int64()).to_numpy(),
+                pc.cast(t.column("dst"), pa.int64()).to_numpy())
+            return pa.table({"k": pa.array(k, pa.uint64()),
+                             "apex": pa.array(np.full(len(k), -1, np.int64)),
+                             "w": pa.array(np.full(len(k), -1, np.int64))})
+
+        def add_kpart(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy()
+            return t.append_column(
+                "__part", pa.array((k % np.uint64(P)).astype(np.int64), pa.int64()))
+
+        def part_match(g: pd.DataFrame) -> pd.DataFrame:
+            # a key group whose min(w) == -1 has its edge present: every
+            # wedge row (apex, w) there is w triangles at the apex, plus w
+            # at each decoded endpoint of k
+            has_edge = g.groupby("k", sort=False)["w"].min() == -1
+            hot = g[g["k"].map(has_edge) & (g["w"] > 0)]
+            if hot.empty:
+                return _credit_rows([])
+            k = hot["k"].to_numpy(dtype=np.uint64)
+            w = hot["w"].to_numpy(dtype=np.int64)
+            credits = [np.repeat(hot["apex"].to_numpy(dtype=np.int64), w),
+                       np.repeat((k >> np.uint64(32)).astype(np.int64), w),
+                       np.repeat((k & np.uint64(0xFFFFFFFF)).astype(np.int64), w)]
+            return _credit_rows(credits)
+
+        both = wedge_rows.union(
+            oriented.map_batches(edge_rows_fn, batch_format="pyarrow")
+        ).map_batches(add_kpart, batch_format="pyarrow")
+        per_bucket = both.groupby("__part").map_groups(
+            part_match, batch_format="pandas")
+
+    return grouped_aggregate(per_bucket, ["node"], Sum("tri", alias_name="tri"))
+
+
 def khop_distances(
     edges_ds: "ray.data.Dataset",
     *,

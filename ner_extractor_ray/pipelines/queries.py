@@ -7475,6 +7475,375 @@ def q_brand_bracket_revenue(sf_dir: str):
     return pa.table({"revenue_cents": pa.array([int(total or 0)], pa.int64())})
 
 
+def q_graph_clustering(sf_dir: str):
+    """Per-node LOCAL clustering coefficient over the min_n=2 co-purchase
+    graph: cc = triangles(v) / C(deg(v), 2), reported as exact trunc-division
+    ppm (no float ratio — hash-exact in both engines). Per-node triangle
+    counts come from functions/graph.local_triangle_table — the per-vertex
+    refinement of the oriented wedge-match plan, where each matched wedge
+    credits its apex locally and its two endpoints decoded from the matched
+    uint64 pair key, folded by a per-bucket np.unique combiner so the
+    exchange is one row per (bucket, node), never per triangle. The degree
+    side LEFT-joins the (sparse) triangle table to zero-fill
+    triangle-free nodes; wedges(v) = deg·(deg−1)/2 is row-local."""
+    from ..functions.graph import degree_table, local_triangle_table
+    from ..stages.joins import hash_join
+
+    edges = _graph_edges(sf_dir, min_n=2).materialize()
+    schema = pa.schema([("node", pa.int64()), ("degree", pa.int64()),
+                        ("n_tri", pa.int64()), ("cc_ppm", pa.int64())])
+    if edges.count() == 0:
+        return schema.empty_table()
+    degs = degree_table(edges)
+    tri = local_triangle_table(edges)
+    joined = (hash_join(degs, tri, on=("node",), how="left")
+              if tri.count() else degs.map_batches(
+                  lambda t: t.append_column(
+                      "tri", pa.array(np.zeros(t.num_rows, np.int64))),
+                  batch_format="pyarrow"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "degree": pd.Series([], dtype="int64"),
+                                 "n_tri": pd.Series([], dtype="int64"),
+                                 "cc_ppm": pd.Series([], dtype="int64")})
+        deg = df["degree"].to_numpy(dtype=np.int64)
+        tri_n = (df["tri"].fillna(0).to_numpy(dtype=np.float64)
+                 .astype(np.int64) if "tri" in df.columns
+                 else np.zeros(len(deg), np.int64))
+        wedges = deg * (deg - 1) // 2
+        cc = np.where(wedges > 0, tri_n * 1_000_000 // np.maximum(wedges, 1), 0)
+        return pd.DataFrame({"node": df["node"].to_numpy(dtype=np.int64),
+                             "degree": deg, "n_tri": tri_n, "cc_ppm": cc})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_segment_spend_skewed(sf_dir: str):
+    """Fact×dimension attach through stages/joins.skewed_hash_join — the
+    explicit hot-key plan for probe sides that can NOT be pre-aggregated
+    below the join (each event row must survive to carry its own payload).
+    Keys whose exact count crosses the threshold join MAP-SIDE against the
+    broadcast hot slice of the dimension (no shuffle — a 10⁹-row key costs
+    each task only its own batch); cold keys take the ordinary partitioned
+    hash join; the split is correctness-neutral. threshold=64 makes the sf
+    data itself exercise BOTH plans: every user is hot at sf0.01 (~100
+    events each) and cold at sf0.001 (~10) — the mixed hot+cold split is
+    pinned by a synthetic fixture in test_round3_ops."""
+    from ..stages.joins import skewed_hash_join
+
+    ev = _rp(sf_dir, "events", ["user_id", "event_type", "value"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": pc.cast(t.column("user_id"), pa.int64()),
+             "event_type": pc.cast(t.column("event_type"), pa.string()),
+             "value_cents": pa.array(_cents(np.asarray(t.column("value"))),
+                                     pa.int64())}),
+        batch_format="pyarrow")
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+             "c_mktsegment": pc.cast(t.column("c_mktsegment"), pa.string())}),
+        batch_format="pyarrow")
+    joined = skewed_hash_join(ev, cust, "c_custkey", hot_row_threshold=64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                                 "event_type": pd.Series([], dtype="object"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "value_cents": pd.Series([], dtype="int64")})
+        g = df.groupby(["c_mktsegment", "event_type"], as_index=False).agg(
+            n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
+        return g.astype({"n_events": "int64", "value_cents": "int64"})
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .groupby(["c_mktsegment", "event_type"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("value_cents", alias_name="value_cents")))
+
+
+def q_weighted_median(sf_dir: str):
+    """Exact WEIGHTED median per group (price weighted by quantity, per
+    return flag): lower weighted median = min value v with 2·cumw(≤v) ≥
+    totw. Unlike value_median's driver-walked histogram (bounded-cardinality
+    values), price cents are near-continuous, so the cumulative NEVER
+    reaches the driver: the (flag, value)→weight histogram stays
+    distributed, (flag, value) packs into one ordered int64 key
+    (fid·2⁴⁴ + cents — prefix order within a flag is value order), the
+    range-partitioned EXCLUSIVE scan (functions/rank.keyed_prefix_sum — no
+    global sort) runs once over the packed keys, and each row recovers its
+    within-flag inclusive cumulative by subtracting the broadcast preceding-
+    flag totals (one tiny groups-sized aggregate). The answer is then a
+    distributed filter + Min per flag."""
+    from ..functions.rank import keyed_prefix_sum
+    from ..stages.canonicalize import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"l_returnflag": t.column("l_returnflag").to_pylist(),
+             "v": _cents(np.asarray(t.column("l_extendedprice"))),
+             "w": np.asarray(t.column("l_quantity"),
+                             dtype=np.float64).astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["l_returnflag", "v"], as_index=False)["w"].sum(),
+            preserve_index=False)
+
+    hist = grouped_aggregate(
+        _rp(sf_dir, "lineitem",
+            ["l_returnflag", "l_extendedprice", "l_quantity"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["l_returnflag", "v"], Sum("w", alias_name="w"))
+
+    totals = sorted(
+        (r["l_returnflag"], int(r["w"]))
+        for r in grouped_aggregate(hist, ["l_returnflag"],
+                                   Sum("w", alias_name="w")).take_all())
+    if not totals:
+        return pa.schema([("l_returnflag", pa.string()),
+                          ("wmedian_cents", pa.int64())]).empty_table()
+    fid = {f: i for i, (f, _) in enumerate(totals)}
+    tot = np.array([w for _, w in totals], np.int64)
+    # exclusive prefix over the PACKED order crosses flag boundaries; the
+    # preceding flags' grand totals are the per-flag correction
+    pre = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    fref, tref, pref = ray.put(fid), ray.put(tot), ray.put(pre)
+
+    def pack(t: pa.Table) -> pa.Table:
+        fm = ray.get(fref)
+        f = np.fromiter((fm[x] for x in t.column("l_returnflag").to_pylist()),
+                        np.int64, t.num_rows)
+        v = pc.cast(t.column("v"), pa.int64()).to_numpy()
+        return t.append_column("k", pa.array((f << 44) | v, pa.int64()))
+
+    scanned = keyed_prefix_sum(
+        hist.map_batches(pack, batch_format="pyarrow"), "k", "w")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_returnflag": pd.Series([], dtype="object"),
+                              "wmedian_cents": pd.Series([], dtype="int64")})
+        if df.empty:
+            return empty
+        t_arr, p_arr = ray.get(tref), ray.get(pref)
+        f = (df["k"].to_numpy(dtype=np.int64) >> 44)
+        incl = (df["prefix_sum"].to_numpy(dtype=np.int64) - p_arr[f]
+                + df["w"].to_numpy(dtype=np.int64))
+        keep = 2 * incl >= t_arr[f]
+        if not keep.any():
+            return empty
+        out = df.loc[keep, ["l_returnflag", "v"]].rename(
+            columns={"v": "wmedian_cents"})
+        return out.astype({"wmedian_cents": "int64"})
+
+    return (scanned.map_batches(pick, batch_format="pandas")
+            .groupby("l_returnflag")
+            .aggregate(Min("wmedian_cents", alias_name="wmedian_cents")))
+
+
+_WALK_STEPS = 3
+_WALK_P = 1_000_000_007
+_WALK_A, _WALK_B, _WALK_C = 73_856_093, 19_349_663, 83_492_791
+
+
+def _walk_hash(start: np.ndarray, cur: np.ndarray, step: int) -> np.ndarray:
+    """Deterministic next-hop selector — multiply/add/mod only, so the SQL
+    oracle replicates it bit-for-bit (no xor/rotate, which SQL dialects
+    disagree on). int64-safe for 32-bit node ids: max term ≈ 2³²·8.3e7 ≪
+    2⁶³."""
+    return (start * _WALK_A + cur * _WALK_B + step * _WALK_C) % _WALK_P
+
+
+def q_graph_walks(sf_dir: str, *, degree_broadcast_threshold: int = 5_000_000):
+    """Deterministic random walks (node2vec-style corpus generation for KG /
+    graph embeddings): from EVERY node of the min_n=2 co-purchase graph,
+    a 3-step walk whose next hop is neighbors-sorted-ascending[h % deg]
+    with h the replicable hash above — seeded by (start, cur, step), so
+    walks diverge per walker and per step yet are independent of
+    parallelism. Plan: the symmetric adjacency gets a per-node neighbor
+    rank ONCE (map_groups by node — one task per node, bounded by max
+    degree; a 10⁶-neighbor supernode is one task, the known cost of rank
+    assignment); each step is then ONE partitioned hash join at WALKER
+    cardinality — the hop index is computed row-locally from the degree map
+    (broadcast once up to ``degree_broadcast_threshold`` nodes, the same
+    gate as triangle_count's degree attach; a per-step hash_join against
+    the degree table above it) and probes the adjacency on the packed
+    (cur≪32)|rank key — never a per-neighbor fan-out. Output: the full
+    trajectory table (start, step, node), steps 0..3."""
+    from ..stages.canonicalize import data_partitions, grouped_aggregate
+    from ..stages.joins import hash_join
+
+    edges = _graph_edges(sf_dir, min_n=2).materialize()
+    schema = pa.schema([("start", pa.int64()), ("step", pa.int64()),
+                        ("node", pa.int64())])
+    if edges.count() == 0:
+        return schema.empty_table()
+    # iterative plan ⇒ size the 2 joins/step from the DATA (the walk state
+    # is node-sized): cluster-sized partitioning pays ~50ms/task × 6 joins
+    # on kilobyte exchanges (the graph_sssp/k-core lesson)
+    NP = data_partitions(edges.size_bytes())
+
+    sym = edges.map_batches(
+        lambda t: pa.table(
+            {"node": pa.concat_arrays([
+                pc.cast(t.column("u"), pa.int64()).combine_chunks(),
+                pc.cast(t.column("v"), pa.int64()).combine_chunks()]),
+             "nbr": pa.concat_arrays([
+                pc.cast(t.column("v"), pa.int64()).combine_chunks(),
+                pc.cast(t.column("u"), pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("nbr", kind="mergesort").reset_index(drop=True)
+        g["r"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    adj = sym.groupby("node").map_groups(
+        rank_group, batch_format="pandas").map_batches(
+        lambda df: pd.DataFrame(
+            {"ak": df["node"].to_numpy(np.int64) * (1 << 32)
+                   + df["r"].to_numpy(np.int64),
+             "nbr": df["nbr"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    degs = grouped_aggregate(
+        sym.map_batches(
+            lambda t: pa.table(
+                {"cur": t.column("node"),
+                 "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}),
+            batch_format="pyarrow"),
+        ["cur"], Sum("one", alias_name="deg")).materialize()
+
+    small = degs.count() <= degree_broadcast_threshold
+    dref = (ray.put({int(r["cur"]): int(r["deg"]) for r in degs.take_all()})
+            if small else None)
+    # adjacency gate mirrors triangle_count's 2M-edge broadcast switch: the
+    # ranked adjacency ships ONCE as two aligned int64 arrays (16 B/edge)
+    # and each hop is a row-local searchsorted — 3 executions total; above
+    # the gate every hop is a partitioned hash join on the packed key
+    small_adj = small and edges.count() * 2 <= 2_000_000
+    if small_adj:
+        chunks = list(adj.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow"))
+        ak = np.concatenate([c.column("ak").to_numpy() for c in chunks])
+        nb = np.concatenate([c.column("nbr").to_numpy() for c in chunks])
+        order = np.argsort(ak)
+        aref = ray.put((ak[order], nb[order]))
+
+    state = degs.map_batches(
+        lambda t: pa.table({"start": pc.cast(t.column("cur"), pa.int64()),
+                            "cur": pc.cast(t.column("cur"), pa.int64())}),
+        batch_format="pyarrow")
+    traj = [state.map_batches(
+        lambda t: pa.table({"start": t.column("start"),
+                            "step": pa.array(np.zeros(t.num_rows, np.int64),
+                                             pa.int64()),
+                            "node": t.column("cur")}),
+        batch_format="pyarrow")]
+
+    for step in range(1, _WALK_STEPS + 1):
+        def pick_key(t: pa.Table, _s=step) -> pa.Table:
+            start = pc.cast(t.column("start"), pa.int64()).to_numpy()
+            cur = pc.cast(t.column("cur"), pa.int64()).to_numpy()
+            if "deg" in t.column_names:
+                deg = pc.cast(t.column("deg"), pa.int64()).to_numpy()
+            else:
+                dm = ray.get(dref)
+                deg = np.fromiter((dm[x] for x in cur), np.int64, len(cur))
+            idx = _walk_hash(start, cur, _s) % deg
+            return pa.table({"start": pa.array(start, pa.int64()),
+                             "ak": pa.array(cur * (1 << 32) + idx, pa.int64())})
+
+        with_deg = (state if small
+                    else hash_join(state, degs, on=("cur",),
+                                   num_partitions=NP))
+        keyed = with_deg.map_batches(pick_key, batch_format="pyarrow")
+        if small_adj:
+            def hop_local(t: pa.Table) -> pa.Table:
+                ks, nbs = ray.get(aref)
+                q = pc.cast(t.column("ak"), pa.int64()).to_numpy()
+                pos = np.searchsorted(ks, q)  # every key exists by invariant
+                return pa.table(
+                    {"start": pc.cast(t.column("start"), pa.int64()),
+                     "cur": pa.array(nbs[pos], pa.int64())})
+
+            state = keyed.map_batches(hop_local,
+                                      batch_format="pyarrow").materialize()
+        else:
+            hopped = hash_join(keyed, adj, on=("ak",), num_partitions=NP)
+            state = hopped.map_batches(
+                lambda t: pa.table(
+                    {"start": pc.cast(t.column("start"), pa.int64()),
+                     "cur": pc.cast(t.column("nbr"), pa.int64())}),
+                batch_format="pyarrow").materialize()
+        traj.append(state.map_batches(
+            lambda t, _s=step: pa.table(
+                {"start": t.column("start"),
+                 "step": pa.array(np.full(t.num_rows, _s, np.int64), pa.int64()),
+                 "node": t.column("cur")}),
+            batch_format="pyarrow"))
+
+    out = traj[0]
+    for t in traj[1:]:
+        out = out.union(t)
+    return out
+
+
+_MIX_TARGET = 50
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-weighted data mixing (α = 1/2): per-source sampling quotas
+    ∝ √n_s — the standard move to up-weight small sources in a training mix —
+    with EXACT integer square roots (math.isqrt in the engine; the SQL oracle
+    corrects FLOOR(SQRT(·)) by ±1 against the integer squares, so the two
+    agree even where float sqrt rounds across a perfect-square boundary).
+    Quotas are q_s = TARGET·w_s // Σw (trunc division, no float shares);
+    selection inside each source is the deterministic smallest-md5(doc_id)
+    rank — per-batch partial top-max(q) caps the shuffle at quota rows per
+    (batch, source), so selection never ships a source's full slice. The
+    source-count table (take_all) is mix-config-sized, not corpus-sized."""
+    import hashlib
+    import math
+
+    counts = _gagg(
+        _rp(sf_dir, "documents", ["source"]).map_batches(
+            lambda t: pa.Table.from_pandas(
+                pd.DataFrame({"source": t.column("source").to_pylist()})
+                .groupby("source", as_index=False).size()
+                .rename(columns={"size": "n"}), preserve_index=False),
+            batch_format="pyarrow"),
+        "source", Sum("n", alias_name="n")).take_all()
+    schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+    if not counts:
+        return schema.empty_table()
+    w = {r["source"]: math.isqrt(int(r["n"])) for r in counts}
+    tw = sum(w.values()) or 1
+    quota = {s: _MIX_TARGET * ws // tw for s, ws in w.items()}
+    qref = ray.put(quota)
+    qmax = max(quota.values())
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        df = pd.DataFrame(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()).to_numpy(),
+             "source": t.column("source").to_pylist()})
+        df["h"] = [hashlib.md5(str(i).encode()).hexdigest()
+                   for i in df["doc_id"]]
+        df = (df.sort_values(["source", "h", "doc_id"])
+              .groupby("source", as_index=False).head(max(qmax, 1)))
+        df = df[df["source"].map(q).fillna(0) > 0]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        q = int(ray.get(qref).get(g["source"].iloc[0], 0))
+        g = g.sort_values(["h", "doc_id"]).head(q)
+        return g[["doc_id", "source"]].astype({"doc_id": "int64"})
+
+    kept = (_rp(sf_dir, "documents", ["doc_id", "source"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source").map_groups(final, batch_format="pandas"))
+    return _nonempty_or_empty_table(kept, schema)
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -7700,6 +8069,11 @@ def queries() -> dict:
         "top_supplier": q_top_supplier,
         "big_orders": q_big_orders,
         "brand_bracket_revenue": q_brand_bracket_revenue,
+        "graph_clustering": q_graph_clustering,
+        "segment_spend_skewed": q_segment_spend_skewed,
+        "weighted_median": q_weighted_median,
+        "graph_walks": q_graph_walks,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -10244,5 +10618,110 @@ def oracle_sql() -> dict:
                    AND l_quantity BETWEEN 10 AND 25)
                OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
                    AND l_quantity BETWEEN 20 AND 35)
+        """,
+        # per-node triangles: the e1/e2/e3 triple join emits each triangle
+        # {a<b<c} once; crediting all three corners matches the engine's
+        # apex+decoded-endpoint credits exactly
+        "graph_clustering": f"""
+            WITH e AS ({_co_edges_sql(2)}),
+            d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+                  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+                  GROUP BY node),
+            tris AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                     FROM e e1
+                     JOIN e e2 ON e2.u = e1.v
+                     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            pt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM
+                   (SELECT a AS node FROM tris
+                    UNION ALL SELECT b FROM tris
+                    UNION ALL SELECT c FROM tris) GROUP BY node)
+            SELECT d.node, d.degree,
+                   CAST(COALESCE(pt.tri, 0) AS BIGINT) AS n_tri,
+                   CAST(CASE WHEN d.degree >= 2
+                             THEN COALESCE(pt.tri, 0) * 1000000
+                                  // (d.degree * (d.degree - 1) // 2)
+                             ELSE 0 END AS BIGINT) AS cc_ppm
+            FROM d LEFT JOIN pt ON pt.node = d.node
+        """,
+        "segment_spend_skewed": """
+            SELECT c_mktsegment, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2
+        """,
+        "weighted_median": """
+            WITH h AS (SELECT l_returnflag,
+                              CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS v,
+                              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                                  AS w
+                       FROM lineitem GROUP BY 1, 2),
+                 c AS (SELECT l_returnflag, v,
+                              SUM(w) OVER (PARTITION BY l_returnflag
+                                           ORDER BY v) AS cum,
+                              SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+                       FROM h)
+            SELECT l_returnflag,
+                   CAST(MIN(CASE WHEN 2 * cum >= tot THEN v END) AS BIGINT)
+                       AS wmedian_cents
+            FROM c GROUP BY 1
+        """,
+        # deterministic walks: ROW_NUMBER()-1 over neighbors ASC replicates
+        # the engine's per-node rank; the hop hash is mul/add/mod only
+        "graph_walks": f"""
+            WITH e AS ({_co_edges_sql(2)}),
+            s AS (SELECT u AS node, v AS nbr FROM e
+                  UNION ALL SELECT v, u FROM e),
+            adj AS (SELECT node, nbr,
+                           ROW_NUMBER() OVER (PARTITION BY node
+                                              ORDER BY nbr) - 1 AS r,
+                           COUNT(*) OVER (PARTITION BY node) AS deg
+                    FROM s),
+            w0 AS (SELECT DISTINCT node AS start, node AS cur FROM s),
+            w1 AS (SELECT w0.start, a.nbr AS cur
+                   FROM w0 JOIN adj a ON a.node = w0.cur
+                   AND a.r = (w0.start * {_WALK_A} + w0.cur * {_WALK_B}
+                              + 1 * {_WALK_C}) % {_WALK_P} % a.deg),
+            w2 AS (SELECT w1.start, a.nbr AS cur
+                   FROM w1 JOIN adj a ON a.node = w1.cur
+                   AND a.r = (w1.start * {_WALK_A} + w1.cur * {_WALK_B}
+                              + 2 * {_WALK_C}) % {_WALK_P} % a.deg),
+            w3 AS (SELECT w2.start, a.nbr AS cur
+                   FROM w2 JOIN adj a ON a.node = w2.cur
+                   AND a.r = (w2.start * {_WALK_A} + w2.cur * {_WALK_B}
+                              + 3 * {_WALK_C}) % {_WALK_P} % a.deg)
+            SELECT start, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+            UNION ALL SELECT start, 1, cur FROM w1
+            UNION ALL SELECT start, 2, cur FROM w2
+            UNION ALL SELECT start, 3, cur FROM w3
+        """,
+        # exact isqrt: FLOOR(SQRT(·)) corrected ±1 against integer squares,
+        # immune to float rounding at perfect-square boundaries
+        "temperature_mix": f"""
+            WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1),
+            s0 AS (SELECT source, n,
+                          CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS s
+                   FROM n),
+            w AS (SELECT source,
+                         s - CASE WHEN s * s > n THEN 1 ELSE 0 END
+                           + CASE WHEN (s - CASE WHEN s * s > n THEN 1
+                                                 ELSE 0 END + 1)
+                                       * (s - CASE WHEN s * s > n THEN 1
+                                               ELSE 0 END + 1) <= n
+                                  THEN 1 ELSE 0 END AS w
+                  FROM s0),
+            q AS (SELECT source, w * {_MIX_TARGET}
+                             // (SELECT SUM(w) FROM w) AS q FROM w),
+            r AS (SELECT doc_id, source,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                                            ORDER BY md5(CAST(doc_id
+                                                              AS VARCHAR)),
+                                                     doc_id) AS rn
+                  FROM documents)
+            SELECT r.doc_id, r.source
+            FROM r JOIN q ON r.source = q.source WHERE rn <= q.q
         """,
     }

@@ -268,3 +268,100 @@ def hash_join(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return lt.union(rt).groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def skewed_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    *,
+    hot_row_threshold: int = 100_000,
+    max_hot_keys: int = 4096,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """INNER hash join with explicit hot-key splitting, for probe sides whose
+    rows can NOT be pre-aggregated below the join (payload columns must
+    survive row-for-row). A plain hash shuffle routes every row of a hot key
+    to ONE partition — at 10^12 documents a head-domain URL or stopword
+    entity makes that partition the job's critical path. Plan:
+
+      1. EXACT per-key counts of the probe (left) side via the partial-
+         combiner count aggregate (16 B/distinct-key-per-batch exchange —
+         never row-sized). Keys with count ≥ ``hot_row_threshold`` are hot;
+         there are at most rows/threshold of them, and ``max_hot_keys``
+         (heaviest-first, deterministic id tiebreak) caps the driver set.
+      2. The hot slice of the BUILD (right) side — bounded by
+         |hot keys| × per-key build rows, i.e. ~|hot keys| rows for a
+         dimension — is collected once and ``ray.put`` broadcast; hot probe
+         rows join map-side per batch with NO shuffle, so a key with 10^9
+         rows costs each task only its own batch.
+      3. Cold rows from both sides take the ordinary partitioned
+         :func:`hash_join`; results union. The split is correctness-neutral
+         (any partition of keys yields the same inner join) — detection
+         tuning only moves rows between plans.
+
+    Single join column, inner only — the shapes the hot-key hazard actually
+    has (fact×dimension attach). Falls back to plain ``hash_join`` when no
+    key crosses the threshold."""
+    from .canonicalize import pre_aggregated_count
+
+    counts = pre_aggregated_count(
+        left.select_columns([on]), [on], "__n").map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(pc.cast(t.column("__n"), pa.int64()),
+                             hot_row_threshold)),
+        batch_format="pyarrow")
+    hot_rows = counts.take_all()
+    if not hot_rows:
+        return hash_join(left, right, on=(on,), num_partitions=num_partitions)
+    hot_rows.sort(key=lambda r: (-int(r["__n"]), r[on]))
+    hot = set(r[on] for r in hot_rows[:max_hot_keys])
+
+    lsch = left.schema()
+    rsch = right.schema()
+    left_cols = [c for c in lsch.names if not c.startswith("__")]
+    right_cols = [c for c in rsch.names if not c.startswith("__")]
+    out_cols = left_cols + [c for c in right_cols if c != on]
+    out_types = {}
+    for name, typ in (list(zip(rsch.names, rsch.types))
+                      + list(zip(lsch.names, lsch.types))):  # left wins on dup
+        out_types[name] = _as_pa_type(typ)
+    out_schema = pa.schema([(c, out_types[c]) for c in out_cols])
+
+    def _in_hot(t: pa.Table, invert: bool) -> pa.Table:
+        mask = pc.is_in(t.column(on), value_set=pa.array(list(hot)))
+        return t.filter(pc.invert(mask) if invert else mask)
+
+    hot_ref = ray.put(hot)
+    build_chunks = [b for b in right.map_batches(
+        lambda t: _in_hot(t, invert=False), batch_format="pyarrow")
+        .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    build_hot = (pa.concat_tables(build_chunks, promote_options="default")
+                 if build_chunks
+                 else pa.schema([(c, out_types[c]) for c in right_cols])
+                 .empty_table())
+    build_ref = ray.put(build_hot.to_pandas())
+
+    def mapside(t: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref)
+        mask = pc.is_in(t.column(on), value_set=pa.array(list(h)))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        merged = t.to_pandas().merge(ray.get(build_ref), on=on, how="inner")
+        return pa.Table.from_pandas(
+            merged[out_cols], preserve_index=False).cast(out_schema)
+
+    hot_joined = left.map_batches(mapside, batch_format="pyarrow")
+
+    cold_left = left.map_batches(lambda t: _in_hot(t, invert=True),
+                                 batch_format="pyarrow").materialize()
+    if cold_left.count() == 0:
+        return hot_joined
+    cold_right = right.map_batches(lambda t: _in_hot(t, invert=True),
+                                   batch_format="pyarrow")
+    cold_joined = hash_join(cold_left, cold_right, on=(on,),
+                            num_partitions=num_partitions).map_batches(
+        lambda t: t.select(out_cols).cast(out_schema),
+        batch_format="pyarrow")
+    return hot_joined.union(cold_joined)

@@ -177,3 +177,29 @@ def test_kcore_peel_rounds():
     # one round only: just node 5's edge is gone, 4 still present
     got1 = sorted((r["node"], r["degree"]) for r in kcore_peel(g, k=2, rounds=1).take_all())
     assert got1 == [(1, 2), (2, 2), (3, 3), (4, 1)]
+
+
+@pytest.mark.parametrize("edge_thr,deg_thr",
+                         [(2_000_000, 5_000_000), (0, 5_000_000), (0, 0)])
+def test_local_triangle_table_all_plans(edge_thr, deg_thr):
+    """K4 + pendant 5—4 + tail 5—6: hand-countable — K4 holds 4 triangles
+    and each K4 node sits in exactly 3 of them; nodes 5 and 6 in none.
+    Forced thresholds exercise the hash-partitioned wedge match and the
+    hash-join degree attach."""
+    from ner_extractor_ray.functions.graph import local_triangle_table
+
+    g = _edges([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)])
+    got = {r["node"]: r["tri"]
+           for r in local_triangle_table(
+               g, broadcast_threshold=edge_thr,
+               degree_broadcast_threshold=deg_thr).take_all()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # nodes 5, 6: no triangles
+
+
+def test_local_triangle_empty_graph():
+    from ner_extractor_ray.functions.graph import local_triangle_table
+
+    empty = ray.data.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                  "n": pa.array([], pa.int64())}))
+    assert local_triangle_table(empty).take_all() == []

@@ -213,3 +213,131 @@ def test_brand_bracket_near_misses(tmp_path):
     }), tmp_path / "part.parquet")
     out = q_brand_bracket_revenue(str(tmp_path)).to_pandas()
     assert list(out["revenue_cents"]) == [1000]
+
+
+def test_skewed_hash_join_mixed_split_matches_plain():
+    # key 7 is hot (500 rows ≥ threshold 100), keys 1-3 cold, key 9 has no
+    # build row (must drop under inner semantics on BOTH paths), build key 5
+    # has no probe row. The union of map-side-hot + partitioned-cold must
+    # equal the plain hash join row-for-row.
+    import ray
+    import ray.data
+
+    from ner_extractor_ray.stages.joins import hash_join, skewed_hash_join
+
+    probe_keys = [7] * 500 + [1, 1, 2, 3, 9]
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(probe_keys, pa.int64()),
+        "payload": pa.array(list(range(len(probe_keys))), pa.int64()),
+    })).repartition(4)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([7, 1, 2, 3, 5], pa.int64()),
+        "dim": pa.array(["h", "a", "b", "c", "unused"]),
+    }))
+
+    def norm(ds):
+        df = ds.to_pandas()[["k", "payload", "dim"]]
+        return df.sort_values(["k", "payload"]).reset_index(drop=True)
+
+    got = norm(skewed_hash_join(left, right, "k", hot_row_threshold=100))
+    want = norm(hash_join(left, right, on=("k",)))
+    assert len(got) == 504  # 500 hot + 4 cold; key 9 dropped
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_skewed_hash_join_all_hot_no_cold_union():
+    # every probe key hot → the cold side is EMPTY; the implementation must
+    # not union with a schemaless empty dataset.
+    import ray.data
+
+    from ner_extractor_ray.stages.joins import skewed_hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1] * 50 + [2] * 50, pa.int64()),
+        "payload": pa.array(list(range(100)), pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "dim": pa.array(["a", "b"]),
+    }))
+    out = skewed_hash_join(left, right, "k", hot_row_threshold=10).to_pandas()
+    assert len(out) == 100
+    assert set(out.loc[out["k"] == 1, "dim"]) == {"a"}
+
+
+def test_weighted_median_boundary_rule(tmp_path):
+    # flag A: weights 1@100, 1@200 → tot 2; cum(100)=1, 2·1 ≥ 2 → the LOWER
+    # weighted median 100 (not an average). flag B: 1@100, 2@200 → tot 3;
+    # 2·1 < 3 at 100, so 200.
+    from ner_extractor_ray.pipelines.queries import q_weighted_median
+
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A", "A", "B", "B"]),
+        "l_extendedprice": pa.array([1.00, 2.00, 1.00, 2.00]),
+        "l_quantity": pa.array([1.0, 1.0, 1.0, 2.0]),
+    }), tmp_path / "lineitem.parquet")
+    out = (q_weighted_median(str(tmp_path)).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    assert list(out["l_returnflag"]) == ["A", "B"]
+    assert list(out["wmedian_cents"]) == [100, 200]
+
+
+def test_graph_walks_match_reference_walker(tmp_path):
+    # path graph p1—p2—p3 (each co-order pair appears in 2 orders to pass
+    # min_n=2). A pure-Python walker replays the same hash; spot-check the
+    # hand-derived start=1 trajectory [1, 2, 3, 2]:
+    # h(1,1,1) % deg(1)=1 → rank 0 = 2; h(1,2,2)=279541001 odd → rank 1 = 3;
+    # h(1,3,3) % 1 → back to 2.
+    from ner_extractor_ray.pipelines.queries import (_WALK_STEPS, _walk_hash,
+                                                     q_graph_walks)
+    import numpy as np
+
+    rows_o, rows_p = [], []
+    for ok, (a, b) in enumerate([(1, 2), (1, 2), (2, 3), (2, 3)]):
+        rows_o += [ok, ok]
+        rows_p += [a, b]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rows_o, pa.int64()),
+        "l_partkey": pa.array(rows_p, pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+
+    adj = {1: [2], 2: [1, 3], 3: [2]}
+    expect = set()
+    for start in adj:
+        cur = start
+        expect.add((start, 0, start))
+        for step in range(1, _WALK_STEPS + 1):
+            nbrs = adj[cur]
+            h = int(_walk_hash(np.array([start]), np.array([cur]), step)[0])
+            cur = nbrs[h % len(nbrs)]
+            expect.add((start, step, cur))
+
+    out = q_graph_walks(str(tmp_path)).to_pandas()
+    got = set(zip(out["start"], out["step"], out["node"]))
+    assert got == expect
+    walk1 = [n for s, st, n in sorted(got) if s == 1]
+    assert walk1 == [1, 2, 3, 2]
+    # threshold=0 forces the at-scale plan (per-step degree hash join +
+    # packed-key adjacency join, no broadcasts) — identical trajectories
+    joined = q_graph_walks(str(tmp_path),
+                           degree_broadcast_threshold=0).to_pandas()
+    assert set(zip(joined["start"], joined["step"], joined["node"])) == expect
+
+
+def test_temperature_mix_isqrt_and_quota(tmp_path):
+    # non-square counts pin the exact-isqrt path, and the big source pins
+    # TRIMMING: A n=24 (isqrt 4), B n=8 (isqrt 2), C n=1 (isqrt 1),
+    # D n=1000 (isqrt 31) → Σw=38. TARGET=50 quotas: A 50·4//38=5 (trims
+    # 24→5), B 50·2//38=2, C 50//38=1, D 50·31//38=40 (trims 1000→40).
+    from ner_extractor_ray.pipelines.queries import q_temperature_mix
+
+    ids = (list(range(24)) + list(range(100, 108)) + [500]
+           + list(range(2000, 3000)))
+    src = ["A"] * 24 + ["B"] * 8 + ["C"] + ["D"] * 1000
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array(src),
+    }), tmp_path / "documents.parquet")
+    out = q_temperature_mix(str(tmp_path)).to_pandas()
+    got = out.groupby("source").size().to_dict()
+    assert got == {"A": 5, "B": 2, "C": 1, "D": 40}
