@@ -7844,6 +7844,173 @@ def q_temperature_mix(sf_dir: str):
     return _nonempty_or_empty_table(kept, schema)
 
 
+_MKNN_K = 3
+_MKNN_SCALE = 10_000
+
+
+def q_mutual_knn(sf_dir: str, *, broadcast_limit: int = 100_000):
+    """Reciprocal nearest neighbors — the high-precision near-dup / ER
+    primitive (a pair survives only if EACH is in the other's top-k):
+    mutual top-3 by inner product over integer-scaled embeddings
+    (floor(v·10⁴) — dots stay < 2⁶³ AND < 2⁵³, so numpy int64 matmul and
+    DuckDB's float-accumulated list_dot_product are both exact, making an
+    approximate-looking op hash-checkable). Plan: the scaled matrix
+    broadcasts once below ``broadcast_limit`` vectors and every batch
+    computes its own top-k with one integer matmul (ties: higher dot, then
+    smaller id — replicated as ROW_NUMBER ORDER BY dot DESC, dst); directed
+    edges pack into unordered pair keys and the mutual filter is a pair
+    groupby with count = 2. Mutual-kNN is inherently quadratic — above the
+    limit the corpus must be blocked first (the knn_ivf / embedding_neardup
+    path), so the gate raises rather than silently shuffling n² rows."""
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("dot", pa.int64())])
+    n = ds.count()
+    if n == 0:
+        return schema.empty_table()
+    if n > broadcast_limit:
+        raise ValueError(
+            f"mutual_knn is quadratic: {n} vectors > broadcast_limit="
+            f"{broadcast_limit}; block first (knn_ivf / embedding_neardup)")
+
+    ids_chunks, mat_chunks = [], []
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids_chunks.append(pc.cast(b.column("vec_id"), pa.int64()).to_numpy())
+        emb = np.stack([np.asarray(x, dtype=np.float64)
+                        for x in b.column("embedding").to_pylist()])
+        mat_chunks.append(np.floor(emb * _MKNN_SCALE).astype(np.int64))
+    ids = np.concatenate(ids_chunks)
+    mat = np.concatenate(mat_chunks)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    mref = ray.put((ids, mat))
+
+    def topk(t: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(mref)
+        bids = pc.cast(t.column("vec_id"), pa.int64()).to_numpy()
+        bemb = np.stack([np.asarray(x, dtype=np.float64)
+                         for x in t.column("embedding").to_pylist()])
+        bm = np.floor(bemb * _MKNN_SCALE).astype(np.int64)
+        scores = bm @ m.T  # exact: |dot| ≤ 64·(2·10⁵)² ≪ 2⁶³
+        self_pos = np.searchsorted(all_ids, bids)
+        # min+1, NOT min: the top-k sort negates scores, and -INT64_MIN
+        # overflows back to INT64_MIN, which would rank self FIRST
+        scores[np.arange(len(bids)), self_pos] = np.iinfo(np.int64).min + 1
+        # top-k by (dot DESC, id ASC): lexsort on (-scores, ids)
+        srcs, dsts, dots = [], [], []
+        for i in range(len(bids)):
+            ordr = np.lexsort((all_ids, -scores[i]))[:_MKNN_K]
+            srcs.append(np.full(_MKNN_K, bids[i], np.int64))
+            dsts.append(all_ids[ordr])
+            dots.append(scores[i][ordr])
+        return pa.table({"src": pa.array(np.concatenate(srcs), pa.int64()),
+                         "dst": pa.array(np.concatenate(dsts), pa.int64()),
+                         "dot": pa.array(np.concatenate(dots), pa.int64())})
+
+    directed = ds.map_batches(topk, batch_format="pyarrow")
+
+    def pack(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("src"), pa.int64()).to_numpy()
+        d = pc.cast(t.column("dst"), pa.int64()).to_numpy()
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        return pa.table({"pk": pa.array(lo * (1 << 32) + hi, pa.int64()),
+                         "one": pa.array(np.ones(len(s), np.int64), pa.int64()),
+                         "dot": t.column("dot")})
+
+    pairs = _gagg(directed.map_batches(pack, batch_format="pyarrow"),
+                  "pk", Sum("one", alias_name="cnt"),
+                  Max("dot", alias_name="dot"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.cast(t.column("cnt"), pa.int64()), 2))
+        pk = pc.cast(t.column("pk"), pa.int64()).to_numpy()
+        return pa.table({"a": pa.array(pk >> 32, pa.int64()),
+                         "b": pa.array(pk & 0xFFFFFFFF, pa.int64()),
+                         "dot": pc.cast(t.column("dot"), pa.int64())})
+
+    return _nonempty_or_empty_table(
+        pairs.map_batches(finish, batch_format="pyarrow"), schema)
+
+
+def q_discount_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the forecasting-delta scan: revenue that a discount
+    bracket gave away in 1996 (SUM(price·disc) under three conjunctive
+    range predicates). Pure scan→filter→one-scalar fold: per-batch partial
+    sums, a one-row-per-batch exchange, no join, no groupby — the query
+    every column-pruned read should make IO-bound. Discount bounds compare
+    as the same IEEE doubles in both engines (0.05/0.07 literals)."""
+    lo, hi = _ts_us("1996-01-01"), _ts_us("1997-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy()
+        price = np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(t.column("l_discount"), dtype=np.float64)
+        qty = np.asarray(t.column("l_quantity"), dtype=np.float64)
+        keep = ((us >= lo) & (us < hi) & (disc >= 0.05) & (disc <= 0.07)
+                & (qty < 24))
+        rev = np.floor(price[keep] * disc[keep] * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"revenue_cents": pa.array([int(rev.sum())], pa.int64())})
+
+    total = (_rp(sf_dir, "lineitem",
+                 ["l_shipdate", "l_extendedprice", "l_discount", "l_quantity"])
+             .map_batches(partial, batch_format="pyarrow").sum("revenue_cents"))
+    return pa.table({"revenue_cents": pa.array([int(total or 0)], pa.int64())})
+
+
+def q_brand_market_share(sf_dir: str):
+    """TPC-H Q8 shape — market share over time: Brand#11's ppm share of
+    each month's total revenue. The numerator-flag travels WITH the row
+    (brand attach via one partitioned hash join against the part
+    dimension), so a single per-month aggregate carries (total, branded)
+    and the ratio is an exact trunc-division inside the month-sized final
+    block — never a join of two separately-aggregated streams."""
+    from ..stages.joins import hash_join
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_partkey", "l_shipdate", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {"p_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+             "ship": t.column("l_shipdate"),
+             "rev_cents": pa.array(_cents(np.asarray(t.column("l_extendedprice"))),
+                                   pa.int64())}),
+        batch_format="pyarrow")
+    part = _rp(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: pa.table(
+            {"p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+             "is_brand": pc.cast(pc.equal(t.column("p_brand"), "Brand#11"),
+                                 pa.int64())}),
+        batch_format="pyarrow")
+    joined = hash_join(li, part, on=("p_partkey",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"month": pd.Series([], dtype="object"),
+                                 "total_cents": pd.Series([], dtype="int64"),
+                                 "brand_cents": pd.Series([], dtype="int64")})
+        df = df.assign(
+            month=pd.Series(df["ship"]).dt.strftime("%Y-%m"),
+            brand_cents=df["rev_cents"].to_numpy(np.int64)
+            * df["is_brand"].to_numpy(np.int64))
+        g = df.groupby("month", as_index=False).agg(
+            total_cents=("rev_cents", "sum"), brand_cents=("brand_cents", "sum"))
+        return g.astype({"total_cents": "int64", "brand_cents": "int64"})
+
+    agg = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("month")
+           .aggregate(Sum("total_cents", alias_name="total_cents"),
+                      Sum("brand_cents", alias_name="brand_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = pc.cast(t.column("total_cents"), pa.int64()).to_numpy()
+        br = pc.cast(t.column("brand_cents"), pa.int64()).to_numpy()
+        return pa.table({"month": pc.cast(t.column("month"), pa.string()),
+                         "brand_cents": pa.array(br, pa.int64()),
+                         "share_ppm": pa.array(
+                             br * 1_000_000 // np.maximum(tot, 1), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -8074,6 +8241,9 @@ def queries() -> dict:
         "weighted_median": q_weighted_median,
         "graph_walks": q_graph_walks,
         "temperature_mix": q_temperature_mix,
+        "mutual_knn": q_mutual_knn,
+        "discount_revenue": q_discount_revenue,
+        "brand_market_share": q_brand_market_share,
     }
 
 
@@ -10723,5 +10893,56 @@ def oracle_sql() -> dict:
                   FROM documents)
             SELECT r.doc_id, r.source
             FROM r JOIN q ON r.source = q.source WHERE rn <= q.q
+        """,
+        # integer-scaled dots: products ≤ 64·(2e5)² < 2^53, so DuckDB's
+        # float-accumulating list_dot_product is exact here. x must be cast
+        # to DOUBLE first — the lambda otherwise multiplies FLOAT32·INT in
+        # FLOAT32, which rounds across floor boundaries (0.0283f·10⁴ → 283.0)
+        "mutual_knn": f"""
+            WITH s AS (SELECT vec_id,
+                              list_transform(embedding,
+                                  x -> CAST(FLOOR(CAST(x AS DOUBLE)
+                                                  * {_MKNN_SCALE})
+                                            AS BIGINT)) AS e
+                       FROM embeddings),
+            d AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                         CAST(list_dot_product(a.e, b.e) AS BIGINT) AS dot
+                  FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+            r AS (SELECT src, dst, dot,
+                         ROW_NUMBER() OVER (PARTITION BY src
+                                            ORDER BY dot DESC, dst) AS rn
+                  FROM d),
+            k AS (SELECT src, dst, dot FROM r WHERE rn <= {_MKNN_K})
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                   CAST(MAX(dot) AS BIGINT) AS dot
+            FROM k GROUP BY 1, 2 HAVING COUNT(*) = 2
+        """,
+        "discount_revenue": """
+            SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * l_discount
+                                                * 100 + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "brand_market_share": """
+            WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                              CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS total_cents,
+                              CAST(SUM(CASE WHEN p_brand = 'Brand#11'
+                                            THEN CAST(FLOOR(l_extendedprice
+                                                            * 100 + 0.5)
+                                                      AS BIGINT)
+                                            ELSE 0 END) AS BIGINT)
+                                  AS brand_cents
+                       FROM lineitem JOIN part ON l_partkey = p_partkey
+                       GROUP BY 1)
+            SELECT month, brand_cents,
+                   CAST(brand_cents * 1000000
+                        // GREATEST(total_cents, 1) AS BIGINT) AS share_ppm
+            FROM m
         """,
     }

@@ -341,3 +341,36 @@ def test_temperature_mix_isqrt_and_quota(tmp_path):
     out = q_temperature_mix(str(tmp_path)).to_pandas()
     got = out.groupby("source").size().to_dict()
     assert got == {"A": 5, "B": 2, "C": 1, "D": 40}
+
+
+def test_mutual_knn_reciprocity(tmp_path):
+    # 1-D family on the y-axis (values k/16 — exact in float32, so the
+    # integer scaling is hand-checkable): v0..v4 descending, v5 orthogonal.
+    # Every vector's top-3 prefers the largest y's; v4 picks (0,1,2) but
+    # nobody picks v4, v5's all-zero dots tie-break to (0,1,2) and are
+    # never reciprocated → mutual = the 6 pairs within {0,1,2,3}.
+    from ner_extractor_ray.pipelines.queries import q_mutual_knn
+
+    ys = [0.625, 0.5625, 0.5, 0.4375, 0.375]
+    vecs = [[0.0, y] for y in ys] + [[2.0, 0.0]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(range(6)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }), tmp_path / "embeddings.parquet")
+    out = q_mutual_knn(str(tmp_path)).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert got == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+    d01 = int(out.set_index(["a", "b"]).loc[(0, 1), "dot"])
+    assert d01 == 6250 * 5625
+
+
+def test_mutual_knn_gate_raises(tmp_path):
+    from ner_extractor_ray.pipelines.queries import q_mutual_knn
+    import pytest as _pt
+
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[0.1, 0.2]] * 3, pa.list_(pa.float32())),
+    }), tmp_path / "embeddings.parquet")
+    with _pt.raises(ValueError, match="quadratic"):
+        q_mutual_knn(str(tmp_path), broadcast_limit=2)
