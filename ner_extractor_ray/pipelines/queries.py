@@ -8011,6 +8011,141 @@ def q_brand_market_share(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2 shape — grouped ARGMIN with attribute recovery: per part,
+    the supplier quoting the lowest price (min cents, supplier-id tiebreak),
+    then the winner's name joined back from the dimension. The argmin is
+    ONE packed-int64 Min aggregate (price·2³² | suppkey — price < 2³⁰ keeps
+    the product under 2⁶³; minimizing the packed key IS (price ASC, supp
+    ASC)), decoded row-locally, so no per-group sort and no
+    row_number window; the name attach is a partitioned hash join at part
+    cardinality — the classic correlated subquery flattened to
+    aggregate + join."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = _cents(np.asarray(t.column("l_extendedprice")))
+        if price.size and int(price.max()) >= (1 << 30):
+            raise ValueError("price cents exceed 30 bits — widen the packing")
+        sk = pc.cast(t.column("l_suppkey"), pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {"p_partkey": pc.cast(t.column("l_partkey"), pa.int64()).to_numpy(),
+             "pk": price * (1 << 32) + sk})
+        return pa.Table.from_pandas(
+            df.groupby("p_partkey", as_index=False)["pk"].min(),
+            preserve_index=False)
+
+    argmin = grouped_aggregate(
+        _rp(sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["p_partkey"], Min("pk", alias_name="pk")).map_batches(
+        lambda t: (lambda k: pa.table(
+            {"p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+             "s_suppkey": pa.array(k & 0xFFFFFFFF, pa.int64()),
+             "min_price_cents": pa.array(k >> 32, pa.int64())}))(
+            pc.cast(t.column("pk"), pa.int64()).to_numpy()),
+        batch_format="pyarrow")
+
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+             "s_name": pc.cast(t.column("s_name"), pa.string())}),
+        batch_format="pyarrow")
+    return _nonempty_or_empty_table(
+        hash_join(argmin, supp, on=("s_suppkey",)).map_batches(
+            lambda t: t.select(["p_partkey", "s_suppkey", "s_name",
+                                "min_price_cents"]),
+            batch_format="pyarrow"),
+        pa.schema([("p_partkey", pa.int64()), ("s_suppkey", pa.int64()),
+                   ("s_name", pa.string()), ("min_price_cents", pa.int64())]))
+
+
+def q_events_cusum(sf_dir: str):
+    """CUSUM change-point detection on the daily event count — the
+    sequential drift detector (S_t = max(0, S_{t-1} + x_t − μ̂), μ̂ = the
+    trunc-mean daily count, all integer-exact). Counting is fully
+    distributed (per-batch day partials → day-sized aggregate); the
+    recurrence itself is inherently sequential, so it walks the DAY table
+    on the driver — timeline-sized (≤ tens of thousands of rows for
+    decades of data), bounded by the calendar and not by corpus size, the
+    same contract as value_median's histogram walk. Output: every day with
+    its count and CUSUM statistic."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    daily = grouped_aggregate(
+        _rp(sf_dir, "events", ["ts"]).map_batches(
+            lambda t: (lambda d: pa.Table.from_pandas(
+                pd.DataFrame({"day": d}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "n"}), preserve_index=False))(
+                pc.cast(t.column("ts"), pa.int64()).to_numpy()
+                // 86_400_000_000),
+            batch_format="pyarrow"),
+        ["day"], Sum("n", alias_name="n")).take_all()
+    schema = pa.schema([("day", pa.int64()), ("n", pa.int64()),
+                        ("cusum", pa.int64())])
+    if not daily:
+        return schema.empty_table()
+    rows = sorted((int(r["day"]), int(r["n"])) for r in daily)
+    mu = sum(n for _, n in rows) // len(rows)
+    out_day, out_n, out_s = [], [], []
+    s = 0
+    for day, n in rows:
+        s = max(0, s + n - mu)
+        out_day.append(day), out_n.append(n), out_s.append(s)
+    return pa.table({"day": pa.array(out_day, pa.int64()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "cusum": pa.array(out_s, pa.int64())})
+
+
+_KMV_K = 16
+
+
+def q_kmv_users(sf_dir: str):
+    """KMV (k-minimum-values) distinct sketch per event type — the third
+    mergeable-sketch family member (HLL counts leading zeros, CMS counts
+    collisions; KMV keeps the k SMALLEST 63-bit hashes, so unlike both its
+    state is fully deterministic and the whole sketch — not just the
+    estimate — hash-matches the SQL oracle). Per-batch partial: the k
+    smallest distinct hashes per (batch, type) — merge of two sketches is
+    k-smallest of the union, so the exchange is ≤ k rows per (batch, type)
+    at any cardinality. Estimate = (k−1)·2⁶³ // h_k (exact trunc division
+    on Python ints / HUGEINT in SQL) when ≥ k distinct hashes survive,
+    else the EXACT distinct count (the small-type branch)."""
+    from ..functions.textfns import md5_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t.column("event_type").to_pylist(),
+             "h": [md5_hash64(str(u)) >> 1
+                   for u in pc.cast(t.column("user_id"),
+                                    pa.int64()).to_pylist()]})
+        df = df.drop_duplicates()
+        df = (df.sort_values(["event_type", "h"])
+              .groupby("event_type", as_index=False).head(_KMV_K))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sketches = (_rp(sf_dir, "events", ["event_type", "user_id"])
+                .map_batches(partial, batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hs = sorted(set(int(x) for x in g["h"]))[:_KMV_K]
+        if len(hs) >= _KMV_K:
+            est = (_KMV_K - 1) * (1 << 63) // hs[-1]
+        else:
+            est = len(hs)
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_hashes": [len(hs)],
+                             "kth_hash": [hs[-1]],
+                             "est_distinct": [est]}).astype(
+            {"n_hashes": "int64", "kth_hash": "int64",
+             "est_distinct": "int64"})
+
+    return sketches.groupby("event_type").map_groups(
+        merge, batch_format="pandas")
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -8244,6 +8379,9 @@ def queries() -> dict:
         "mutual_knn": q_mutual_knn,
         "discount_revenue": q_discount_revenue,
         "brand_market_share": q_brand_market_share,
+        "cheapest_supplier": q_cheapest_supplier,
+        "events_cusum": q_events_cusum,
+        "kmv_users": q_kmv_users,
     }
 
 
@@ -10944,5 +11082,65 @@ def oracle_sql() -> dict:
                    CAST(brand_cents * 1000000
                         // GREATEST(total_cents, 1) AS BIGINT) AS share_ppm
             FROM m
+        """,
+        # independent formulation (window rank, not the engine's packed
+        # argmin) — a stronger oracle than replicating the packing
+        "cheapest_supplier": """
+            WITH r AS (SELECT l_partkey AS p_partkey,
+                              l_suppkey AS s_suppkey,
+                              CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS price,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY l_partkey
+                                  ORDER BY CAST(FLOOR(l_extendedprice * 100
+                                                      + 0.5) AS BIGINT),
+                                           l_suppkey) AS rn
+                       FROM lineitem)
+            SELECT p_partkey, r.s_suppkey, s_name, price AS min_price_cents
+            FROM r JOIN supplier ON r.s_suppkey = supplier.s_suppkey
+            WHERE rn = 1
+        """,
+        "events_cusum": """
+            WITH RECURSIVE
+            d AS (SELECT datediff('day', TIMESTAMP '1970-01-01', ts) AS day,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1),
+            r AS (SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS rn
+                  FROM d),
+            mu AS (SELECT SUM(n) // COUNT(*) AS mu FROM d),
+            c(rn, day, n, s) AS (
+                SELECT rn, day, n, GREATEST(0, n - (SELECT mu FROM mu))
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.rn, r.day, r.n,
+                       GREATEST(0, c.s + r.n - (SELECT mu FROM mu))
+                FROM c JOIN r ON r.rn = c.rn + 1)
+            SELECT CAST(day AS BIGINT) AS day, n, CAST(s AS BIGINT) AS cusum
+            FROM c
+        """,
+        # (k−1)·2⁶³ needs HUGEINT; the 63-bit hash is the same first-16-hex
+        # md5 as the HLL oracle, shifted right one bit
+        "kmv_users": f"""
+            WITH h AS (SELECT DISTINCT event_type,
+                              CAST(('0x' || substr(md5(CAST(user_id
+                                                            AS VARCHAR)),
+                                                   1, 16))::UBIGINT >> 1
+                                   AS BIGINT) AS h
+                       FROM events),
+            r AS (SELECT event_type, h,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rn
+                  FROM h),
+            k AS (SELECT event_type,
+                         CAST(COUNT(*) AS BIGINT) AS n_hashes,
+                         CAST(MAX(h) AS BIGINT) AS kth_hash
+                  FROM r WHERE rn <= {_KMV_K} GROUP BY 1)
+            SELECT event_type, n_hashes, kth_hash,
+                   CASE WHEN n_hashes >= {_KMV_K}
+                        THEN CAST(({_KMV_K - 1}
+                                   * CAST(9223372036854775808 AS HUGEINT))
+                                  // kth_hash AS BIGINT)
+                        ELSE n_hashes END AS est_distinct
+            FROM k
         """,
     }

@@ -374,3 +374,74 @@ def test_mutual_knn_gate_raises(tmp_path):
     }), tmp_path / "embeddings.parquet")
     with _pt.raises(ValueError, match="quadratic"):
         q_mutual_knn(str(tmp_path), broadcast_limit=2)
+
+
+def test_cheapest_supplier_price_tie(tmp_path):
+    # part 1: suppliers 9 and 2 both quote 5.00 → smaller suppkey 2 wins;
+    # part 2: supplier 9's 3.00 beats supplier 2's 4.00.
+    from ner_extractor_ray.pipelines.queries import q_cheapest_supplier
+
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([9, 2, 9, 2], pa.int64()),
+        "l_extendedprice": pa.array([5.0, 5.0, 3.0, 4.0]),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([2, 9], pa.int64()),
+        "s_name": pa.array(["S2", "S9"]),
+    }), tmp_path / "supplier.parquet")
+    out = (q_cheapest_supplier(str(tmp_path)).to_pandas()
+           .sort_values("p_partkey").reset_index(drop=True))
+    assert list(out["s_suppkey"]) == [2, 9]
+    assert list(out["s_name"]) == ["S2", "S9"]
+    assert list(out["min_price_cents"]) == [500, 300]
+
+
+def test_cusum_planted_level_shift(tmp_path):
+    # 10 days at 10 events + 5 days at 20 → trunc mean 200//15 = 13;
+    # CUSUM stays pinned at 0 through the quiet days (max-with-0 floor)
+    # and ramps +7/day after the shift: 7, 14, 21, 28, 35.
+    from ner_extractor_ray.pipelines.queries import q_events_cusum
+
+    ts = []
+    for d in range(10):
+        ts += [pd.Timestamp("2021-01-01") + pd.Timedelta(days=d)] * 10
+    for d in range(10, 15):
+        ts += [pd.Timestamp("2021-01-01") + pd.Timedelta(days=d)] * 20
+    pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("us"))}),
+                   tmp_path / "events.parquet")
+    out = (q_events_cusum(str(tmp_path)).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    assert list(out["cusum"][:10]) == [0] * 10
+    assert list(out["cusum"][10:]) == [7, 14, 21, 28, 35]
+
+
+def test_kmv_exact_branch_and_estimate(tmp_path):
+    # 'rare' has 3 distinct users (< k=16) → est = EXACT 3;
+    # 'big' has 40 → est = 15·2^63 // h16, recomputed here independently
+    # from hashlib.
+    import hashlib
+
+    from ner_extractor_ray.pipelines.queries import q_kmv_users
+
+    users = list(range(40))
+    rows_t = ["big"] * 40 + ["rare"] * 6
+    rows_u = users + [100, 101, 102, 100, 101, 102]
+    pq.write_table(pa.table({
+        "event_type": pa.array(rows_t),
+        "user_id": pa.array(rows_u, pa.int64()),
+    }), tmp_path / "events.parquet")
+
+    def h64(u):
+        return int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8],
+                              "big") >> 1
+
+    hs = sorted(h64(u) for u in users)[:16]
+    want_big = 15 * (1 << 63) // hs[-1]
+
+    out = q_kmv_users(str(tmp_path)).to_pandas().set_index("event_type")
+    assert out.loc["rare", "n_hashes"] == 3
+    assert out.loc["rare", "est_distinct"] == 3
+    assert out.loc["big", "n_hashes"] == 16
+    assert out.loc["big", "kth_hash"] == hs[-1]
+    assert out.loc["big", "est_distinct"] == want_big
