@@ -8146,6 +8146,67 @@ def q_kmv_users(sf_dir: str):
         merge, batch_format="pandas")
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary quintiles,
+    5 = best) — the classic curation/marketing composite. The fact table
+    folds ONCE into a per-user (last purchase day, n purchases, total
+    cents) aggregate; each dimension then gets an exact 1-based global rank
+    from the range-partitioned rank primitive (functions/rank.global_rank —
+    sampled bucket edges + per-bucket offsets, ONE shuffle per dimension of
+    the USER-sized table, no global sort) with user_id as the deterministic
+    tiebreak, and the quintile is the rank arithmetic 1 + (rank−1)·5 // n —
+    no percentile thresholds, so ties and boundaries are hash-exact.
+    Output: per-user scores + the packed 100r+10f+m segment code."""
+    from ..functions.rank import global_rank
+    from ..stages.canonicalize import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        df = pd.DataFrame(
+            {"user_id": pc.cast(t.column("user_id"), pa.int64()).to_numpy(),
+             "last_day": pc.cast(t.column("ts"), pa.int64()).to_numpy()
+             // 86_400_000_000,
+             "freq": np.ones(t.num_rows, np.int64),
+             "cents": _cents(np.asarray(t.column("value")))})
+        g = df.groupby("user_id", as_index=False).agg(
+            last_day=("last_day", "max"), freq=("freq", "sum"),
+            cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = grouped_aggregate(
+        _rp(sf_dir, "events", ["user_id", "event_type", "ts", "value"]
+            ).map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], Max("last_day", alias_name="last_day"),
+        Sum("freq", alias_name="freq"),
+        Sum("cents", alias_name="cents")).materialize()
+    schema = pa.schema([("user_id", pa.int64()), ("r", pa.int64()),
+                        ("f", pa.int64()), ("m", pa.int64()),
+                        ("rfm", pa.int64())])
+    n = per_user.count()
+    if n == 0:
+        return schema.empty_table()
+
+    ranked = global_rank(per_user, "last_day", "user_id",
+                         descending=False, out="rr")
+    ranked = global_rank(ranked, "freq", "user_id",
+                         descending=False, out="rf")
+    ranked = global_rank(ranked, "cents", "user_id",
+                         descending=False, out="rm")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["user_id", "r", "f", "m", "rfm"]})
+        r = 1 + (df["rr"].to_numpy(np.int64) - 1) * 5 // n
+        f = 1 + (df["rf"].to_numpy(np.int64) - 1) * 5 // n
+        m = 1 + (df["rm"].to_numpy(np.int64) - 1) * 5 // n
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "r": r, "f": f, "m": m,
+                             "rfm": 100 * r + 10 * f + m})
+
+    return ranked.map_batches(finish, batch_format="pandas")
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -8382,6 +8443,7 @@ def queries() -> dict:
         "cheapest_supplier": q_cheapest_supplier,
         "events_cusum": q_events_cusum,
         "kmv_users": q_kmv_users,
+        "rfm_segments": q_rfm_segments,
     }
 
 
@@ -11142,5 +11204,28 @@ def oracle_sql() -> dict:
                                   // kth_hash AS BIGINT)
                         ELSE n_hashes END AS est_distinct
             FROM k
+        """,
+        "rfm_segments": """
+            WITH p AS (SELECT user_id,
+                              MAX(datediff('day', TIMESTAMP '1970-01-01', ts))
+                                  AS last_day,
+                              CAST(COUNT(*) AS BIGINT) AS freq,
+                              CAST(SUM(CAST(FLOOR(value * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS cents
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            r AS (SELECT user_id,
+                         ROW_NUMBER() OVER (ORDER BY last_day, user_id) AS rr,
+                         ROW_NUMBER() OVER (ORDER BY freq, user_id) AS rf,
+                         ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rm
+                  FROM p),
+            n AS (SELECT COUNT(*) AS n FROM p)
+            SELECT user_id,
+                   1 + (rr - 1) * 5 // n.n AS r,
+                   1 + (rf - 1) * 5 // n.n AS f,
+                   1 + (rm - 1) * 5 // n.n AS m,
+                   100 * (1 + (rr - 1) * 5 // n.n)
+                   + 10 * (1 + (rf - 1) * 5 // n.n)
+                   + (1 + (rm - 1) * 5 // n.n) AS rfm
+            FROM r, n
         """,
     }

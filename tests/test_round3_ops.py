@@ -445,3 +445,32 @@ def test_kmv_exact_branch_and_estimate(tmp_path):
     assert out.loc["big", "n_hashes"] == 16
     assert out.loc["big", "kth_hash"] == hs[-1]
     assert out.loc["big", "est_distinct"] == want_big
+
+
+def test_rfm_quintile_boundaries(tmp_path):
+    # 5 purchase users with strictly increasing recency/frequency/monetary
+    # all aligned → user i gets r=f=m=i+1 exactly (rank arithmetic, n=5);
+    # the view row must be ignored.
+    from ner_extractor_ray.pipelines.queries import q_rfm_segments
+
+    ts, uid, val, typ = [], [], [], []
+    for i in range(5):
+        for j in range(i + 1):            # frequency i+1
+            ts.append(pd.Timestamp("2021-01-01") + pd.Timedelta(days=10 * i))
+            uid.append(i)
+            val.append(float(10 * (i + 1)))
+            typ.append("purchase")
+    ts.append(pd.Timestamp("2021-06-01")); uid.append(0)
+    val.append(9999.0); typ.append("view")
+    pq.write_table(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "value": pa.array(val),
+        "event_type": pa.array(typ),
+    }), tmp_path / "events.parquet")
+    out = (q_rfm_segments(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert list(out["user_id"]) == [0, 1, 2, 3, 4]
+    for col in ("r", "f", "m"):
+        assert list(out[col]) == [1, 2, 3, 4, 5]
+    assert list(out["rfm"]) == [111, 222, 333, 444, 555]
