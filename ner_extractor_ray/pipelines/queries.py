@@ -8207,6 +8207,305 @@ def q_rfm_segments(sf_dir: str):
     return ranked.map_batches(finish, batch_format="pandas")
 
 
+def q_nation_profit(sf_dir: str, *, broadcast_limit: int = 2_000_000):
+    """TPC-H Q9 shape adapted to this schema (no partsupp table): profit on
+    red parts by (supplier nation, order year), with unit cost standing in
+    for ps_supplycost as half the part's retail cents —
+    ``cost_unit = FLOOR(p_retailprice*100 + 0.5) // 2``, integer-exact and
+    mirrored verbatim in the oracle. The part-name filter prunes ~7/8 of
+    the dimension BEFORE it touches the fact table; below
+    ``broadcast_limit`` parts the (partkey → cost) map is broadcast once
+    (ray.put + per-batch searchsorted — no fact shuffle for the dimension
+    attach), above it the same chain runs through a partitioned hash join.
+    Profit then pre-aggregates to (order, supplier) rows so the supplier
+    and orders joins ship post-aggregate cardinality, exactly the
+    nation_pair_volume discipline; the final (nation, year) groupby is a
+    few hundred rows at any scale. Reference analog: the grouped
+    fold-metric aggregation of scripts/run_kfold.py:83-111 lifted to a
+    multi-join star."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    part = _rp(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+
+    def red_costs(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.match_substring(t.column("p_name"), "red"))
+        return pa.table(
+            {"p_partkey": pc.cast(f.column("p_partkey"), pa.int64()),
+             "cost_unit": pa.array(
+                 _cents(np.asarray(f.column("p_retailprice"))) // 2,
+                 pa.int64())})
+
+    li_cols = ["l_partkey", "l_orderkey", "l_suppkey", "l_quantity",
+               "l_extendedprice", "l_discount"]
+
+    def profit_of(t: pa.Table, cost: np.ndarray) -> pa.Table:
+        """Per-row profit, then a per-batch partial to (order, supplier)."""
+        price = np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(t.column("l_discount"), dtype=np.float64)
+        qty = np.asarray(t.column("l_quantity"), dtype=np.float64).astype(np.int64)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy(),
+             "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()).to_numpy(),
+             "profit_cents": rev - qty * cost})
+        return pa.Table.from_pandas(
+            df.groupby(["o_orderkey", "s_suppkey"], as_index=False)
+              ["profit_cents"].sum(), preserve_index=False)
+
+    if part.count() <= broadcast_limit:  # parquet metadata count — no scan
+        ct = pa.concat_tables(
+            [red_costs(b) for b in
+             part.iter_batches(batch_format="pyarrow", batch_size=65536)],
+            promote_options="default")
+        keys = ct.column("p_partkey").to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        costs = ct.column("cost_unit").to_numpy()[order]
+        cref = ray.put((keys, costs))
+
+        def bc_partial(t: pa.Table) -> pa.Table:
+            k, c = ray.get(cref)
+            pk = pc.cast(t.column("l_partkey"), pa.int64()).to_numpy()
+            if k.size == 0:
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "s_suppkey": pa.array([], pa.int64()),
+                                 "profit_cents": pa.array([], pa.int64())})
+            idx = np.clip(np.searchsorted(k, pk), 0, k.size - 1)
+            hit = k[idx] == pk
+            return profit_of(t.filter(pa.array(hit)), c[idx[hit]])
+
+        per_os = _rp(sf_dir, "lineitem", li_cols).map_batches(
+            bc_partial, batch_format="pyarrow")
+    else:
+        costs_ds = part.map_batches(red_costs, batch_format="pyarrow")
+        fact = _rp(sf_dir, "lineitem", li_cols).map_batches(
+            lambda t: t.rename_columns(
+                ["p_partkey"] + li_cols[1:]),
+            batch_format="pyarrow")
+        per_os = hash_join(fact, costs_ds, on=("p_partkey",)).map_batches(
+            lambda t: profit_of(
+                t, pc.cast(t.column("cost_unit"), pa.int64()).to_numpy()),
+            batch_format="pyarrow")
+
+    per_os = grouped_aggregate(per_os, ["o_orderkey", "s_suppkey"],
+                               Sum("profit_cents", alias_name="profit_cents"))
+
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+             "supp_nation": pc.cast(t.column("s_nationkey"), pa.int64())}),
+        batch_format="pyarrow")
+    per_on = grouped_aggregate(
+        hash_join(per_os, supp, on=("s_suppkey",)).map_batches(
+            lambda t: t.select(["o_orderkey", "supp_nation", "profit_cents"]),
+            batch_format="pyarrow"),
+        ["o_orderkey", "supp_nation"],
+        Sum("profit_cents", alias_name="profit_cents"))
+
+    oyear = _rp(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64())}),
+        batch_format="pyarrow")
+    return _nonempty_or_empty_table(
+        grouped_aggregate(
+            hash_join(per_on, oyear, on=("o_orderkey",)).map_batches(
+                lambda t: t.select(["supp_nation", "o_year", "profit_cents"]),
+                batch_format="pyarrow"),
+            ["supp_nation", "o_year"],
+            Sum("profit_cents", alias_name="profit_cents")),
+        pa.schema([("supp_nation", pa.int64()), ("o_year", pa.int64()),
+                   ("profit_cents", pa.int64())]))
+
+
+def q_returnflag_priority(sf_dir: str):
+    """TPC-H Q12 shape adapted to this schema (no l_shipmode /
+    l_commitdate): per return flag of 1996 shipments, how many lineitems
+    belong to critical-priority orders (1-URGENT / 2-HIGH) vs the rest —
+    the classic fact→parent join followed by conditional counting. The
+    fact side pre-aggregates to (order, flag, n) — one row per order-flag
+    pair instead of one per lineitem — before the partitioned hash join
+    attaches the priority, so the exchange ships post-aggregate rows;
+    the conditional split is a vectorized int mask and the final groupby
+    is ≤ 3 rows. Reference analog: the confusion-bucket conditional
+    counting of src/metrics.py:66 as a joined aggregate."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    lo, hi = _ts_us("1996-01-01"), _ts_us("1997-01-01")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("l_shipdate"), pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        df = pd.DataFrame(
+            {"o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy(),
+             "l_returnflag": t.column("l_returnflag").to_pylist(),
+             "n": np.ones(t.num_rows, np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["o_orderkey", "l_returnflag"], as_index=False)["n"]
+              .sum(), preserve_index=False)
+
+    per_of = grouped_aggregate(
+        _rp(sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_shipdate"]).map_batches(
+            li_partial, batch_format="pyarrow"),
+        ["o_orderkey", "l_returnflag"], Sum("n", alias_name="n"))
+
+    prio = _rp(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "is_high": pc.cast(
+                 pc.is_in(t.column("o_orderpriority"),
+                          value_set=pa.array(["1-URGENT", "2-HIGH"])),
+                 pa.int64())}),
+        batch_format="pyarrow")
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"l_returnflag": pd.Series([], dtype="object"),
+                 "high_line_count": pd.Series([], dtype="int64"),
+                 "low_line_count": pd.Series([], dtype="int64")})
+        n = df["n"].to_numpy(np.int64)
+        hi_mask = df["is_high"].to_numpy(np.int64)
+        df = df.assign(high_line_count=n * hi_mask,
+                       low_line_count=n * (1 - hi_mask))
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            high_line_count=("high_line_count", "sum"),
+            low_line_count=("low_line_count", "sum"))
+        return g.astype({"high_line_count": "int64",
+                         "low_line_count": "int64"})
+
+    return (hash_join(per_of, prio, on=("o_orderkey",))
+            .map_batches(split, batch_format="pandas")
+            .groupby("l_returnflag")
+            .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                       Sum("low_line_count", alias_name="low_line_count")))
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — promo revenue share for 1996-03. Unlike the Q8
+    plan (flag travels with the fact rows), here revenue needs NOTHING
+    from the dimension except a boolean, so the fact table folds FIRST to
+    a (partkey, rev_cents) aggregate — bounded by part cardinality — and
+    only that aggregate hash-joins `part` for the PROMO flag: the month's
+    lineitems never enter a shuffle. Output is one row of exact integers:
+    promo cents, total cents, and the ppm share by trunc division."""
+    from ..stages.joins import hash_join
+
+    lo, hi = _ts_us("1996-03-01"), _ts_us("1996-04-01")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("l_shipdate"), pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        price = np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(t.column("l_discount"), dtype=np.float64)
+        df = pd.DataFrame(
+            {"p_partkey": pc.cast(t.column("l_partkey"), pa.int64()).to_numpy(),
+             "rev_cents": np.floor(price * (1.0 - disc) * 100.0 + 0.5)
+                            .astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("p_partkey", as_index=False)["rev_cents"].sum(),
+            preserve_index=False)
+
+    per_part = _gagg(
+        _rp(sf_dir, "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+            ).map_batches(li_partial, batch_format="pyarrow"),
+        "p_partkey", Sum("rev_cents", alias_name="rev_cents"))
+
+    promo = _rp(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table(
+            {"p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+             "is_promo": pc.cast(pc.equal(t.column("p_type"), "PROMO"),
+                                 pa.int64())}),
+        batch_format="pyarrow")
+
+    def fold(t: pa.Table) -> pa.Table:
+        rev = pc.cast(t.column("rev_cents"), pa.int64()).to_numpy()
+        promo_mask = pc.cast(t.column("is_promo"), pa.int64()).to_numpy()
+        return pa.table(
+            {"promo_cents": pa.array([int((rev * promo_mask).sum())], pa.int64()),
+             "total_cents": pa.array([int(rev.sum())], pa.int64())})
+
+    partials = (hash_join(per_part, promo, on=("p_partkey",))
+                .map_batches(fold, batch_format="pyarrow").take_all())
+    promo_c = sum(r["promo_cents"] for r in partials)
+    total_c = sum(r["total_cents"] for r in partials)
+    return pa.table(
+        {"promo_cents": pa.array([promo_c], pa.int64()),
+         "total_cents": pa.array([total_c], pa.int64()),
+         "promo_ppm": pa.array(
+             [promo_c * 1_000_000 // max(total_c, 1)], pa.int64())})
+
+
+_EXCESS_QTY_MIN = 300
+
+
+def q_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 shape adapted to this schema (no partsupp availqty):
+    suppliers who shipped MORE than _EXCESS_QTY_MIN units of widget parts
+    during 1996 — the nested aggregate-subquery semi-join chain. The part
+    filter reduces the dimension to keys only (~1/8), the date-windowed
+    fact pre-aggregates quantity to (partkey, suppkey) pairs before the
+    partitioned semi join, survivors re-aggregate per supplier, the HAVING
+    filter runs distributed off that aggregate, and only qualifying keys
+    join `supplier` for names — wide supplier attributes never ship for
+    the non-qualifying. Quantities are integral in this data and summed
+    as int64, so the threshold compare is hash-exact."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    lo, hi = _ts_us("1996-01-01"), _ts_us("1997-01-01")
+
+    widget_keys = _rp(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda t: (lambda f: pa.table(
+            {"p_partkey": pc.cast(f.column("p_partkey"), pa.int64())}))(
+            t.filter(pc.match_substring(t.column("p_name"), "widget"))),
+        batch_format="pyarrow")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("l_shipdate"), pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        df = pd.DataFrame(
+            {"p_partkey": pc.cast(t.column("l_partkey"), pa.int64()).to_numpy(),
+             "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()).to_numpy(),
+             "total_qty": np.asarray(t.column("l_quantity"),
+                                     dtype=np.float64).astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["p_partkey", "s_suppkey"], as_index=False)["total_qty"]
+              .sum(), preserve_index=False)
+
+    per_ps = grouped_aggregate(
+        _rp(sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+            ).map_batches(li_partial, batch_format="pyarrow"),
+        ["p_partkey", "s_suppkey"], Sum("total_qty", alias_name="total_qty"))
+
+    qualifying = _gagg(
+        hash_join(per_ps, widget_keys, on=("p_partkey",)).map_batches(
+            lambda t: t.select(["s_suppkey", "total_qty"]),
+            batch_format="pyarrow"),
+        "s_suppkey", Sum("total_qty", alias_name="total_qty")).map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.cast(t.column("total_qty"), pa.int64()), _EXCESS_QTY_MIN)),
+        batch_format="pyarrow")
+
+    names = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+             "s_name": pc.cast(t.column("s_name"), pa.string())}),
+        batch_format="pyarrow")
+    return _nonempty_or_empty_table(
+        hash_join(qualifying, names, on=("s_suppkey",)).map_batches(
+            lambda t: t.select(["s_suppkey", "s_name", "total_qty"]),
+            batch_format="pyarrow"),
+        pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                   ("total_qty", pa.int64())]))
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -8444,6 +8743,10 @@ def queries() -> dict:
         "events_cusum": q_events_cusum,
         "kmv_users": q_kmv_users,
         "rfm_segments": q_rfm_segments,
+        "nation_profit": q_nation_profit,
+        "returnflag_priority": q_returnflag_priority,
+        "promo_revenue": q_promo_revenue,
+        "excess_suppliers": q_excess_suppliers,
     }
 
 
@@ -11227,5 +11530,71 @@ def oracle_sql() -> dict:
                    + 10 * (1 + (rf - 1) * 5 // n.n)
                    + (1 + (rm - 1) * 5 // n.n) AS rfm
             FROM r, n
+        """,
+        "nation_profit": """
+            SELECT CAST(s.s_nationkey AS BIGINT) AS supp_nation,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                       * 100 + 0.5) AS BIGINT)
+                            - CAST(l.l_quantity AS BIGINT)
+                              * (CAST(FLOOR(p.p_retailprice * 100 + 0.5)
+                                      AS BIGINT) // 2)) AS BIGINT)
+                       AS profit_cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "returnflag_priority": """
+            SELECT l.l_returnflag,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT',
+                                                            '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT',
+                                                            '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "promo_revenue": """
+            WITH s AS (
+              SELECT
+                CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(FLOOR(l.l_extendedprice
+                                              * (1 - l.l_discount) * 100
+                                              + 0.5) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS promo_cents,
+                CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS total_cents
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+                AND l.l_shipdate < TIMESTAMP '1996-04-01')
+            SELECT promo_cents, total_cents,
+                   promo_cents * 1000000 // GREATEST(total_cents, 1)
+                       AS promo_ppm
+            FROM s
+        """,
+        "excess_suppliers": f"""
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   q.total_qty
+            FROM (SELECT l.l_suppkey,
+                         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                             AS total_qty
+                  FROM lineitem l
+                  JOIN part p ON p.p_partkey = l.l_partkey
+                  WHERE p.p_name LIKE '%widget%'
+                    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+                  GROUP BY 1
+                  HAVING SUM(CAST(l.l_quantity AS BIGINT))
+                         > {_EXCESS_QTY_MIN}) q
+            JOIN supplier s ON s.s_suppkey = q.l_suppkey
         """,
     }

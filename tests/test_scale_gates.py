@@ -8,6 +8,7 @@ import pandas as pd
 
 from ner_extractor_ray.pipelines.queries import (
     q_customers_with_orders,
+    q_nation_profit,
     q_revenue_by_brand,
 )
 
@@ -30,6 +31,13 @@ def test_customers_with_orders_bloom_path_matches_broadcast():
 def test_revenue_by_brand_join_path_matches_broadcast():
     bc = _norm(q_revenue_by_brand(SF_DIR))
     at_scale = _norm(q_revenue_by_brand(SF_DIR, broadcast_limit=0))
+    pd.testing.assert_frame_equal(bc, at_scale)
+    assert len(bc) > 0
+
+
+def test_nation_profit_join_path_matches_broadcast():
+    bc = _norm(q_nation_profit(SF_DIR).to_pandas())
+    at_scale = _norm(q_nation_profit(SF_DIR, broadcast_limit=0).to_pandas())
     pd.testing.assert_frame_equal(bc, at_scale)
     assert len(bc) > 0
 
