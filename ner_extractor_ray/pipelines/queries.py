@@ -8506,6 +8506,87 @@ def q_excess_suppliers(sf_dir: str):
                    ("total_qty", pa.int64())]))
 
 
+def q_small_qty_revenue(sf_dir: str, *, broadcast_limit: int = 2_000_000):
+    """TPC-H Q17 shape — revenue locked in small-quantity orders: lineitems
+    whose quantity is below HALF the part's average quantity, a correlated
+    aggregate-subquery join-back onto the SAME fact table. The per-part
+    average folds first to (partkey, qty_sum, n) — bounded by part
+    cardinality — and the threshold compare is the integer cross-multiplied
+    form ``2·qty·n < qty_sum`` (quantities are integral here), so both
+    engines compare exact int64s and no float average ever exists. Below
+    ``broadcast_limit`` parts the aggregate is broadcast (ray.put +
+    searchsorted) and the second fact pass filters map-side with NO
+    shuffle; above it the same compare runs through a partitioned hash
+    join of the fact against the part-sized aggregate."""
+    from ..stages.joins import hash_join
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"p_partkey": pc.cast(t.column("l_partkey"), pa.int64()).to_numpy(),
+             "qty_sum": np.asarray(t.column("l_quantity"),
+                                   dtype=np.float64).astype(np.int64),
+             "n": np.ones(t.num_rows, np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("p_partkey", as_index=False).agg(
+                qty_sum=("qty_sum", "sum"), n=("n", "sum")),
+            preserve_index=False)
+
+    per_part = _gagg(
+        _rp(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+            avg_partial, batch_format="pyarrow"),
+        "p_partkey", Sum("qty_sum", alias_name="qty_sum"),
+        Sum("n", alias_name="n")).materialize()
+
+    def fold(qty: np.ndarray, price: np.ndarray, qsum: np.ndarray,
+             n: np.ndarray) -> pa.Table:
+        keep = 2 * qty * n < qsum
+        rev = np.floor(price[keep] * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"n_items": pa.array([int(keep.sum())], pa.int64()),
+                         "revenue_cents": pa.array([int(rev.sum())], pa.int64())})
+
+    if per_part.count() <= broadcast_limit:
+        agg = per_part.to_pandas()
+        order = np.argsort(agg["p_partkey"].to_numpy(np.int64), kind="stable")
+        keys = agg["p_partkey"].to_numpy(np.int64)[order]
+        qsums = agg["qty_sum"].to_numpy(np.int64)[order]
+        ns = agg["n"].to_numpy(np.int64)[order]
+        aref = ray.put((keys, qsums, ns))
+
+        def bc_fold(t: pa.Table) -> pa.Table:
+            k, qs, nn = ray.get(aref)
+            pk = pc.cast(t.column("l_partkey"), pa.int64()).to_numpy()
+            qty = np.asarray(t.column("l_quantity"),
+                             dtype=np.float64).astype(np.int64)
+            price = np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+            idx = np.searchsorted(k, pk)  # every fact key exists in its own agg
+            return fold(qty, price, qs[idx], nn[idx])
+
+        parts = (_rp(sf_dir, "lineitem", li_cols)
+                 .map_batches(bc_fold, batch_format="pyarrow").take_all())
+    else:
+        fact = _rp(sf_dir, "lineitem", li_cols).map_batches(
+            lambda t: pa.table(
+                {"p_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                 "l_quantity": t.column("l_quantity"),
+                 "l_extendedprice": t.column("l_extendedprice")}),
+            batch_format="pyarrow")
+        parts = (hash_join(fact, per_part, on=("p_partkey",)).map_batches(
+            lambda t: fold(
+                np.asarray(t.column("l_quantity"),
+                           dtype=np.float64).astype(np.int64),
+                np.asarray(t.column("l_extendedprice"), dtype=np.float64),
+                pc.cast(t.column("qty_sum"), pa.int64()).to_numpy(),
+                pc.cast(t.column("n"), pa.int64()).to_numpy()),
+            batch_format="pyarrow").take_all())
+
+    return pa.table(
+        {"n_items": pa.array([sum(r["n_items"] for r in parts)], pa.int64()),
+         "revenue_cents": pa.array([sum(r["revenue_cents"] for r in parts)],
+                                   pa.int64())})
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -8747,6 +8828,7 @@ def queries() -> dict:
         "returnflag_priority": q_returnflag_priority,
         "promo_revenue": q_promo_revenue,
         "excess_suppliers": q_excess_suppliers,
+        "small_qty_revenue": q_small_qty_revenue,
     }
 
 
@@ -11596,5 +11678,18 @@ def oracle_sql() -> dict:
                   HAVING SUM(CAST(l.l_quantity AS BIGINT))
                          > {_EXCESS_QTY_MIN}) q
             JOIN supplier s ON s.s_suppkey = q.l_suppkey
+        """,
+        "small_qty_revenue": """
+            WITH a AS (SELECT l_partkey,
+                              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                                  AS qty_sum,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+            WHERE 2 * CAST(l.l_quantity AS BIGINT) * a.n < a.qty_sum
         """,
     }

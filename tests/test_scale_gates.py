@@ -10,6 +10,7 @@ from ner_extractor_ray.pipelines.queries import (
     q_customers_with_orders,
     q_nation_profit,
     q_revenue_by_brand,
+    q_small_qty_revenue,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -40,6 +41,13 @@ def test_nation_profit_join_path_matches_broadcast():
     at_scale = _norm(q_nation_profit(SF_DIR, broadcast_limit=0).to_pandas())
     pd.testing.assert_frame_equal(bc, at_scale)
     assert len(bc) > 0
+
+
+def test_small_qty_revenue_join_path_matches_broadcast():
+    bc = _norm(q_small_qty_revenue(SF_DIR).to_pandas())
+    at_scale = _norm(q_small_qty_revenue(SF_DIR, broadcast_limit=0).to_pandas())
+    pd.testing.assert_frame_equal(bc, at_scale)
+    assert int(bc["n_items"].iloc[0]) > 0
 
 
 def test_batched_minhash_matches_scalar():
