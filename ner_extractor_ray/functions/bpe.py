@@ -1,0 +1,142 @@
+"""Byte-pair-encoding tokenizer training as Ray Data transforms.
+
+The trainer's inner loop is the canonical LLM-tokenizer data op: collapse the
+corpus to a word-frequency VOCABULARY once (Heaps'-law small relative to the
+corpus), represent each word as a symbol sequence, then per merge round count
+adjacent symbol pairs weighted by word frequency, pick the global argmax, and
+apply the merge to every word. At 100 TB only the first collapse touches the
+corpus; every round after it runs on the vocabulary dataset — per-batch partial
+pair counts before a pair-vocabulary-sized groupby, a one-row argmax off that
+aggregate, and a broadcast of the single winning pair into the next map pass.
+Greedy left-to-right non-overlapping merge semantics per word, the same rule
+as the reference's WordPiece longest-match cousin (functions/wordpiece.py;
+reference analog: the subword tokenize/align stage of src/data_module.py:83-119
+— there inference with a fixed vocab, here the training loop that builds one).
+
+End-of-word marker ``_EOW`` keeps word-final pairs distinct from word-internal
+ones (the GPT-2/sentencepiece convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+_EOW = "</w>"
+_SEP = "\x1f"  # unit separator — never appears in [a-z0-9] tokens
+
+
+def word_vocab(ds: "ray.data.Dataset", col: str, token_re) -> "ray.data.Dataset":
+    """Corpus → (word, n) vocabulary dataset: per-batch dict counting, then
+    ONE token-keyed groupby of the already-collapsed partials."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column(col).to_pylist():
+            for w in token_re.findall((s or "").lower()):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({"word": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    return grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                             ["word"], Sum("n", alias_name="n"))
+
+
+def _split_word(w: str) -> list[str]:
+    return list(w) + [_EOW]
+
+
+def _pair_counts_batch(t: pa.Table) -> pa.Table:
+    """Adjacent-pair counts of the batch's symbol sequences, weighted by the
+    word count — one output row per DISTINCT pair in the batch (the partial
+    combine that keeps the groupby pair-vocabulary-sized)."""
+    counts: dict[tuple[str, str], int] = {}
+    ns = t.column("n").to_pylist()
+    for seq, n in zip(t.column("symbols").to_pylist(), ns):
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + n
+    if not counts:
+        return pa.table({"left": pa.array([], pa.string()),
+                         "right": pa.array([], pa.string()),
+                         "pair_count": pa.array([], pa.int64())})
+    lefts, rights = zip(*counts)
+    return pa.table({"left": pa.array(list(lefts), pa.string()),
+                     "right": pa.array(list(rights), pa.string()),
+                     "pair_count": pa.array(list(counts.values()), pa.int64())})
+
+
+def pair_counts(vocab: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(symbols, n) vocabulary → (left, right, pair_count) aggregate."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    return grouped_aggregate(
+        vocab.map_batches(_pair_counts_batch, batch_format="pyarrow"),
+        ["left", "right"], Sum("pair_count", alias_name="pair_count"))
+
+
+def merge_pair(seq: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge of (left, right) in seq."""
+    out: list[str] = []
+    i, n = 0, len(seq)
+    while i < n:
+        if i + 1 < n and seq[i] == left and seq[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def train_bpe(ds: "ray.data.Dataset", col: str, token_re,
+              n_merges: int) -> pa.Table:
+    """Run ``n_merges`` BPE rounds; returns (rank, left, right, pair_count).
+
+    Ties break by (count desc, left asc, right asc) so the merge list is
+    deterministic at any parallelism. The vocabulary dataset is materialized
+    once per round (vocab-sized — words, not corpus); the winning pair is a
+    driver-side scalar broadcast into the next round's map closure.
+    """
+    vocab = word_vocab(ds, col, token_re).map_batches(
+        lambda t: pa.table(
+            {"symbols": pa.array([_split_word(w) for w in
+                                  t.column("word").to_pylist()],
+                                 pa.list_(pa.string())),
+             "n": pc.cast(t.column("n"), pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    ranks, lefts, rights, counts = [], [], [], []
+    for rank in range(1, n_merges + 1):
+        pc_tbl = pair_counts(vocab).map_batches(
+            # per-block best row — only ≤1 row per block reaches the driver
+            lambda t: (lambda d: d.sort_values(
+                ["pair_count", "left", "right"],
+                ascending=[False, True, True]).head(1))(t.to_pandas())
+            if t.num_rows else t.to_pandas(),
+            batch_format="pyarrow").take_all()
+        if not pc_tbl:
+            break
+        best = sorted(pc_tbl, key=lambda r: (-r["pair_count"], r["left"],
+                                             r["right"]))[0]
+        left, right, cnt = best["left"], best["right"], int(best["pair_count"])
+        ranks.append(rank), lefts.append(left), rights.append(right)
+        counts.append(cnt)
+
+        def apply(t: pa.Table, left=left, right=right) -> pa.Table:
+            seqs = [merge_pair(s, left, right)
+                    for s in t.column("symbols").to_pylist()]
+            return pa.table({"symbols": pa.array(seqs, pa.list_(pa.string())),
+                             "n": pc.cast(t.column("n"), pa.int64())})
+
+        vocab = vocab.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return pa.table({"rank": pa.array(ranks, pa.int64()),
+                     "left": pa.array(lefts, pa.string()),
+                     "right": pa.array(rights, pa.string()),
+                     "pair_count": pa.array(counts, pa.int64())})

@@ -8587,6 +8587,46 @@ def q_small_qty_revenue(sf_dir: str, *, broadcast_limit: int = 2_000_000):
                                    pa.int64())})
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """BPE tokenizer training, round 1 — the top-20 adjacent character
+    pairs (with the ``</w>`` end-of-word marker) weighted by corpus word
+    frequency. The corpus collapses ONCE to the word vocabulary (Heaps'-law
+    small), pairs partial-count per batch of the vocabulary, and the global
+    pair table is character-alphabet² rows — trivially collectable at any
+    corpus size. Ties break (count desc, left asc, right asc)."""
+    from ..functions.bpe import _split_word, pair_counts, word_vocab
+
+    vocab = word_vocab(_rp(sf_dir, "documents", ["text"]), "text",
+                       _ALNUM).map_batches(
+        lambda t: pa.table(
+            {"symbols": pa.array([_split_word(w) for w in
+                                  t.column("word").to_pylist()],
+                                 pa.list_(pa.string())),
+             "n": pc.cast(t.column("n"), pa.int64())}),
+        batch_format="pyarrow")
+    rows = pair_counts(vocab).take_all()
+    rows.sort(key=lambda r: (-r["pair_count"], r["left"], r["right"]))
+    top = rows[:20]
+    return pa.table(
+        {"left": pa.array([r["left"] for r in top], pa.string()),
+         "right": pa.array([r["right"] for r in top], pa.string()),
+         "pair_count": pa.array([int(r["pair_count"]) for r in top],
+                                pa.int64())})
+
+
+def q_bpe_merges(sf_dir: str):
+    """Eight full BPE merge rounds over the corpus vocabulary — the
+    iterative trainer (functions/bpe.train_bpe): per round a vocabulary-
+    dataset pair count, a one-row global argmax, and a broadcast merge
+    applied map-side. Not ANSI-SQL-expressible (each round's symbol
+    sequences depend on the previous argmax); parity is pinned by
+    tests/test_round3_ops.py against an independent single-process BPE
+    reference, and determinism by the harness rerun."""
+    from ..functions.bpe import train_bpe
+
+    return train_bpe(_rp(sf_dir, "documents", ["text"]), "text", _ALNUM, 8)
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -8829,6 +8869,8 @@ def queries() -> dict:
         "promo_revenue": q_promo_revenue,
         "excess_suppliers": q_excess_suppliers,
         "small_qty_revenue": q_small_qty_revenue,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -11691,5 +11733,26 @@ def oracle_sql() -> dict:
                        AS revenue_cents
             FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
             WHERE 2 * CAST(l.l_quantity AS BIGINT) * a.n < a.qty_sum
+        """,
+        "bpe_pair_counts": """
+            WITH w AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                     '[a-z0-9]+')) AS word
+                    FROM documents)
+              GROUP BY 1),
+            pos AS (SELECT word, n,
+                           unnest(range(1, LENGTH(word) + 1)) AS i
+                    FROM w),
+            pairs AS (SELECT substr(word, i, 1) AS "left",
+                             CASE WHEN i < LENGTH(word)
+                                  THEN substr(word, i + 1, 1)
+                                  ELSE '</w>' END AS "right",
+                             n
+                      FROM pos)
+            SELECT "left", "right",
+                   CAST(SUM(n) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY 1, 2
+            ORDER BY pair_count DESC, "left", "right" LIMIT 20
         """,
     }

@@ -474,3 +474,67 @@ def test_rfm_quintile_boundaries(tmp_path):
     for col in ("r", "f", "m"):
         assert list(out[col]) == [1, 2, 3, 4, 5]
     assert list(out["rfm"]) == [111, 222, 333, 444, 555]
+
+
+def _ref_bpe(texts, n_merges):
+    """Independent single-process BPE reference: dict-based word counts,
+    tuple-pair counting, greedy left-to-right merge — no shared code with
+    functions/bpe.py beyond the (count desc, left asc, right asc) tie rule."""
+    import re
+
+    words = {}
+    for s in texts:
+        for w in re.findall(r"[a-z0-9]+", s.lower()):
+            words[w] = words.get(w, 0) + 1
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in words.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for seq, n in vocab.items():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, left, right, cnt))
+        new_vocab = {}
+        for seq, n in vocab.items():
+            out, i = [], 0
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == left
+                        and seq[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference(tmp_path):
+    from ner_extractor_ray.pipelines.queries import q_bpe_merges
+
+    texts = ["the cat sat on the mat", "the hat of the cat", "mats and hats",
+             "a cataract on the catamaran", "hat hat hat mat mat the the"]
+    pq.write_table(pa.table({"text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    got = q_bpe_merges(str(tmp_path)).to_pandas()
+    ref = _ref_bpe(texts, 8)
+    assert [tuple(r) for r in got.itertuples(index=False)] == ref
+    assert len(ref) == 8
+
+
+def test_bpe_merges_sf_data_match_reference():
+    import duckdb
+
+    from ner_extractor_ray.pipelines.queries import q_bpe_merges
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bpe_merges(sf).to_pandas()
+    texts = [r[0] for r in duckdb.sql(
+        f"SELECT text FROM '{sf}/documents.parquet'").fetchall()]
+    ref = _ref_bpe(texts, 8)
+    assert [tuple(r) for r in got.itertuples(index=False)] == ref
