@@ -241,3 +241,59 @@ def heavy_hitters_exact(
                          "cnt": pc.cast(out.column("cnt"), pa.int64())})
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def hdr_bucket(c: np.ndarray) -> np.ndarray:
+    """HDR-histogram bucket representative of non-negative int64 values:
+    values < 32 are exact; above, the bucket keeps the leading bit plus the
+    next 4 mantissa bits — ``(16 + top4) << (bitlen - 5)`` — so the
+    representative is the bucket's LOWER bound and the relative error is
+    ≤ 1/16 at any magnitude. Pure integer arithmetic (bitlength via
+    ``np.frexp``, exact for values < 2^53), so the mapping is bit-identical
+    in any engine — the SQL oracle replicates it with BIN()/shifts. Bucket
+    counts are Sum-mergeable: the sketch is a ≤ ~1000-row aggregate at any
+    cardinality, the same 100-TB contract as the HLL/CMS/KMV family."""
+    c = np.asarray(c, dtype=np.int64)
+    out = c.copy()
+    big = c >= 32
+    if big.any():
+        v = c[big]
+        _, e = np.frexp(v.astype(np.float64))  # e == bitlength, exact < 2^53
+        sh = (e.astype(np.int64) - 5)
+        out[big] = (16 + ((v >> sh) & 15)) << sh
+    return out
+
+
+def hdr_quantiles(ds: "ray.data.Dataset", col_cents: str,
+                  q_pcts=(50, 90, 99)) -> "pa.Table":
+    """Mergeable quantile estimates off the HDR bucket aggregate: per-batch
+    bucket counting, ONE bucket-keyed groupby (≤ ~1000 rows), then the
+    integer rank rule ``100·cum ≥ q·n`` walked on the driver-side
+    bucket table. Returns (q_pct, est_cents, n_rows)."""
+    from ..stages.canonicalize import grouped_aggregate
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column(col_cents), pa.int64()).to_numpy(zero_copy_only=False)
+        b, n = np.unique(hdr_bucket(c), return_counts=True)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    rows = grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                             ["bucket"], Sum("n", alias_name="n")).take_all()
+    rows.sort(key=lambda r: r["bucket"])
+    tot = sum(int(r["n"]) for r in rows)
+    qs, ests = [], []
+    for q in q_pcts:
+        cum = 0
+        est = rows[-1]["bucket"] if rows else 0
+        for r in rows:
+            cum += int(r["n"])
+            if 100 * cum >= q * tot:
+                est = int(r["bucket"])
+                break
+        qs.append(int(q))
+        ests.append(est)
+    return pa.table({"q_pct": pa.array(qs, pa.int64()),
+                     "est_cents": pa.array(ests, pa.int64()),
+                     "n_rows": pa.array([tot] * len(qs), pa.int64())})

@@ -8627,6 +8627,27 @@ def q_bpe_merges(sf_dir: str):
     return train_bpe(_rp(sf_dir, "documents", ["text"]), "text", _ALNUM, 8)
 
 
+def q_hdr_quantiles(sf_dir: str):
+    """Mergeable HDR-histogram quantile sketch (p50/p90/p99 of event value
+    cents) — the quantile member of the sketch family (HLL / CMS / KMV).
+    Bucket = exact below 32, else leading bit + next 4 mantissa bits
+    (≤ 1/16 relative error), all integer arithmetic, so the bucket counts
+    are Sum-mergeable AND bit-identical to the SQL replication (BIN()
+    length + shifts) — unlike t-digest/KLL there is no order- or
+    batch-dependence anywhere. The whole sketch is ≤ ~1000 rows at any
+    cardinality; estimates use the same 100·cum ≥ q·n integer rank rule
+    as value_p90."""
+    from ..functions.sketches import hdr_quantiles
+
+    cents = _rp(sf_dir, "events", ["value"]).map_batches(
+        lambda t: (lambda f: pa.table(
+            {"cents": pa.array(_cents(np.asarray(f.column("value"))),
+                               pa.int64())}))(
+            t.filter(pc.is_valid(t.column("value")))),
+        batch_format="pyarrow")
+    return hdr_quantiles(cents, "cents")
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -8871,6 +8892,7 @@ def queries() -> dict:
         "small_qty_revenue": q_small_qty_revenue,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
+        "hdr_quantiles": q_hdr_quantiles,
     }
 
 
@@ -11754,5 +11776,25 @@ def oracle_sql() -> dict:
                    CAST(SUM(n) AS BIGINT) AS pair_count
             FROM pairs GROUP BY 1, 2
             ORDER BY pair_count DESC, "left", "right" LIMIT 20
+        """,
+        "hdr_quantiles": """
+            WITH v AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+                       FROM events WHERE value IS NOT NULL),
+            b AS (SELECT CASE WHEN c < 32 THEN c
+                              ELSE (16 + ((c >> (LENGTH(BIN(c)) - 5)) & 15))
+                                   << (LENGTH(BIN(c)) - 5) END AS bucket
+                  FROM v),
+            g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM b GROUP BY 1),
+            c1 AS (SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum
+                   FROM g),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
+            q AS (SELECT * FROM (VALUES (50), (90), (99)) AS qq(q_pct))
+            SELECT CAST(q.q_pct AS BIGINT) AS q_pct,
+                   CAST(MIN(c1.bucket) AS BIGINT) AS est_cents,
+                   t.tot AS n_rows
+            FROM q, t, c1
+            WHERE 100 * c1.cum >= q.q_pct * t.tot
+            GROUP BY 1, 3
         """,
     }

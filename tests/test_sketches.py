@@ -113,3 +113,37 @@ def test_heavy_hitters_threshold_boundary():
     ds = ray.data.from_items([{"w": w} for w in items]).repartition(4)
     got = {r["word"] for r in heavy_hitters_exact(ds, "w", capacity=4).take_all()}
     assert got == {"big"}
+
+
+def test_hdr_bucket_error_bound_and_monotonicity():
+    from ner_extractor_ray.functions.sketches import hdr_bucket
+
+    v = np.concatenate([np.arange(0, 2048),
+                        np.array([2**k + d for k in range(11, 52)
+                                  for d in (0, 1, 2**(k - 1), 2**k - 1)])])
+    b = hdr_bucket(v)
+    assert (b <= v).all()                       # representative = lower bound
+    small = v < 32
+    assert (b[small] == v[small]).all()         # exact below 32
+    big = ~small
+    # bucket width is 2^(bitlen-5) == low >> 4 rounded: err < low/16
+    assert ((v[big] - b[big]) * 16 < b[big]).all()
+    order = np.argsort(v, kind="stable")
+    assert (np.diff(b[order]) >= 0).all()       # monotone mapping
+
+
+def test_hdr_quantiles_batch_invariant_and_planted():
+    from ner_extractor_ray.functions.sketches import hdr_quantiles
+
+    cents = np.arange(1, 10_001, dtype=np.int64)  # uniform 1..10000
+    tbl = pa.table({"cents": pa.array(cents, pa.int64())})
+    outs = []
+    for parts in (1, 7, 32):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        outs.append(hdr_quantiles(ds, "cents").to_pandas())
+    # Sum-mergeable bucket counts -> identical sketch at any partitioning
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    got = dict(zip(outs[0]["q_pct"], outs[0]["est_cents"]))
+    for q in (50, 90, 99):
+        true = q * 100  # exact quantile of 1..10000
+        assert got[q] <= true and (true - got[q]) * 16 < max(got[q], 1)
