@@ -365,3 +365,72 @@ def skewed_hash_join(
         lambda t: t.select(out_cols).cast(out_schema),
         batch_format="pyarrow")
     return hot_joined.union(cold_joined)
+
+
+def bucketed_join(
+    dir_a: str,
+    dir_b: str,
+    on: Iterable[str],
+    *,
+    how: str = "inner",
+    columns_a: list[str] | None = None,
+    columns_b: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """STORAGE-PARTITIONED join of two tables written by
+    ``materialize.write_partitioned`` on the SAME key with the SAME
+    partition count — the shuffle-free join (Spark SPJ / Iceberg bucketed
+    join analog). Partition identity is ``crc32(key) % n`` on both sides,
+    so equal keys share a partition index by construction and the join is
+    ONE task per partition reading ``part=i`` from each root and merging
+    locally: zero exchange, no build-side broadcast — at 100 TB the only
+    bytes that move are the column-pruned partition files themselves.
+    Refuses mismatched bucket counts or incomplete tables (either would
+    silently drop matches)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..state.manifest import table_complete
+
+    def _parts(d: str) -> dict[int, str]:
+        out = {}
+        for p in _glob.glob(os.path.join(d, "part=*")):
+            out[int(os.path.basename(p).split("=", 1)[1])] = p
+        return out
+
+    for d in (dir_a, dir_b):
+        if not table_complete(d):
+            raise ValueError(f"bucketed_join: {d} has no completeness "
+                             "marker — refusing a possibly torn table")
+    parts_a, parts_b = _parts(dir_a), _parts(dir_b)
+    n_a = max(parts_a) + 1 if parts_a else 0
+    n_b = max(parts_b) + 1 if parts_b else 0
+    if n_a != n_b:
+        raise ValueError(
+            f"bucketed_join: bucket counts differ ({n_a} vs {n_b}) — "
+            "co-partitioning does not hold; recompact one side")
+    on = list(on)
+
+    def _read(path: str | None, columns: list[str] | None) -> pd.DataFrame:
+        if path is None:
+            return pd.DataFrame()
+        cols = None if columns is None else list(dict.fromkeys(columns + on))
+        return _pq.read_table(path, columns=cols).to_pandas()
+
+    def join_part(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for i in batch["part"].tolist():
+            a = _read(parts_a.get(i), columns_a)
+            b = _read(parts_b.get(i), columns_b)
+            if a.empty or (b.empty and how == "inner"):
+                continue
+            a = a.drop(columns=[c for c in ("part",) if c in a], errors="ignore")
+            b = b.drop(columns=[c for c in ("part",) if c in b], errors="ignore")
+            frames.append(a.merge(b, on=on, how=how))
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ray.data.from_items([{"part": i} for i in range(n_a)])
+    return parts.map_batches(join_part, batch_format="pandas", batch_size=1)

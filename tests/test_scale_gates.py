@@ -258,3 +258,35 @@ def test_data_partitions_sizes_to_data():
     assert data_partitions(64 << 20) == 2
     assert data_partitions(10 * (64 << 20) + 1) == 11
     assert data_partitions(1 << 47) == (1 << 47) // (64 << 20)  # 128 TB → 2M parts
+
+
+def test_bucketed_join_matches_local_merge_and_guards(tmp_path):
+    """Storage-partitioned join: same result as a plain merge, zero
+    exchange; mismatched bucket counts and torn tables are refused."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from ner_extractor_ray.stages.joins import bucketed_join
+    from ner_extractor_ray.stages.materialize import write_partitioned
+
+    a = pa.table({"k": pa.array(range(100), pa.int64()),
+                  "va": pa.array([i * 2 for i in range(100)], pa.int64())})
+    b = pa.table({"k": pa.array([i for i in range(0, 100, 3)], pa.int64()),
+                  "vb": pa.array([i * 7 for i in range(0, 100, 3)], pa.int64())})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_partitioned(ray.data.from_arrow(a), da, "k", n_partitions=4)
+    write_partitioned(ray.data.from_arrow(b), db, "k", n_partitions=4)
+
+    got = bucketed_join(da, db, on=["k"]).to_pandas()
+    got = got[sorted(got.columns)].sort_values("k").reset_index(drop=True)
+    want = a.to_pandas().merge(b.to_pandas(), on="k")
+    want = want[sorted(want.columns)].sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+    dc = str(tmp_path / "c")
+    write_partitioned(ray.data.from_arrow(b), dc, "k", n_partitions=8)
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        bucketed_join(da, dc, on=["k"])
+    with pytest.raises(ValueError, match="completeness"):
+        bucketed_join(da, str(tmp_path / "missing"), on=["k"])
