@@ -88,3 +88,48 @@ def test_grouped_aggregate_matches_pandas_groupby(ray_session, keys):
                           num_buckets=4).take_all()
     )
     assert _sorted_records(got) == _sorted_records(exp)
+
+
+@settings(max_examples=60, deadline=None)
+@given(seq=st.lists(st.sampled_from(["a", "b", "ab", "c"]),
+                    min_size=0, max_size=20),
+       pair=st.tuples(st.sampled_from(["a", "b", "ab", "c"]),
+                      st.sampled_from(["a", "b", "ab", "c"])))
+def test_bpe_merge_pair_greedy_property(seq, pair):
+    """merge_pair == reference greedy left-to-right scan for ANY sequence
+    and pair, including self-pairs (a,a) and merged-symbol pairs."""
+    from ner_extractor_ray.functions.bpe import merge_pair
+
+    left, right = pair
+    ref, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+            ref.append(left + right)
+            i += 2
+        else:
+            ref.append(seq[i])
+            i += 1
+    assert merge_pair(seq, left, right) == ref
+    # invariant: concatenation is preserved
+    assert "".join(merge_pair(seq, left, right)) == "".join(seq)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=60))
+def test_global_rank_matches_lexsort(ray_session, vals):
+    """global_rank(value, id tiebreak) == numpy lexsort 1-based ranks at any
+    partitioning — ties broken by id, ranks dense 1..n."""
+    from ner_extractor_ray.functions.rank import global_rank
+
+    ids = np.arange(len(vals), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "v": pa.array(vals, pa.int64())})).repartition(3)
+    out = global_rank(ds, "v", "id", descending=False, out="r").to_pandas()
+    order = np.lexsort((ids, np.asarray(vals, np.int64)))
+    want = np.empty(len(vals), np.int64)
+    want[order] = np.arange(1, len(vals) + 1)
+    got = out.sort_values("id")["r"].to_numpy(np.int64)
+    np.testing.assert_array_equal(got, want)
