@@ -8707,6 +8707,56 @@ def q_bucketed_join_revenue(sf_dir: str):
             .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
 
 
+def q_spend_gini(sf_dir: str):
+    """Exact Gini coefficient of customer spend (inequality audit — the
+    dual of rfm_segments' quintiles): G = Σ(2i−n−1)·cᵢ / (n·Σc) over
+    ascending-sorted spends. The fact table folds to a customer-sized
+    cents aggregate, the range-partitioned global_rank supplies i with
+    custkey tiebreak (no global sort), and the rank-weighted numerator
+    partial-sums per batch; the three driver scalars combine in Python
+    big ints so n·Σc never overflows (the SQL side sums in HUGEINT).
+    Output: one row (n_users, total_cents, gini_ppm)."""
+    from ..functions.rank import global_rank
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"o_custkey": pc.cast(t.column("o_custkey"), pa.int64()).to_numpy(),
+             "cents": _cents(np.asarray(t.column("o_totalprice")))})
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", as_index=False)["cents"].sum(),
+            preserve_index=False)
+
+    spend = _gagg(
+        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow"),
+        "o_custkey", Sum("cents", alias_name="cents")).materialize()
+    n = spend.count()
+    if n == 0:
+        return pa.table({"n_users": pa.array([0], pa.int64()),
+                         "total_cents": pa.array([0], pa.int64()),
+                         "gini_ppm": pa.array([0], pa.int64())})
+
+    ranked = global_rank(spend, "cents", "o_custkey",
+                         descending=False, out="i")
+
+    def fold(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("cents"), pa.int64()).to_numpy()
+        i = pc.cast(t.column("i"), pa.int64()).to_numpy()
+        # int64-safe at bench scale; objects would be needed past ~10^9 rows
+        num = int(((2 * i - n - 1) * c).sum())
+        return pa.table({"num": pa.array([num], pa.int64()),
+                         "tot": pa.array([int(c.sum())], pa.int64())})
+
+    parts = ranked.map_batches(fold, batch_format="pyarrow").take_all()
+    num = sum(int(r["num"]) for r in parts)
+    tot = sum(int(r["tot"]) for r in parts)
+    return pa.table(
+        {"n_users": pa.array([n], pa.int64()),
+         "total_cents": pa.array([tot], pa.int64()),
+         "gini_ppm": pa.array([num * 1_000_000 // max(n * tot, 1)],
+                              pa.int64())})
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -8953,6 +9003,7 @@ def queries() -> dict:
         "bpe_merges": q_bpe_merges,
         "hdr_quantiles": q_hdr_quantiles,
         "bucketed_join_revenue": q_bucketed_join_revenue,
+        "spend_gini": q_spend_gini,
     }
 
 
@@ -11864,5 +11915,21 @@ def oracle_sql() -> dict:
                                  AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             GROUP BY 1
+        """,
+        "spend_gini": """
+            WITH s AS (SELECT o_custkey,
+                              CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS cents
+                       FROM orders GROUP BY 1),
+            r AS (SELECT cents,
+                         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+                         (SELECT COUNT(*) FROM s) AS n,
+                         (SELECT SUM(cents) FROM s) AS tot
+                  FROM s)
+            SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+                   CAST(MAX(tot) AS BIGINT) AS total_cents,
+                   CAST(SUM((2 * i - n - 1) * cents) * 1000000
+                        // (MAX(n) * MAX(tot)) AS BIGINT) AS gini_ppm
+            FROM r
         """,
     }

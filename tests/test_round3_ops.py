@@ -538,3 +538,18 @@ def test_bpe_merges_sf_data_match_reference():
         f"SELECT text FROM '{sf}/documents.parquet'").fetchall()]
     ref = _ref_bpe(texts, 8)
     assert [tuple(r) for r in got.itertuples(index=False)] == ref
+
+
+def test_spend_gini_hand_computed(tmp_path):
+    # spends [1,1,2,4] cents: num = -3·1 + -1·1 + 1·2 + 3·4 = 10
+    # G = 10 / (4·8) = 0.3125 → 312500 ppm
+    from ner_extractor_ray.pipelines.queries import q_spend_gini
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([0.01, 0.01, 0.02, 0.04]),
+    }), tmp_path / "orders.parquet")
+    out = q_spend_gini(str(tmp_path)).to_pandas()
+    assert out.iloc[0]["n_users"] == 4
+    assert out.iloc[0]["total_cents"] == 8
+    assert out.iloc[0]["gini_ppm"] == 312500
