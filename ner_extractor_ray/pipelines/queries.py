@@ -8757,6 +8757,134 @@ def q_spend_gini(sf_dir: str):
                               pa.int64())})
 
 
+def _pii_contact_text(t: pa.Table) -> pa.Table:
+    """(c_custkey, text) with deterministic PII-bearing contact strings.
+
+    The testdata tables carry no real PII (documents.text is digit-free), so
+    the PII family exercises its regex kernels on text CONSTRUCTED from
+    customer keys — integer-exact arithmetic shared verbatim with the SQL
+    oracle, with the PII shape varying by c_custkey % 3 (email+phone / IPv4 /
+    none) so redaction is non-uniform."""
+    ks = pc.cast(t.column("c_custkey"), pa.int64()).to_pylist()
+    names = t.column("c_name").to_pylist()
+    segs = t.column("c_mktsegment").to_pylist()
+    texts = []
+    for k, nm, sg in zip(ks, names, segs):
+        m = k % 3
+        if m == 0:
+            texts.append(
+                f"reach {nm} at cust{k}@example.com or "
+                f"555-{(k * 7) % 1000:03d}-{(k * 13) % 10000:04d}")
+        elif m == 1:
+            texts.append(
+                f"{nm} logged in from 10.{k % 256}.{(k // 256) % 256}."
+                f"{k % 250} while browsing {sg}")
+        else:
+            texts.append(f"no contact on file for {nm} in {sg}")
+    return pa.table({"c_custkey": pa.array(ks, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrubbing — the pre-training curation stage (ROOTS / Dolma
+    position: after dedup, before tokenization) the reference's
+    already-anonymized CoNLL corpus never needed. Emails, NANP phone
+    numbers and IPv4 addresses are replaced with typed placeholders and
+    counted per row by functions/pii.py's vectorized RE2 kernels
+    (pyarrow.compute.replace_substring_regex / count_substring_regex — one
+    C++ pass per pattern over the whole column, zero Python per row). Pure
+    row-local map, NO shuffle, NO state: at 100 TB it pipelines inside
+    whatever pass already reads the text. DuckDB's regexp functions are the
+    same RE2 engine, so the oracle replicates the kernel exactly.
+    Output: (c_custkey, redacted, n_email, n_phone, n_ipv4)."""
+    from ..functions.pii import pii_counts, redact
+
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        built = _pii_contact_text(t)
+        text = built.column("text")
+        cols = {"c_custkey": built.column("c_custkey"),
+                "redacted": redact(text)}
+        cols.update(pii_counts(text))
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_pii_stats(sf_dir: str):
+    """Corpus-level PII audit over the same constructed contact text: per
+    PII type, how many rows contain it and how many total occurrences — the
+    go/no-go report a curation run publishes before releasing a corpus.
+    Counts partial-aggregate per batch (3 rows out per batch regardless of
+    batch size), then a 3-group groupby finishes — shuffle traffic is
+    O(batches), not O(rows). Output: (pii_type, n_docs, n_hits)."""
+    from ..functions.pii import pii_counts
+
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = _pii_contact_text(t).column("text")
+        counts = pii_counts(text)
+        types, docs, hits = [], [], []
+        for tag in ("email", "phone", "ipv4"):
+            c = counts[f"n_{tag}"].to_numpy(zero_copy_only=False)
+            types.append(tag)
+            docs.append(int((c > 0).sum()))
+            hits.append(int(c.sum()))
+        return pa.table({"pii_type": pa.array(types, pa.string()),
+                         "n_docs": pa.array(docs, pa.int64()),
+                         "n_hits": pa.array(hits, pa.int64())})
+
+    return _gagg(ds.map_batches(partial, batch_format="pyarrow"),
+                 "pii_type",
+                 Sum("n_docs", alias_name="n_docs"),
+                 Sum("n_hits", alias_name="n_hits"))
+
+
+_QC_BUCKETS = 2001  # weights in [-1000, +1000]
+
+
+def q_quality_classifier(sf_dir: str):
+    """Linear (fastText-style) quality-classifier INFERENCE: mean-pooled
+    hashed-bag-of-words score with a sign threshold — the GPT-3/CCNet-shaped
+    'does this look like reference text' filter, with the learned weight
+    table replaced by a deterministic hash-derived one (md5(token) % 2001 −
+    1000) so the oracle can replicate inference bit-for-bit. The shape is
+    the real one: per-token weight lookup needs NO vocabulary object (the
+    hash IS the embedding index — same trick as feature_hashing), pooling
+    is a per-row integer sum, and the stage is row-local with zero shuffle.
+    Zero-token docs are dropped (no tokens → no score), matching the SQL
+    GROUP BY. Output: (doc_id, n_tokens, score_sum, keep)."""
+    from ..functions.textfns import md5_hash64
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        wcache: dict[str, int] = {}
+        o_id, o_n, o_s, o_k = [], [], [], []
+        for did, s in zip(pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
+                          t.column("text").to_pylist()):
+            toks = _ALNUM.findall((s or "").lower())
+            if not toks:
+                continue
+            tot = 0
+            for w in toks:
+                wt = wcache.get(w)
+                if wt is None:
+                    wt = int(md5_hash64(w) % _QC_BUCKETS) - 1000
+                    wcache[w] = wt
+                tot += wt
+            o_id.append(did); o_n.append(len(toks)); o_s.append(tot)
+            o_k.append(1 if tot >= 0 else 0)
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "n_tokens": pa.array(o_n, pa.int64()),
+                         "score_sum": pa.array(o_s, pa.int64()),
+                         "keep": pa.array(o_k, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -9004,6 +9132,9 @@ def queries() -> dict:
         "hdr_quantiles": q_hdr_quantiles,
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "spend_gini": q_spend_gini,
+        "pii_redact": q_pii_redact,
+        "pii_stats": q_pii_stats,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -9244,7 +9375,31 @@ def _zorder_oracle_sql() -> str:
     """
 
 
+_PII_TEXT_SQL = """
+            SELECT c_custkey,
+                   CASE c_custkey % 3
+                     WHEN 0 THEN 'reach ' || c_name || ' at cust'
+                          || c_custkey || '@example.com or 555-'
+                          || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR),
+                                  3, '0')
+                          || '-'
+                          || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR),
+                                  4, '0')
+                     WHEN 1 THEN c_name || ' logged in from 10.'
+                          || (c_custkey % 256) || '.'
+                          || ((c_custkey // 256) % 256) || '.'
+                          || (c_custkey % 250)
+                          || ' while browsing ' || c_mktsegment
+                     ELSE 'no contact on file for ' || c_name || ' in '
+                          || c_mktsegment
+                   END AS text
+            FROM customer
+"""
+
+
 def oracle_sql() -> dict:
+    from ..functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -11931,5 +12086,56 @@ def oracle_sql() -> dict:
                    CAST(SUM((2 * i - n - 1) * cents) * 1000000
                         // (MAX(n) * MAX(tot)) AS BIGINT) AS gini_ppm
             FROM r
+        """,
+        "pii_redact": f"""
+            WITH t AS ({_PII_TEXT_SQL})
+            SELECT c_custkey,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{EMAIL_RE}', '[EMAIL]', 'g'),
+                       '{PHONE_RE}', '[PHONE]', 'g'),
+                       '{IPV4_RE}', '[IP]', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(text, '{EMAIL_RE}'))
+                        AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{PHONE_RE}'))
+                        AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '{IPV4_RE}'))
+                        AS BIGINT) AS n_ipv4
+            FROM t
+        """,
+        "pii_stats": f"""
+            WITH t AS ({_PII_TEXT_SQL}),
+            c AS (SELECT
+                    len(regexp_extract_all(text, '{EMAIL_RE}')) AS e,
+                    len(regexp_extract_all(text, '{PHONE_RE}')) AS p,
+                    len(regexp_extract_all(text, '{IPV4_RE}')) AS i
+                  FROM t)
+            SELECT 'email' AS pii_type,
+                   CAST(COUNT(*) FILTER (e > 0) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(e), 0) AS BIGINT) AS n_hits FROM c
+            UNION ALL
+            SELECT 'phone',
+                   CAST(COUNT(*) FILTER (p > 0) AS BIGINT),
+                   CAST(COALESCE(SUM(p), 0) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 'ipv4',
+                   CAST(COUNT(*) FILTER (i > 0) AS BIGINT),
+                   CAST(COALESCE(SUM(i), 0) AS BIGINT) FROM c
+        """,
+        "quality_classifier": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS w
+              FROM documents),
+            wt AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT
+                               % {_QC_BUCKETS} AS BIGINT) - 1000 AS wt
+                   FROM tok)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(wt) AS BIGINT) AS score_sum,
+                   CAST(CASE WHEN SUM(wt) >= 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS keep
+            FROM wt GROUP BY 1
         """,
     }

@@ -553,3 +553,70 @@ def test_spend_gini_hand_computed(tmp_path):
     assert out.iloc[0]["n_users"] == 4
     assert out.iloc[0]["total_cents"] == 8
     assert out.iloc[0]["gini_ppm"] == 312500
+
+
+def test_pii_kernel_redacts_and_counts():
+    # kernel-level edge cases: multiple matches, a dotted-quad mail domain
+    # (NOT an email — the TLD must be alphabetic — so the quad redacts as
+    # [IP] and the local part survives), empty string, null.
+    from ner_extractor_ray.functions.pii import pii_counts, redact
+
+    col = pa.array([
+        "a@b.com then c.d+x@e.org and 555-123-4567 from 10.0.0.1",
+        "mail user@10.0.0.1 please",
+        "",
+        None,
+    ])
+    red = redact(col).to_pylist()
+    assert red[0] == "[EMAIL] then [EMAIL] and [PHONE] from [IP]"
+    assert red[1] == "mail user@[IP] please"
+    assert red[2] == ""
+    assert red[3] is None
+    c = {k: v.to_pylist() for k, v in pii_counts(col).items()}
+    assert c["n_email"] == [2, 0, 0, None]
+    assert c["n_phone"] == [1, 0, 0, None]
+    assert c["n_ipv4"] == [1, 1, 0, None]
+
+
+def test_pii_redact_branches(tmp_path):
+    # one customer per c_custkey%3 branch: email+phone / ipv4 / clean
+    from ner_extractor_ray.pipelines.queries import q_pii_redact, q_pii_stats
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([300, 301, 302], pa.int64()),
+        "c_name": pa.array(["A", "B", "C"]),
+        "c_mktsegment": pa.array(["S1", "S2", "S3"]),
+    }), tmp_path / "customer.parquet")
+    out = (q_pii_redact(str(tmp_path)).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    assert out.loc[0, "redacted"] == "reach A at [EMAIL] or [PHONE]"
+    assert list(out.loc[0, ["n_email", "n_phone", "n_ipv4"]]) == [1, 1, 0]
+    # 301: 10.(301%256)=45 . (301//256)%256=1 . 301%250=51
+    assert out.loc[1, "redacted"] == "B logged in from [IP] while browsing S2"
+    assert list(out.loc[1, ["n_email", "n_phone", "n_ipv4"]]) == [0, 0, 1]
+    assert out.loc[2, "redacted"] == "no contact on file for C in S3"
+    assert list(out.loc[2, ["n_email", "n_phone", "n_ipv4"]]) == [0, 0, 0]
+    st = (q_pii_stats(str(tmp_path)).to_pandas()
+          .set_index("pii_type").sort_index())
+    assert st.loc["email"].tolist() == [1, 1]
+    assert st.loc["phone"].tolist() == [1, 1]
+    assert st.loc["ipv4"].tolist() == [1, 1]
+
+
+def test_quality_classifier_hand_weights(tmp_path):
+    # score must equal sum over TOKEN OCCURRENCES (multiplicity) of
+    # (md5_64(tok) % 2001) - 1000; zero-token docs are dropped.
+    from ner_extractor_ray.functions.textfns import md5_hash64
+    from ner_extractor_ray.pipelines.queries import q_quality_classifier
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["Big big TABLE", "!!!"]),
+    }), tmp_path / "documents.parquet")
+    out = q_quality_classifier(str(tmp_path)).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    w = lambda t: int(md5_hash64(t) % 2001) - 1000
+    exp = 2 * w("big") + w("table")
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "score_sum"] == exp
+    assert out.loc[0, "keep"] == (1 if exp >= 0 else 0)
