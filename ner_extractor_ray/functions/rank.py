@@ -178,3 +178,86 @@ def keyed_prefix_sum(
         .groupby("__rb")
         .map_groups(scan_group, batch_format="pandas")
     )
+
+
+_I64_MIN = np.iinfo(np.int64).min
+
+
+def _max_aggregate(
+    ds: "ray.data.Dataset", key_col: str, edges: np.ndarray, val_col: str,
+) -> np.ndarray:
+    """Exact per-bucket int64 MAX of ``val_col`` in ONE tree-combined pass
+    (``_I64_MIN`` for empty buckets) — the max-monoid sibling of
+    :func:`_hist_aggregate`."""
+    B = len(edges) + 1
+
+    def acc(a: np.ndarray, block) -> np.ndarray:
+        b = np.searchsorted(edges, _block_col(block, key_col), side="right")
+        v = (np.asarray(block.column(val_col), dtype=np.int64)
+             if isinstance(block, pa.Table)
+             else block[val_col].to_numpy(dtype=np.int64))
+        out = a.copy()
+        np.maximum.at(out, b, v)
+        return out
+
+    fn = AggregateFn(
+        init=lambda k: np.full(B, _I64_MIN, dtype=np.int64),
+        merge=np.maximum,
+        name="bmax",
+        accumulate_block=acc,
+        finalize=lambda a: a,
+    )
+    res = ds.select_columns([key_col, val_col]).aggregate(fn)
+    return np.asarray(res["bmax"], dtype=np.int64)
+
+
+def keyed_prefix_max(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    tiebreak_col: str,
+    val_col: str,
+    *,
+    n_buckets: int = 64,
+    out: str = "prefix_max",
+) -> "ray.data.Dataset":
+    """EXCLUSIVE prefix max of ``val_col`` in (``key_col``, ``tiebreak_col``)
+    order — the streaming-scan primitive behind watermarks, record-high
+    detection and high-water-mark accounting. Same physical plan as
+    :func:`keyed_prefix_sum` with the max monoid: sampled bucket edges, ONE
+    tree-reduced per-bucket max pass, driver-side exclusive scan over the
+    B-vector, then ONE shuffle of the rows by bucket with a local sorted
+    cummax inside. Rows strictly first in the total order get ``_I64_MIN``.
+    (key, tiebreak) must be duplicate-free and non-null; duplicate KEYS are
+    fine — the bucket is a pure function of the key, ties order inside."""
+    edges = _sample_edges(ds, key_col, n_buckets)
+    B = len(edges) + 1
+
+    def bucket_of(vals: np.ndarray) -> np.ndarray:
+        return np.searchsorted(edges, vals, side="right").astype(np.int64)
+
+    per_bucket = _max_aggregate(ds, key_col, edges, val_col)
+    offsets = np.full(B, _I64_MIN, dtype=np.int64)
+    acc = _I64_MIN
+    for b in range(B):
+        offsets[b] = acc
+        acc = max(acc, int(per_bucket[b]))
+    off_list = offsets.tolist()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = bucket_of(np.asarray(t.column(key_col), dtype=np.float64))
+        return t.append_column("__rb", pa.array(b, pa.int64()))
+
+    def scan_group(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__rb"].iloc[0])
+        g = g.sort_values([key_col, tiebreak_col], kind="mergesort")
+        v = g[val_col].to_numpy(dtype=np.int64)
+        run = np.maximum.accumulate(v)
+        prior = np.concatenate(([np.int64(_I64_MIN)], run[:-1]))
+        g[out] = np.maximum(np.int64(off_list[b]), prior)
+        return g.drop(columns="__rb")
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__rb")
+        .map_groups(scan_group, batch_format="pandas")
+    )

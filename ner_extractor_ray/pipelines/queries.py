@@ -8885,6 +8885,118 @@ def q_quality_classifier(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def q_record_highs(sf_dir: str):
+    """ALL-TIME-HIGH detector — events whose value strictly exceeds every
+    earlier value in (ts, event_id) stream order; the monitoring / trading
+    'new record' trigger and the simplest true streaming scan (each row
+    depends on the unbounded prefix). Runs on functions/rank.py's
+    keyed_prefix_max: sampled ts-bucket edges, ONE tree-reduced per-bucket
+    max pass, driver-side exclusive scan over the tiny B-vector, ONE
+    shuffle by bucket with a local sorted cummax inside — no global sort,
+    and ~log n expected survivors regardless of scale. Output:
+    (event_id, value_cents)."""
+    from ..functions.rank import keyed_prefix_max
+
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": pc.cast(t.column("event_id"), pa.int64()),
+             "us": pc.cast(t.column("ts"), pa.int64()),
+             "value_cents": pa.array(_cents(np.asarray(t.column("value"))),
+                                     pa.int64())})
+
+    pm = keyed_prefix_max(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        "us", "event_id", "value_cents", out="prev_max")
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.greater(t.column("value_cents"), t.column("prev_max"))
+        f = t.filter(m)
+        return pa.table({"event_id": f.column("event_id"),
+                         "value_cents": f.column("value_cents")})
+
+    return pm.map_batches(keep, batch_format="pyarrow")
+
+
+_LM_MIN_N = 5
+
+
+def q_lm_score(sf_dir: str):
+    """Bigram language-model doc scoring (the KenLM-shaped perplexity
+    filter of CCNet, integer-exact): train conditional bigram counts over
+    the corpus, keep bigrams with n ≥ 5 as the model, score every doc by
+    Σ over its adjacent token pairs of p(w2|w1) in ppm (n(w1,w2)·10⁶ //
+    prefix(w1), floor division — NO floats anywhere, so the oracle matches
+    bit-for-bit). Two-pass shape: bigram partial-dicts per batch → ONE
+    vocabulary-sized groupby; prefix denominators aggregate from the
+    bigram table itself (Σ_w2 n(w1,w2), UNfiltered — the true conditional
+    denominator) and only prefixes of surviving bigrams are collected, so
+    driver-side state ∝ the filtered model, never the raw vocabulary (the
+    tfidf_top_terms lesson). Model broadcasts once via ray.put; scoring is
+    row-local. Docs with < 2 tokens have no bigrams and are dropped.
+    Output: (doc_id, n_bigrams, n_hits, score_ppm)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column("text").to_pylist():
+            toks = _ALNUM.findall((s or "").lower())
+            for i in range(len(toks) - 1):
+                bgk = toks[i] + " " + toks[i + 1]
+                counts[bgk] = counts.get(bgk, 0) + 1
+        return pa.table({"bigram": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    bg = _gagg(ds.map_batches(bg_partial, batch_format="pyarrow"),
+               "bigram", Sum("n", alias_name="n")).materialize()
+
+    def split_first(t: pa.Table) -> pa.Table:
+        w1 = [b.split(" ", 1)[0] for b in t.column("bigram").to_pylist()]
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "n": t.column("n")})
+
+    pre = _gagg(bg.map_batches(split_first, batch_format="pyarrow"),
+                "w1", Sum("n", alias_name="d"))
+
+    model_rows = bg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), _LM_MIN_N)),
+        batch_format="pyarrow").take_all()  # filtered-model-sized
+    num = {r["bigram"]: int(r["n"]) for r in model_rows}
+    w1s = {b.split(" ", 1)[0] for b in num}
+
+    def pre_filter(t: pa.Table) -> pa.Table:
+        m = pa.array([w in w1s for w in t.column("w1").to_pylist()])
+        return t.filter(m)
+
+    den = {r["w1"]: int(r["d"])
+           for r in pre.map_batches(pre_filter,
+                                    batch_format="pyarrow").take_all()}
+    model_ref = ray.put((num, den))
+
+    def score(t: pa.Table) -> pa.Table:
+        num_m, den_m = ray.get(model_ref)
+        o_id, o_nb, o_nh, o_sc = [], [], [], []
+        for did, s in zip(pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
+                          t.column("text").to_pylist()):
+            toks = _ALNUM.findall((s or "").lower())
+            if len(toks) < 2:
+                continue
+            nb, nh, sc = len(toks) - 1, 0, 0
+            for i in range(nb):
+                c = num_m.get(toks[i] + " " + toks[i + 1])
+                if c is not None:
+                    nh += 1
+                    sc += c * 1_000_000 // den_m[toks[i]]
+            o_id.append(did); o_nb.append(nb); o_nh.append(nh); o_sc.append(sc)
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "n_bigrams": pa.array(o_nb, pa.int64()),
+                         "n_hits": pa.array(o_nh, pa.int64()),
+                         "score_ppm": pa.array(o_sc, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -9135,6 +9247,8 @@ def queries() -> dict:
         "pii_redact": q_pii_redact,
         "pii_stats": q_pii_stats,
         "quality_classifier": q_quality_classifier,
+        "record_highs": q_record_highs,
+        "lm_score": q_lm_score,
     }
 
 
@@ -12137,5 +12251,42 @@ def oracle_sql() -> dict:
                    CAST(CASE WHEN SUM(wt) >= 0 THEN 1 ELSE 0 END
                         AS BIGINT) AS keep
             FROM wt GROUP BY 1
+        """,
+        "record_highs": """
+            WITH o AS (
+              SELECT event_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                     MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS mx
+              FROM events)
+            SELECT event_id, value_cents
+            FROM o WHERE mx IS NULL OR value_cents > mx
+        """,
+        "lm_score": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+              FROM documents),
+            t2 AS (SELECT doc_id, unnest(l) AS w,
+                          generate_subscripts(l, 1) AS pos
+                   FROM tok),
+            bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+                   FROM t2 a JOIN t2 b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            cnt AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+            pre AS (SELECT w1, SUM(n) AS d FROM cnt GROUP BY 1),
+            model AS (SELECT c.w1, c.w2, c.n, p.d
+                      FROM cnt c JOIN pre p USING (w1)
+                      WHERE c.n >= {_LM_MIN_N})
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(COUNT(m.w1) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(SUM(m.n * 1000000 // m.d), 0)
+                        AS BIGINT) AS score_ppm
+            FROM bg g LEFT JOIN model m
+              ON g.w1 = m.w1 AND g.w2 = m.w2
+            GROUP BY 1
         """,
     }

@@ -620,3 +620,69 @@ def test_quality_classifier_hand_weights(tmp_path):
     assert out.loc[0, "n_tokens"] == 3
     assert out.loc[0, "score_sum"] == exp
     assert out.loc[0, "keep"] == (1 if exp >= 0 else 0)
+
+
+def test_keyed_prefix_max_matches_numpy(tmp_path):
+    # duplicate keys + ties: exclusive prefix max in (key, id) order must
+    # equal the brute-force scan; strictly-first row gets int64 min.
+    import numpy as np
+    import ray
+
+    from ner_extractor_ray.functions.rank import keyed_prefix_max
+
+    rng = np.random.default_rng(7)
+    n = 500
+    key = rng.integers(0, 50, n)          # heavy duplicates
+    val = rng.integers(-100, 100, n)
+    ids = np.arange(n)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(key, pa.int64()),
+        "id": pa.array(ids, pa.int64()),
+        "v": pa.array(val, pa.int64())}))
+    got = (keyed_prefix_max(ds, "k", "id", "v", n_buckets=8, out="pm")
+           .to_pandas().sort_values("id"))
+    order = np.lexsort((ids, key))
+    exp = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+    run = np.iinfo(np.int64).min
+    for pos in order:
+        exp[pos] = run
+        run = max(run, val[pos])
+    assert got["pm"].to_numpy().tolist() == exp[got["id"].to_numpy()].tolist()
+
+
+def test_record_highs_ties_and_strictness(tmp_path):
+    # equal-to-max is NOT a record; ts ties order by event_id so the second
+    # event at t0 sees the first one's value.
+    from ner_extractor_ray.pipelines.queries import q_record_highs
+
+    t0 = pd.Timestamp("2024-01-01")
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([t0, t0, t0 + pd.Timedelta("1s"),
+                        t0 + pd.Timedelta("2s")]),
+        "value": pa.array([5.0, 5.0, 4.0, 6.0]),
+    }), tmp_path / "events.parquet")
+    out = (q_record_highs(str(tmp_path)).to_pandas()
+           .sort_values("event_id"))
+    assert out["event_id"].tolist() == [1, 4]
+    assert out["value_cents"].tolist() == [500, 600]
+
+
+def test_lm_score_hand_computed(tmp_path):
+    # corpus: "a b" x5 docs + "a c b x" → model keeps only (a,b) n=5;
+    # prefix(a) = 6 (a b ×5 and a c). p(b|a) = 5e6 // 6 = 833333 ppm.
+    from ner_extractor_ray.pipelines.queries import q_lm_score
+
+    texts = ["a b"] * 5 + ["a c b x"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(texts),
+    }), tmp_path / "documents.parquet")
+    out = (q_lm_score(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 6
+    for i in range(5):
+        assert list(out.loc[i, ["n_bigrams", "n_hits", "score_ppm"]]) == \
+            [1, 1, 5_000_000 // 6]
+    # doc 5: bigrams (a,c),(c,b),(b,x) — none in the model
+    assert list(out.loc[5, ["n_bigrams", "n_hits", "score_ppm"]]) == [3, 0, 0]
