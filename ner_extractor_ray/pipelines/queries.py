@@ -8997,6 +8997,78 @@ def q_lm_score(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+_BM25_TERMS = ("table", "spark", "window")
+_BM25_K = 10
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 top-k retrieval for a fixed query — the lexical-search engine
+    op that completes the inverted_index / phrase_search family — in an
+    INTEGER-EXACT rational form (k1 = 6/5, b = 3/4 cross-multiplied away;
+    idf_ppm = 10⁶(2N−2df+1) // (2df+1), the Robertson idf with the log
+    dropped — rank-order-equivalent for the monotone part and bit-equal in
+    SQL, where ln() would be float-rounding roulette). Physical plan: ONE
+    tree-reduced stats pass (N, total corpus length, df per query term —
+    a K+2-column scalar aggregate, no shuffle), broadcast scalars, then
+    row-local scoring in Python big ints (the idf·tf product overflows
+    int64 by design; the SQL side runs HUGEINT) and a LOSSLESS per-batch
+    top-k partial → single-block final merge. At 100 TB the only traffic
+    is K rows per batch. Output: top-10 (doc_id, score_ppm)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    terms = _BM25_TERMS
+
+    def stats(t: pa.Table) -> pa.Table:
+        n, totlen = 0, 0
+        df = [0] * len(terms)
+        for s in t.column("text").to_pylist():
+            toks = _ALNUM.findall((s or "").lower())
+            n += 1
+            totlen += len(toks)
+            for i, q in enumerate(terms):
+                if q in toks:
+                    df[i] += 1
+        cols = {"n": pa.array([n], pa.int64()),
+                "totlen": pa.array([totlen], pa.int64())}
+        for i, q in enumerate(terms):
+            cols[f"df_{i}"] = pa.array([df[i]], pa.int64())
+        return pa.table(cols)
+
+    agg = ds.map_batches(stats, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("totlen", alias_name="totlen"),
+        *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))])
+    N, totlen = int(agg["n"]), int(agg["totlen"])
+    idf = [1_000_000 * (2 * N - 2 * int(agg[f"df_{i}"]) + 1)
+           // (2 * int(agg[f"df_{i}"]) + 1) if int(agg[f"df_{i}"]) else 0
+           for i in range(len(terms))]
+
+    def score(t: pa.Table) -> pa.Table:
+        o_id, o_sc = [], []
+        for did, s in zip(pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
+                          t.column("text").to_pylist()):
+            toks = _ALNUM.findall((s or "").lower())
+            dl = len(toks)
+            sc = 0
+            for i, q in enumerate(terms):
+                tf = toks.count(q)
+                if tf:
+                    # Python ints: idf * 22·tf·totlen exceeds int64
+                    sc += (idf[i] * (22 * tf * totlen)
+                           // (10 * tf * totlen + 3 * totlen + 9 * dl * N))
+            if sc:
+                o_id.append(did); o_sc.append(sc)
+        df = pd.DataFrame({"doc_id": pd.array(o_id, dtype="int64"),
+                           "score_ppm": pd.array(o_sc, dtype="int64")})
+        return df.sort_values(["score_ppm", "doc_id"],
+                              ascending=[False, True]).head(_BM25_K)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score_ppm", "doc_id"],
+                              ascending=[False, True]).head(_BM25_K)
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .repartition(1).map_batches(topk, batch_format="pandas"))
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -9249,6 +9321,7 @@ def queries() -> dict:
         "quality_classifier": q_quality_classifier,
         "record_highs": q_record_highs,
         "lm_score": q_lm_score,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -12288,5 +12361,41 @@ def oracle_sql() -> dict:
             FROM bg g LEFT JOIN model m
               ON g.w1 = m.w1 AND g.w2 = m.w2
             GROUP BY 1
+        """,
+        "bm25_search": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS w
+              FROM documents),
+            dl AS (SELECT d.doc_id,
+                          COALESCE(t.c, 0) AS dl
+                   FROM (SELECT DISTINCT doc_id FROM documents) d
+                   LEFT JOIN (SELECT doc_id, COUNT(*) AS c
+                              FROM tok GROUP BY 1) t USING (doc_id)),
+            tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                           CAST(COALESCE(SUM(dl), 0) AS HUGEINT) AS totlen
+                    FROM dl),
+            q AS (SELECT * FROM (VALUES {", ".join(
+                f"('{w}')" for w in _BM25_TERMS)}) t(w)),
+            tf AS (SELECT doc_id, w, CAST(COUNT(*) AS HUGEINT) AS tf
+                   FROM tok WHERE w IN (SELECT w FROM q) GROUP BY 1, 2),
+            df AS (SELECT w, CAST(COUNT(*) AS HUGEINT) AS df
+                   FROM tf GROUP BY 1),
+            sc AS (SELECT tf.doc_id,
+                          SUM((1000000 * (2 * t.n - 2 * df.df + 1)
+                               // (2 * df.df + 1))
+                              * (22 * tf.tf * t.totlen)
+                              // (10 * tf.tf * t.totlen + 3 * t.totlen
+                                  + 9 * dl.dl * t.n)) AS score
+                   FROM tf
+                   JOIN df USING (w)
+                   JOIN dl ON dl.doc_id = tf.doc_id
+                   CROSS JOIN tot t
+                   GROUP BY 1)
+            SELECT doc_id, CAST(score AS BIGINT) AS score_ppm
+            FROM sc
+            ORDER BY score DESC, doc_id
+            LIMIT {_BM25_K}
         """,
     }

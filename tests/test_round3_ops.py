@@ -686,3 +686,25 @@ def test_lm_score_hand_computed(tmp_path):
             [1, 1, 5_000_000 // 6]
     # doc 5: bigrams (a,c),(c,b),(b,x) — none in the model
     assert list(out.loc[5, ["n_bigrams", "n_hits", "score_ppm"]]) == [3, 0, 0]
+
+
+def test_bm25_hand_computed(tmp_path):
+    # 3 docs, query term 'table' only (others absent): doc 1 tf=2 dl=4,
+    # doc 2 tf=1 dl=2, doc 3 tf=0. Expected scores from the exact integer
+    # form: idf = 1e6*(2N-2df+1)//(2df+1), contrib = idf*22*tf*TOT //
+    # (10*tf*TOT + 3*TOT + 9*dl*N).
+    from ner_extractor_ray.pipelines.queries import q_bm25_search
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["table x table y", "table z", "nothing here"]),
+    }), tmp_path / "documents.parquet")
+    out = (q_bm25_search(str(tmp_path)).to_pandas()
+           .reset_index(drop=True))
+    N, TOT, df = 3, 8, 2
+    idf = 1_000_000 * (2 * N - 2 * df + 1) // (2 * df + 1)
+    s1 = idf * (22 * 2 * TOT) // (10 * 2 * TOT + 3 * TOT + 9 * 4 * N)
+    s2 = idf * (22 * 1 * TOT) // (10 * 1 * TOT + 3 * TOT + 9 * 2 * N)
+    assert out["doc_id"].tolist() == [1, 2]      # doc 3 scores 0, dropped
+    assert out["score_ppm"].tolist() == [s1, s2]
+    assert s1 > s2 > 0
