@@ -681,6 +681,101 @@ def _bounded_relax(
     return labels
 
 
+def multi_source_khop(
+    edges_ds: "ray.data.Dataset",
+    *,
+    k: int = 3,
+    n_seeds: int = 4,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Min-hop distances (≤ k) from EACH of the ``n_seeds`` smallest node
+    ids, simultaneously → (node, sid, hops) with sid = the seed's node id.
+
+    The multi-source generalization of :func:`khop_distances` (same
+    one-hash_join-one-Min round; see ``_bounded_relax``) with the label
+    key widened to (node, seed): all S frontiers advance in the SAME k
+    rounds — S× label rows, not S× rounds — which is what makes
+    sampled-source centralities affordable. Seeds are found with a
+    lossless per-batch partial min-k (no sort of the node table)."""
+    import ray.data as _rd
+
+    def _sym(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("u"), pa.int64()).to_numpy()
+        v = pc.cast(t.column("v"), pa.int64()).to_numpy()
+        return pa.table(
+            {"src": pa.array(np.concatenate([u, v]), pa.int64()),
+             "dst": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    def _loops(t: pa.Table) -> pa.Table:
+        nd = pc.cast(t.column("node"), pa.int64())
+        return pa.table({"src": nd, "dst": nd})
+
+    nodes = degree_table(edges_ds)
+    graph = (
+        edges_ds.map_batches(_sym, batch_format="pyarrow")
+        .union(nodes.map_batches(_loops, batch_format="pyarrow"))
+        .materialize()
+    )
+    if num_partitions is None:
+        from ..stages.canonicalize import data_partitions
+
+        num_partitions = data_partitions(graph.size_bytes() or 0)
+    graph = graph.repartition(num_partitions).materialize()
+
+    def _mink(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("node").head(n_seeds)
+
+    seeds = [int(r["node"]) for r in
+             nodes.map_batches(_mink, batch_format="pandas")
+             .repartition(1)
+             .map_batches(_mink, batch_format="pandas").take_all()]
+    if not seeds:
+        return _rd.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "sid": pa.array([], pa.int64()),
+             "hops": pa.array([], pa.int64())}))
+
+    labels = _rd.from_arrow(pa.table(
+        {"node": pa.array(seeds, pa.int64()),
+         "sid": pa.array(seeds, pa.int64()),
+         "hops": pa.array([0] * len(seeds), pa.int64())})).materialize()
+
+    def _relax(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"dst": pd.Series([], dtype="int64"),
+                                 "sid": pd.Series([], dtype="int64"),
+                                 "h2": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"dst": df["dst"].astype("int64"),
+             "sid": df["sid"].astype("int64"),
+             # self-loops carry the existing label (hops+0 via dst=src)
+             "h2": (df["hops"] + (df["dst"] != df["src"])).astype("int64")})
+
+    for _ in range(k):
+        lab_src = labels.map_batches(
+            lambda t: pa.table({"src": pc.cast(t.column("node"), pa.int64()),
+                                "sid": pc.cast(t.column("sid"), pa.int64()),
+                                "hops": pc.cast(t.column("hops"), pa.int64())}),
+            batch_format="pyarrow")
+        joined = hash_join(graph, lab_src, on=("src",),
+                           num_partitions=num_partitions)
+        labels = (
+            grouped_aggregate(
+                joined.map_batches(_relax, batch_format="pandas"),
+                ["dst", "sid"], Min("h2", alias_name="hops"),
+                num_buckets=num_partitions)
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": pc.cast(t.column("dst"), pa.int64()),
+                     "sid": pc.cast(t.column("sid"), pa.int64()),
+                     "hops": pc.cast(t.column("hops"), pa.int64())}),
+                batch_format="pyarrow")
+            .repartition(num_partitions)
+            .materialize()
+        )
+    return labels
+
+
 def common_neighbor_pairs(
     edges_ds: "ray.data.Dataset",
     *,

@@ -66,7 +66,8 @@ def _hist_aggregate(
     ONE tree-combined pass — no shuffle, nothing block-count-sized on the
     driver."""
     B = len(edges) + 1
-    cols = [key_col] if val_col is None else [key_col, val_col]
+    # key_col may double as val_col (e.g. prefix sum of the sort key itself)
+    cols = [key_col] if val_col in (None, key_col) else [key_col, val_col]
 
     def acc(a: np.ndarray, block) -> np.ndarray:
         b = np.searchsorted(edges, _block_col(block, key_col), side="right")
@@ -140,6 +141,7 @@ def keyed_prefix_sum(
     *,
     n_buckets: int = 64,
     out: str = "prefix_sum",
+    tiebreak_col: str | None = None,
 ) -> "ray.data.Dataset":
     """EXCLUSIVE prefix sum of ``val_col`` in ``key_col`` order — the
     distributed scan primitive (sequence packing, global byte offsets,
@@ -147,7 +149,10 @@ def keyed_prefix_sum(
     histogram plan as :func:`global_rank`, with per-bucket SUMS instead of
     counts; then ONE shuffle of the rows by bucket with a local sorted cumsum
     inside. No global sort; exactness independent of the sample and of bucket
-    balance. Requires unique non-null keys (any unique id)."""
+    balance. Keys must be non-null and either unique, or made a total order
+    by passing a duplicate-free ``tiebreak_col`` (duplicate keys share a
+    bucket — the bucket is a pure function of the key — and order inside by
+    the tiebreak)."""
     edges = _sample_edges(ds, key_col, n_buckets)
     B = len(edges) + 1
 
@@ -166,9 +171,11 @@ def keyed_prefix_sum(
         b = bucket_of(np.asarray(t.column(key_col), dtype=np.float64))
         return t.append_column("__rb", pa.array(b, pa.int64()))
 
+    sort_cols = [key_col] if tiebreak_col is None else [key_col, tiebreak_col]
+
     def scan_group(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["__rb"].iloc[0])
-        g = g.sort_values(key_col, kind="mergesort")
+        g = g.sort_values(sort_cols, kind="mergesort")
         v = g[val_col].to_numpy(dtype=np.int64)
         g[out] = off_list[b] + np.concatenate(([0], np.cumsum(v)[:-1]))
         return g.drop(columns="__rb")

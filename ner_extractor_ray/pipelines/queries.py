@@ -9069,6 +9069,72 @@ def q_bm25_search(sf_dir: str):
             .repartition(1).map_batches(topk, batch_format="pandas"))
 
 
+def q_curriculum_pack(sf_dir: str):
+    """CURRICULUM-ordered sequence packing: concatenate documents
+    shortest-first (the classic length curriculum) and cut fixed-capacity
+    training sequences — q_seq_packing's plan with the scan order changed
+    from doc_id to the COMPUTED (n_tokens, doc_id) key, exercising
+    keyed_prefix_sum's duplicate-key + tiebreak path (many docs share a
+    length; the bucket stays a pure function of the key, ties order by
+    doc_id inside). Still no global sort: one narrow histogram pass + one
+    row shuffle. Output: (doc_id, n_tokens, seq_id, seq_offset)."""
+    from ..functions.rank import keyed_prefix_sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = [len(_ALNUM.findall((s or "").lower()))
+             for s in t.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "n_tokens": pa.array(n, pa.int64())})
+
+    scanned = keyed_prefix_sum(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        "n_tokens", "n_tokens", tiebreak_col="doc_id", out="cum0")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cum0 = np.asarray(t.column("cum0"), dtype=np.int64)
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_tokens": t.column("n_tokens"),
+             "seq_id": pa.array(cum0 // SEQ_CAPACITY, pa.int64()),
+             "seq_offset": pa.array(cum0 % SEQ_CAPACITY, pa.int64())})
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def q_graph_harmonic(sf_dir: str):
+    """SAMPLED harmonic centrality (Boldi–Vigna's centrality made
+    affordable): H(v) ≈ Σ over S pilot sources of 1/d(s,v), d ≤ 3 — the
+    node-importance measure that, unlike PageRank, is distance- not
+    flow-based. Exact BFS from all S sources SIMULTANEOUSLY via
+    functions/graph.multi_source_khop (label key widened to (node, seed):
+    S frontiers share the same k hash_join+Min rounds — S× label rows,
+    never S× rounds). Contributions are integer ppm (10⁶ // hops), summed
+    per node with a vocabulary-sized groupby; seeds are the 4 smallest
+    node ids (deterministic, SQL-replicable), self-distances excluded.
+    Output: (node, n_sources, harmonic_ppm)."""
+    from ..functions.graph import multi_source_khop
+    from ..stages.canonicalize import grouped_aggregate
+
+    labels = multi_source_khop(_graph_edges(sf_dir, 2).materialize(),
+                               k=3, n_seeds=4)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        h = pc.cast(t.column("hops"), pa.int64()).to_numpy()
+        keep = h > 0
+        return pa.table(
+            {"node": pc.cast(t.column("node"), pa.int64()).to_numpy()[keep],
+             "one": pa.array(np.ones(int(keep.sum()), np.int64), pa.int64()),
+             "ppm": pa.array(1_000_000 // h[keep], pa.int64())})
+
+    return grouped_aggregate(
+        labels.map_batches(contrib, batch_format="pyarrow"),
+        ["node"], Sum("one", alias_name="n_sources"),
+        Sum("ppm", alias_name="harmonic_ppm"))
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -9322,6 +9388,8 @@ def queries() -> dict:
         "record_highs": q_record_highs,
         "lm_score": q_lm_score,
         "bm25_search": q_bm25_search,
+        "curriculum_pack": q_curriculum_pack,
+        "graph_harmonic": q_graph_harmonic,
     }
 
 
@@ -12397,5 +12465,48 @@ def oracle_sql() -> dict:
             FROM sc
             ORDER BY score DESC, doc_id
             LIMIT {_BM25_K}
+        """,
+        "curriculum_pack": f"""
+            SELECT doc_id, n_tokens,
+                   CAST(cum0 // {SEQ_CAPACITY} AS BIGINT) AS seq_id,
+                   CAST(cum0 % {SEQ_CAPACITY} AS BIGINT) AS seq_offset
+            FROM (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY n_tokens, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cum0
+                FROM (SELECT doc_id,
+                             CAST(len(regexp_extract_all(lower(text),
+                                                         '[a-z0-9]+'))
+                                  AS BIGINT) AS n_tokens
+                      FROM documents)
+            )
+        """,
+        "graph_harmonic": f"""
+            WITH e AS ({_co_edges_sql(2)}),
+            sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+            nd AS (SELECT DISTINCT u AS node FROM sym),
+            seed AS (SELECT node AS s FROM nd ORDER BY node LIMIT 4),
+            d0 AS (SELECT s AS node, s AS sid, 0 AS hops FROM seed),
+            d1 AS (SELECT node, sid, MIN(hops) AS hops FROM (
+                     SELECT node, sid, hops FROM d0
+                     UNION ALL SELECT sym.v, d0.sid, d0.hops + 1
+                     FROM sym JOIN d0 ON sym.u = d0.node)
+                   GROUP BY 1, 2),
+            d2 AS (SELECT node, sid, MIN(hops) AS hops FROM (
+                     SELECT node, sid, hops FROM d1
+                     UNION ALL SELECT sym.v, d1.sid, d1.hops + 1
+                     FROM sym JOIN d1 ON sym.u = d1.node)
+                   GROUP BY 1, 2),
+            d3 AS (SELECT node, sid, MIN(hops) AS hops FROM (
+                     SELECT node, sid, hops FROM d2
+                     UNION ALL SELECT sym.v, d2.sid, d2.hops + 1
+                     FROM sym JOIN d2 ON sym.u = d2.node)
+                   GROUP BY 1, 2)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(SUM(1000000 // hops) AS BIGINT) AS harmonic_ppm
+            FROM d3 WHERE hops > 0 GROUP BY 1
         """,
     }

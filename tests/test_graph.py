@@ -203,3 +203,48 @@ def test_local_triangle_empty_graph():
         pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
                   "n": pa.array([], pa.int64())}))
     assert local_triangle_table(empty).take_all() == []
+
+
+def test_multi_source_khop_path_graph():
+    # path 1-2-3-4-5-6, seeds = 4 smallest nodes {1,2,3,4}, k=3:
+    # d(1,·)=[0,1,2,3], d(2,·)=[1,0,1,2,3], d(3,·)=[2,1,0,1,2,3], ...
+    from ner_extractor_ray.functions.graph import multi_source_khop
+
+    edges = ray.data.from_arrow(pa.table({
+        "u": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([2, 3, 4, 5, 6], pa.int64()),
+        "n": pa.array([1] * 5, pa.int64()),
+    }))
+    got = {(int(r["sid"]), int(r["node"])): int(r["hops"])
+           for r in multi_source_khop(edges, k=3, n_seeds=4).take_all()}
+    import itertools
+    exp = {}
+    for s in (1, 2, 3, 4):
+        for v in range(1, 7):
+            d = abs(v - s)
+            if d <= 3:
+                exp[(s, v)] = d
+    assert got == exp
+
+
+def test_graph_harmonic_path_fixture():
+    # same path graph via a co-purchase fixture is heavy; check the ppm
+    # fold directly: node 3 is reached by seeds 1 (d=2), 2 (d=1), 4 (d=1)
+    # → n_sources 3, harmonic = 500000 + 1000000 + 1000000.
+    from ner_extractor_ray.functions.graph import multi_source_khop
+    from ner_extractor_ray.stages.canonicalize import grouped_aggregate
+
+    edges = ray.data.from_arrow(pa.table({
+        "u": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([2, 3, 4, 5, 6], pa.int64()),
+        "n": pa.array([1] * 5, pa.int64()),
+    }))
+    labels = multi_source_khop(edges, k=3, n_seeds=4).take_all()
+    per = {}
+    for r in labels:
+        if int(r["hops"]) > 0:
+            n, p = per.get(int(r["node"]), (0, 0))
+            per[int(r["node"])] = (n + 1, p + 1_000_000 // int(r["hops"]))
+    assert per[3] == (3, 2_500_000)
+    # node 6: seed 3 at d=3 (333333) + seed 4 at d=2 (500000)
+    assert per[6] == (2, 833_333)
