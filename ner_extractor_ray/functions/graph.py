@@ -962,12 +962,19 @@ def pagerank(
     *,
     n_iters: int = 3,
     num_partitions: int | None = None,
+    personalize_seed: int | None = None,
 ) -> "ray.data.Dataset":
     """Integer power iteration → (node, pr) with pr in parts-per-``PR_SCALE``.
 
     pr₀ = SCALE // N;  prₖ₊₁(x) = BASE + (85·Σ_{(u,x)∈E} prₖ(u)//outdeg(u))//100
     with BASE = (15·(SCALE//N))//100 — every op is exact int64, so the result
     is independent of block order / parallelism and replicable in SQL.
+
+    With ``personalize_seed`` set, this is PERSONALIZED PageRank (the KG
+    "entities related to X" relevance walk): all initial mass and all
+    teleport mass concentrate at the seed — pr₀(v) = SCALE·[v = s],
+    BASE(v) = (15·SCALE)//100·[v = s] — same rounds, same traffic; only
+    the two node-local constants change.
 
     Distributed shape: ONE hash_join per round (symmetrized edges ⋈ label
     shares — node state never broadcast), then contributions are merged with
@@ -985,8 +992,14 @@ def pagerank(
                                 "pr": pa.array([], pa.int64())}),
             batch_format="pyarrow",
         )
-    base = (15 * (PR_SCALE // n_nodes)) // 100
-    init = PR_SCALE // n_nodes
+    if personalize_seed is None:
+        base = (15 * (PR_SCALE // n_nodes)) // 100
+        init = PR_SCALE // n_nodes
+        seed = None
+    else:
+        base = (15 * PR_SCALE) // 100
+        init = PR_SCALE
+        seed = int(personalize_seed)
 
     def _sym(t: pa.Table) -> pa.Table:
         u = pc.cast(t.column("u"), pa.int64()).to_numpy()
@@ -1005,14 +1018,16 @@ def pagerank(
         num_partitions = data_partitions(sym.size_bytes() or 0)
     sym = sym.repartition(num_partitions).materialize()
 
-    labels = deg.map_batches(
-        lambda t: pa.table(
-            {"node": pc.cast(t.column("node"), pa.int64()),
+    def _init_labels(t: pa.Table) -> pa.Table:
+        nd = pc.cast(t.column("node"), pa.int64()).to_numpy()
+        pr0 = (np.full(t.num_rows, init, np.int64) if seed is None
+               else np.where(nd == seed, np.int64(init), np.int64(0)))
+        return pa.table(
+            {"node": pa.array(nd, pa.int64()),
              "outdeg": pc.cast(t.column("degree"), pa.int64()),
-             "pr": pa.array(np.full(t.num_rows, init, np.int64))}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+             "pr": pa.array(pr0, pa.int64())})
+
+    labels = deg.map_batches(_init_labels, batch_format="pyarrow").materialize()
 
     _SENTINEL = np.int64(2**62)  # > any real degree; Min picks the real one
 
@@ -1055,20 +1070,21 @@ def pagerank(
             Sum("c", alias_name="c"),
             Min("outdeg", alias_name="outdeg"),
         )
+        def _update(t: pa.Table) -> pa.Table:
+            nd = pc.cast(t.column("node"), pa.int64()).to_numpy()
+            b = (base if seed is None
+                 else np.where(nd == seed, np.int64(base), np.int64(0)))
+            return pa.table(
+                {"node": pa.array(nd, pa.int64()),
+                 "outdeg": pc.cast(t.column("outdeg"), pa.int64()),
+                 "pr": pa.array(
+                     b + (PR_DAMP_NUM
+                          * pc.cast(t.column("c"), pa.int64()).to_numpy())
+                     // PR_DAMP_DEN,
+                     pa.int64())})
+
         labels = (
-            merged.map_batches(
-                lambda t: pa.table(
-                    {"node": pc.cast(t.column("node"), pa.int64()),
-                     "outdeg": pc.cast(t.column("outdeg"), pa.int64()),
-                     "pr": pa.array(
-                         base
-                         + (PR_DAMP_NUM
-                            * pc.cast(t.column("c"), pa.int64()).to_numpy())
-                         // PR_DAMP_DEN,
-                         pa.int64())}
-                ),
-                batch_format="pyarrow",
-            )
+            merged.map_batches(_update, batch_format="pyarrow")
             .repartition(num_partitions)
             .materialize()
         )

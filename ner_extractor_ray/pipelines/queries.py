@@ -3120,6 +3120,57 @@ def _pagerank_sql(n_iters: int = 3) -> str:
     return "".join(parts)
 
 
+def _ppr_sql(n_iters: int = 3) -> str:
+    """Unrolled integer PERSONALIZED power iteration (seed = min node):
+    pr0(v) = SCALE·[v=s]; pr_{{k+1}}(v) = (15·SCALE)//100·[v=s] +
+    (85·Σ pr_k(u)//outdeg(u))//100 — functions/graph.pagerank with
+    personalize_seed, op for op."""
+    scale = 10**12
+    parts = [f"""
+        WITH e AS ({_co_edges_sql(2)}),
+        s AS (SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v AS src, u AS dst FROM e),
+        d AS (SELECT src AS node, COUNT(*) AS outdeg FROM s GROUP BY src),
+        sd AS (SELECT MIN(node) AS s FROM d),
+        p0 AS (SELECT d.node, d.outdeg,
+                      CAST(CASE WHEN d.node = sd.s THEN {scale}
+                           ELSE 0 END AS BIGINT) AS pr
+               FROM d CROSS JOIN sd)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+        p{i} AS (SELECT d.node, d.outdeg,
+                        CAST(CASE WHEN d.node = sd.s
+                                  THEN (15 * {scale}) // 100 ELSE 0 END
+                             + (85 * c{i}.contrib) // 100 AS BIGINT) AS pr
+                 FROM d CROSS JOIN sd
+                 JOIN (SELECT s2.dst AS node,
+                              SUM(p.pr // p.outdeg) AS contrib
+                       FROM p{i - 1} p JOIN s s2 ON s2.src = p.node
+                       GROUP BY s2.dst) c{i} ON c{i}.node = d.node)""")
+    parts.append(f"\n        SELECT node, pr FROM p{n_iters}")
+    return "".join(parts)
+
+
+def q_graph_ppr(sf_dir: str):
+    """PERSONALIZED PageRank from the min node — the KG "entities related
+    to X" relevance walk (recommendation / context expansion around one
+    entity), vs q_graph_pagerank's global importance. Same integer power
+    iteration, same one-join-one-groupby round traffic
+    (functions/graph.pagerank with personalize_seed): all initial and
+    teleport mass concentrates at the seed, so scores decay with walk
+    distance from it. Bit-exact in int64 ⇒ unrolled-CTE SQL replication.
+    Output: (node, pr) in parts-per-10¹²."""
+    from ..functions.graph import degree_table, pagerank
+
+    edges = _graph_edges(sf_dir, 2).materialize()
+    deg = degree_table(edges)
+    s = deg.min("node") if deg.count() else None
+    if s is None:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "pr": pa.array([], pa.int64())})
+    return pagerank(edges, n_iters=3, personalize_seed=int(s))
+
+
 def q_graph_degree(sf_dir: str):
     """Degree histogram (degree, n_nodes) of the co-purchase graph — the
     first skew diagnostic run on any KG edge table. Degrees are
@@ -9036,6 +9087,9 @@ def q_bm25_search(sf_dir: str):
     agg = ds.map_batches(stats, batch_format="pyarrow").aggregate(
         Sum("n", alias_name="n"), Sum("totlen", alias_name="totlen"),
         *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))])
+    if not agg or agg.get("n") is None or not int(agg["n"]):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_ppm": pa.array([], pa.int64())})
     N, totlen = int(agg["n"]), int(agg["totlen"])
     idf = [1_000_000 * (2 * N - 2 * int(agg[f"df_{i}"]) + 1)
            // (2 * int(agg[f"df_{i}"]) + 1) if int(agg[f"df_{i}"]) else 0
@@ -9155,7 +9209,10 @@ def queries() -> dict:
     union/debounce/TWA/trailing-window/paths, profiler/integrity/golden
     records/SNM/balanced sample/novelty/temporal anti-join) were all
     additionally driver-mimic-checked at sf0.01 (tools/check_window_sf001)
-    and are next-round window candidates.
+    and are next-round window candidates. The continuation-session tail
+    (pii_redact / pii_stats / quality_classifier, record_highs, lm_score,
+    bm25_search, curriculum_pack, graph_harmonic) was likewise
+    driver-mimic-checked at sf0.001 AND sf0.01 (tools/check_window_sf001).
     """
     return {
         # -- flagship representatives re-attested from round 2 ---------------
@@ -9390,6 +9447,7 @@ def queries() -> dict:
         "bm25_search": q_bm25_search,
         "curriculum_pack": q_curriculum_pack,
         "graph_harmonic": q_graph_harmonic,
+        "graph_ppr": q_graph_ppr,
     }
 
 
@@ -10319,6 +10377,7 @@ def oracle_sql() -> dict:
             FROM cs GROUP BY 1
         """,
         "graph_pagerank": _pagerank_sql(),
+        "graph_ppr": _ppr_sql(),
         # 3 unrolled BFS relaxation rounds from the min node — each CTE is
         # labels ∪ (neighbors, hops+1) reduced by MIN, exactly the
         # hash_join + grouped-Min rounds of functions/graph.khop_distances

@@ -248,3 +248,40 @@ def test_graph_harmonic_path_fixture():
     assert per[3] == (3, 2_500_000)
     # node 6: seed 3 at d=3 (333333) + seed 4 at d=2 (500000)
     assert per[6] == (2, 833_333)
+
+
+def test_personalized_pagerank_matches_integer_reference():
+    # triangle 1-2-3 plus pendant 4 on node 3; seed = min node = 1.
+    from ner_extractor_ray.functions.graph import pagerank
+
+    edges = _edges([(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {int(r["node"]): int(r["pr"])
+           for r in pagerank(edges, n_iters=3,
+                             personalize_seed=1).take_all()}
+    SCALE = 10**12
+    deg = {1: 2, 2: 2, 3: 3, 4: 1}
+    adj = {1: [2, 3], 2: [1, 3], 3: [1, 2, 4], 4: [3]}
+    pr = {v: (SCALE if v == 1 else 0) for v in deg}
+    for _ in range(3):
+        pr = {v: ((15 * SCALE) // 100 if v == 1 else 0)
+              + (85 * sum(pr[u] // deg[u] for u in adj[v])) // 100
+              for v in deg}
+    assert got == pr
+    # relevance decays with distance from the seed
+    assert got[2] > got[4] and got[3] > got[4]
+
+
+def test_pagerank_uniform_unchanged_by_seed_param():
+    # personalize_seed=None must stay bit-identical to the old behavior
+    from ner_extractor_ray.functions.graph import PR_SCALE, pagerank
+
+    edges = _edges([(1, 2), (2, 3)])
+    got = {int(r["node"]): int(r["pr"])
+           for r in pagerank(edges, n_iters=1).take_all()}
+    base = (15 * (PR_SCALE // 3)) // 100
+    init = PR_SCALE // 3
+    deg = {1: 1, 2: 2, 3: 1}
+    adj = {1: [2], 2: [1, 3], 3: [2]}
+    exp = {v: base + (85 * sum(init // deg[u] for u in adj[v])) // 100
+           for v in deg}
+    assert got == exp

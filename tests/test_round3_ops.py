@@ -708,3 +708,30 @@ def test_bm25_hand_computed(tmp_path):
     assert out["doc_id"].tolist() == [1, 2]      # doc 3 scores 0, dropped
     assert out["score_ppm"].tolist() == [s1, s2]
     assert s1 > s2 > 0
+
+
+def test_session_ops_empty_tables(tmp_path):
+    # zero-row inputs must yield zero-row (typed) outputs, not crashes —
+    # bm25's corpus-stats aggregate returns None fields on an empty table.
+    from ner_extractor_ray.pipelines.queries import (
+        q_bm25_search, q_curriculum_pack, q_lm_score, q_pii_redact,
+        q_pii_stats, q_quality_classifier, q_record_highs)
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
+    }), tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    }), tmp_path / "events.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "c_mktsegment": pa.array([], pa.string()),
+    }), tmp_path / "customer.parquet")
+    for fn in (q_pii_redact, q_pii_stats, q_quality_classifier,
+               q_record_highs, q_lm_score, q_bm25_search, q_curriculum_pack):
+        out = fn(str(tmp_path))
+        n = out.count() if hasattr(out, "count") else len(out)
+        assert n == 0, fn.__name__
