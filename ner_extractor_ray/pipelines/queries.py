@@ -8973,7 +8973,7 @@ def q_record_highs(sf_dir: str):
 _LM_MIN_N = 5
 
 
-def q_lm_score(sf_dir: str):
+def q_lm_score(sf_dir: str, *, broadcast_limit: int = 5_000_000):
     """Bigram language-model doc scoring (the KenLM-shaped perplexity
     filter of CCNet, integer-exact): train conditional bigram counts over
     the corpus, keep bigrams with n ≥ 5 as the model, score every doc by
@@ -8982,10 +8982,13 @@ def q_lm_score(sf_dir: str):
     bit-for-bit). Two-pass shape: bigram partial-dicts per batch → ONE
     vocabulary-sized groupby; prefix denominators aggregate from the
     bigram table itself (Σ_w2 n(w1,w2), UNfiltered — the true conditional
-    denominator) and only prefixes of surviving bigrams are collected, so
-    driver-side state ∝ the filtered model, never the raw vocabulary (the
-    tfidf_top_terms lesson). Model broadcasts once via ray.put; scoring is
-    row-local. Docs with < 2 tokens have no bigrams and are dropped.
+    denominator). Up to ``broadcast_limit`` surviving bigrams the model is
+    collected and broadcast once via ray.put and scoring is row-local; a
+    web-scale filtered model is NOT broadcastable, so above the limit docs
+    explode to (doc_id, bigram) rows that meet the model in a partitioned
+    LEFT hash_join (one corpus-sized shuffle, model never leaves the
+    cluster) and fold back per doc — both plans equality-tested at
+    threshold 0. Docs with < 2 tokens have no bigrams and are dropped.
     Output: (doc_id, n_bigrams, n_hits, score_ppm)."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
 
@@ -9010,42 +9013,101 @@ def q_lm_score(sf_dir: str):
     pre = _gagg(bg.map_batches(split_first, batch_format="pyarrow"),
                 "w1", Sum("n", alias_name="d"))
 
-    model_rows = bg.map_batches(
+    model = bg.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("n"), _LM_MIN_N)),
-        batch_format="pyarrow").take_all()  # filtered-model-sized
-    num = {r["bigram"]: int(r["n"]) for r in model_rows}
-    w1s = {b.split(" ", 1)[0] for b in num}
+        batch_format="pyarrow").materialize()  # filtered-model-sized
 
-    def pre_filter(t: pa.Table) -> pa.Table:
-        m = pa.array([w in w1s for w in t.column("w1").to_pylist()])
-        return t.filter(m)
+    if model.count() <= broadcast_limit:
+        num = {r["bigram"]: int(r["n"]) for r in model.take_all()}
+        w1s = {b.split(" ", 1)[0] for b in num}
 
-    den = {r["w1"]: int(r["d"])
-           for r in pre.map_batches(pre_filter,
-                                    batch_format="pyarrow").take_all()}
-    model_ref = ray.put((num, den))
+        def pre_filter(t: pa.Table) -> pa.Table:
+            m = pa.array([w in w1s for w in t.column("w1").to_pylist()])
+            return t.filter(m)
 
-    def score(t: pa.Table) -> pa.Table:
-        num_m, den_m = ray.get(model_ref)
-        o_id, o_nb, o_nh, o_sc = [], [], [], []
+        den = {r["w1"]: int(r["d"])
+               for r in pre.map_batches(pre_filter,
+                                        batch_format="pyarrow").take_all()}
+        model_ref = ray.put((num, den))
+
+        def score(t: pa.Table) -> pa.Table:
+            num_m, den_m = ray.get(model_ref)
+            o_id, o_nb, o_nh, o_sc = [], [], [], []
+            for did, s in zip(
+                    pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
+                    t.column("text").to_pylist()):
+                toks = _ALNUM.findall((s or "").lower())
+                if len(toks) < 2:
+                    continue
+                nb, nh, sc = len(toks) - 1, 0, 0
+                for i in range(nb):
+                    c = num_m.get(toks[i] + " " + toks[i + 1])
+                    if c is not None:
+                        nh += 1
+                        sc += c * 1_000_000 // den_m[toks[i]]
+                o_id.append(did); o_nb.append(nb)
+                o_nh.append(nh); o_sc.append(sc)
+            return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                             "n_bigrams": pa.array(o_nb, pa.int64()),
+                             "n_hits": pa.array(o_nh, pa.int64()),
+                             "score_ppm": pa.array(o_sc, pa.int64())})
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # model too large to broadcast: meet it in a partitioned join instead
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    # attach prefix denominators to the model ONCE (model-sized join)
+    model_wd = hash_join(
+        model.map_batches(
+            lambda t: pa.table(
+                {"bigram": t.column("bigram"),
+                 "n": pc.cast(t.column("n"), pa.int64()),
+                 "w1": pa.array([b.split(" ", 1)[0]
+                                 for b in t.column("bigram").to_pylist()],
+                                pa.string())}),
+            batch_format="pyarrow"),
+        pre, on=("w1",)).map_batches(
+            lambda df: pd.DataFrame(
+                {"bigram": df["bigram"],
+                 "ppm": (df["n"].astype("int64") * 1_000_000
+                         // df["d"].astype("int64"))}),
+            batch_format="pandas")
+
+    def explode(t: pa.Table) -> pa.Table:
+        o_id, o_bg = [], []
         for did, s in zip(pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
                           t.column("text").to_pylist()):
             toks = _ALNUM.findall((s or "").lower())
-            if len(toks) < 2:
-                continue
-            nb, nh, sc = len(toks) - 1, 0, 0
-            for i in range(nb):
-                c = num_m.get(toks[i] + " " + toks[i + 1])
-                if c is not None:
-                    nh += 1
-                    sc += c * 1_000_000 // den_m[toks[i]]
-            o_id.append(did); o_nb.append(nb); o_nh.append(nh); o_sc.append(sc)
+            for i in range(len(toks) - 1):
+                o_id.append(did)
+                o_bg.append(toks[i] + " " + toks[i + 1])
         return pa.table({"doc_id": pa.array(o_id, pa.int64()),
-                         "n_bigrams": pa.array(o_nb, pa.int64()),
-                         "n_hits": pa.array(o_nh, pa.int64()),
-                         "score_ppm": pa.array(o_sc, pa.int64())})
+                         "bigram": pa.array(o_bg, pa.string())})
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    joined = hash_join(ds.map_batches(explode, batch_format="pyarrow"),
+                       model_wd, on=("bigram",), how="left")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_bigrams": pd.Series([], dtype="int64"),
+                                 "n_hits": pd.Series([], dtype="int64"),
+                                 "score_ppm": pd.Series([], dtype="int64")})
+        hit = df["ppm"].notna()
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "n_bigrams": np.ones(len(df), np.int64),
+             "n_hits": hit.astype("int64"),
+             "score_ppm": df["ppm"].fillna(0).astype("int64")})
+
+    return grouped_aggregate(
+        joined.map_batches(fold, batch_format="pandas"),
+        ["doc_id"],
+        Sum("n_bigrams", alias_name="n_bigrams"),
+        Sum("n_hits", alias_name="n_hits"),
+        Sum("score_ppm", alias_name="score_ppm"))
 
 
 _BM25_TERMS = ("table", "spark", "window")

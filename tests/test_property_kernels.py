@@ -133,3 +133,45 @@ def test_global_rank_matches_lexsort(ray_session, vals):
     want[order] = np.arange(1, len(vals) + 1)
     got = out.sort_values("id")["r"].to_numpy(np.int64)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------- PII fuzz
+
+_PII_FRAGMENTS = st.sampled_from([
+    "plain words here", "a@b.com", "x.y+z@mail.example.org", "555-123-4567",
+    "10.0.0.1", "192.168.255.250", "user@10.0.0.1", "not-a-phone 12-345",
+    "1234-567-8901",  # 4-digit prefix: \b kills the leading match
+    "a@b", "@", ".", "", "trailing dot 1.2.3.4.", "v1.2.3 release",
+])
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(parts=st.lists(_PII_FRAGMENTS, min_size=0, max_size=6))
+def test_pii_kernel_matches_duckdb_regexp(parts):
+    """Cross-engine parity fuzz: the pyarrow RE2 kernels and DuckDB's
+    regexp functions must agree on redaction output AND per-type counts
+    for arbitrary concatenations of PII-ish fragments — the exact
+    guarantee the pii_redact/pii_stats oracles rely on."""
+    import duckdb
+    import pyarrow as _pa
+
+    from ner_extractor_ray.functions.pii import (
+        PII_PATTERNS, pii_counts, redact)
+
+    text = " ".join(parts)
+    col = _pa.array([text])
+    got_red = redact(col).to_pylist()[0]
+    got_cnt = {k: v.to_pylist()[0] for k, v in pii_counts(col).items()}
+
+    con = duckdb.connect()
+    exp_red = text
+    for _, pat, placeholder in PII_PATTERNS:
+        exp_red = con.execute(
+            "SELECT regexp_replace(?, ?, ?, 'g')",
+            [exp_red, pat, placeholder]).fetchone()[0]
+    assert got_red == exp_red
+    for tag, pat, _ in PII_PATTERNS:
+        exp_n = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [text, pat]).fetchone()[0]
+        assert got_cnt[f"n_{tag}"] == exp_n, (tag, text)

@@ -735,3 +735,21 @@ def test_session_ops_empty_tables(tmp_path):
         out = fn(str(tmp_path))
         n = out.count() if hasattr(out, "count") else len(out)
         assert n == 0, fn.__name__
+
+
+def test_lm_score_join_plan_equals_broadcast(tmp_path):
+    # broadcast_limit=0 forces the partitioned-join scoring path; it must
+    # equal the broadcast plan row for row (the triangle_count discipline).
+    from ner_extractor_ray.pipelines.queries import q_lm_score
+
+    texts = ["a b"] * 5 + ["a c b x", "q r"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(7)), pa.int64()),
+        "text": pa.array(texts),
+    }), tmp_path / "documents.parquet")
+    want = (q_lm_score(str(tmp_path)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    got = (q_lm_score(str(tmp_path), broadcast_limit=0).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()].astype("int64"), want.astype("int64"))
