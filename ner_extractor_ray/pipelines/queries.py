@@ -9251,6 +9251,30 @@ def q_graph_harmonic(sf_dir: str):
         Sum("ppm", alias_name="harmonic_ppm"))
 
 
+def q_knn_srp(sf_dir: str):
+    """LSH-bucketed ANN (SRP / Charikar simhash for cosine) — the scale
+    path alternative to q_knn_ivf: a ROW-LOCAL sign-code filter (12
+    deterministic Rademacher hyperplanes, probe = Hamming ≤ 1 → ~0.32% of
+    buckets) prunes the corpus before the brute-force scorer ever sees it;
+    no shuffle, no index build, and at 100 TB the codes persist as a
+    column so the filter prunes at the read (zonemap-style data-skipping).
+    Approximate by construction → rows-only for the driver; determinism
+    and exact recovery of PLANTED strong neighbors (cosine ≥ 0.99) are
+    pinned in pytest — the sf embeddings' own top-10 sit at cosine ~0.3
+    (expected Hamming ~5/12), correctly OUTSIDE a 1-bit probe, so this op
+    filters weak matches by design. Output: (vec_id, rank) of the query's
+    bucket-probed top-10."""
+    from ..functions.similarity import knn_srp
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_srp(ds, np.ones((1, EMBED_DIM)), k=10)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t.column("vec_id"),
+             "rank": pc.cast(t.column("rank"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -9510,6 +9534,7 @@ def queries() -> dict:
         "curriculum_pack": q_curriculum_pack,
         "graph_harmonic": q_graph_harmonic,
         "graph_ppr": q_graph_ppr,
+        "knn_srp": q_knn_srp,
     }
 
 

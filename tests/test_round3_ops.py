@@ -753,3 +753,45 @@ def test_lm_score_join_plan_equals_broadcast(tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()].astype("int64"), want.astype("int64"))
+
+
+def test_knn_srp_planted_neighbors(tmp_path):
+    # LSH can only find STRONG neighbors (the sf embeddings' top-10 sit at
+    # cosine ~0.3 → expected Hamming ~5/12, correctly outside a 1-bit
+    # probe), so recall is pinned on planted near-query vectors: 10 vectors
+    # at cosine ≥ 0.99 among 500 noise rows must all be recovered, in the
+    # exact brute-force order, identically across two runs.
+    import numpy as np
+
+    from ner_extractor_ray.functions.similarity import knn_brute, knn_srp
+    import ray
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    noise = rng.standard_normal((500, dim))
+    planted = np.ones((10, dim)) + 0.05 * rng.standard_normal((10, dim))
+    M = np.vstack([noise, planted])
+    ids = np.arange(len(M), dtype=np.int64)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(M), pa.list_(pa.float64())),
+    }), tmp_path / "embeddings.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "embeddings.parquet"))
+    q = np.ones((1, dim))
+    exact = knn_brute(ds, q, k=10).to_pandas().sort_values("rank")
+    a = knn_srp(ds, q, k=10).to_pandas().sort_values("rank")
+    b = knn_srp(ds, q, k=10).to_pandas().sort_values("rank")
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    # all 10 planted ids (500..509) are the exact top-10 AND the SRP top-10
+    assert set(exact["vec_id"]) == set(range(500, 510))
+    assert a["vec_id"].tolist() == exact["vec_id"].tolist()
+
+
+def test_knn_srp_sf_data_deterministic():
+    from ner_extractor_ray.pipelines.queries import q_knn_srp
+
+    sf = "/root/testdata/sf0.001"
+    a = q_knn_srp(sf).to_pandas().sort_values("rank")
+    b = q_knn_srp(sf).to_pandas().sort_values("rank")
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert a["rank"].tolist() == list(range(1, len(a) + 1))
