@@ -130,7 +130,7 @@ def cmd_curate(args) -> int:
     res = run_curation(
         docs, out_dir=args.out, id_col=args.id_col, text_col=args.text_col,
         n_partitions=args.n_partitions, min_tokens=args.min_tokens,
-        lsh_threshold=args.lsh_threshold,
+        lsh_threshold=args.lsh_threshold, redact_pii=args.redact_pii,
     )
     print(json.dumps({"stats": res["stats"], "out_dir": args.out}))
     ray.shutdown()
@@ -294,6 +294,9 @@ def main(argv=None) -> int:
     cu.add_argument("--n-partitions", type=int, default=16)
     cu.add_argument("--min-tokens", type=int, default=5)
     cu.add_argument("--lsh-threshold", type=float, default=0.8)
+    cu.add_argument("--redact-pii", action="store_true",
+                    help="scrub emails/phones/IPv4 from the surviving text "
+                         "(after dedup, before tokenization)")
     cu.set_defaults(fn=cmd_curate)
 
     cuu = sub.add_parser(

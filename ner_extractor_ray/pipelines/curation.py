@@ -56,6 +56,7 @@ def run_curation(
     shingle: str = "word3",
     span_n: int = 8,
     resume: bool = True,
+    redact_pii: bool = False,
 ) -> dict:
     """Run the curation pipeline; returns stage stats + the curated Dataset.
 
@@ -63,6 +64,10 @@ def run_curation(
     Output rows: (id_col, n_tokens, n_removed, kept_text). With ``out_dir``
     the curated table is written partitioned (``part=crc(id) % n``) with
     per-partition manifests; a completed table short-circuits the rerun.
+    With ``redact_pii`` the surviving text is PII-scrubbed in place
+    (functions/pii.py vectorized RE2 kernels) at the ROOTS/Dolma pipeline
+    position — after dedup, before the corpus ships; row-local, so it
+    fuses into the span-rewrite pass with zero extra traffic.
     """
     from ..functions.dedup import (
         exact_dedup_groups,
@@ -127,8 +132,24 @@ def run_curation(
     stats["n_neardup"] = w_ids.count()
     s3 = hash_join(s2, w_ids, on=(id_col,)).materialize()
 
+    # ---- S3.5 optional PII scrub of the SURVIVING RAW text (row-local) ---
+    # must run before the span rewrite: the rewrite's word tokenizer strips
+    # the punctuation the PII patterns anchor on (a@b.com → "a b com"), so
+    # scrubbing after it would miss everything. After dedup, before
+    # tokenization — the ROOTS/Dolma position. Placeholders surface as
+    # EMAIL / PHONE / IP tokens in kept_text; the raw values never reach it.
+    rewrite_src = s3
+    if redact_pii:
+        from ..functions.pii import redact
+
+        def _scrub(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index(text_col)
+            return t.set_column(i, text_col, redact(t.column(text_col)))
+
+        rewrite_src = s3.map_batches(_scrub, batch_format="pyarrow")
+
     # ---- S4 exact-substring span removal over the survivors --------------
-    curated = span_dedup_rewrite(s3, id_col, text_col, n=span_n)
+    curated = span_dedup_rewrite(rewrite_src, id_col, text_col, n=span_n)
 
     # ---- dedup STATE for incremental updates (pipelines/curation_update):
     # per kept doc, the ORIGINAL-text content hash (exact-dup anti key) and

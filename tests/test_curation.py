@@ -73,3 +73,36 @@ def test_run_curation_no_outdir_deterministic(tmp_path):
         )
 
     assert run() == run()
+
+
+def test_run_curation_pii_scrub(tmp_path):
+    # redact_pii=True must equal redact() applied to the default output's
+    # kept_text per doc — same survivors, same counts, scrubbed text only.
+    rows = [
+        (1, "reach me at a@b.com or 555-123-4567 please do write soon"),
+        (2, "server logs show 10.0.0.1 hitting the endpoint all night"),
+        (3, "a clean document with no contact information inside it"),
+    ]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }), str(src))
+    docs = ray.data.read_parquet(str(src))
+
+    plain = (run_curation(docs, out_dir=None)["curated"].to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    scrub = (run_curation(docs, out_dir=None, redact_pii=True)["curated"]
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # same survivors (dedup decisions precede the scrub)
+    assert scrub["doc_id"].tolist() == plain["doc_id"].tolist()
+    # raw PII values never reach kept_text; placeholders surface as
+    # (lowercased) tokens after the span rewriter's word tokenization
+    tk0, tk1 = (set(t.split()) for t in scrub["kept_text"].tolist()[:2])
+    t2 = scrub["kept_text"].tolist()[2]
+    assert "email" in tk0 and "phone" in tk0
+    assert not {"com", "4567", "555", "123"} & tk0
+    assert "ip" in tk1 and not {"10", "0", "1"} & tk1
+    assert t2 == plain.loc[2, "kept_text"]     # clean doc untouched
+    # plain output DOES leak the tokenized PII — the contrast the flag fixes
+    assert "4567" in plain.loc[0, "kept_text"]
