@@ -297,3 +297,56 @@ def hdr_quantiles(ds: "ray.data.Dataset", col_cents: str,
     return pa.table({"q_pct": pa.array(qs, pa.int64()),
                      "est_cents": pa.array(ests, pa.int64()),
                      "n_rows": pa.array([tot] * len(qs), pa.int64())})
+
+
+def hdr_quantiles_grouped(
+    ds: "ray.data.Dataset", key_col: str, col_cents: str,
+    q_pcts=(50, 90, 99),
+) -> "pa.Table":
+    """Per-group HDR quantiles — the sketch × groupby composition: per-batch
+    (key, bucket) counting, ONE groupby on the composite key (group_count ×
+    ≤ ~1000 rows — still sketch-sized, never row-sized), then the integer
+    rank walk per key on the driver. The per-group sketches are the SAME
+    Sum-mergeable bucket counts as :func:`hdr_quantiles`, so a 100-TB run
+    can persist them and re-derive any percentile later without a rescan.
+    Returns (key, q_pct, est_cents, n_rows)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        c = pc.cast(t.column(col_cents), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = hdr_bucket(c)
+        cnt: dict[tuple, int] = {}
+        for k, bb in zip(keys, b):
+            kk = (k, int(bb))
+            cnt[kk] = cnt.get(kk, 0) + 1
+        return pa.table(
+            {key_col: pa.array([k for k, _ in cnt], pa.string()),
+             "bucket": pa.array([b2 for _, b2 in cnt], pa.int64()),
+             "n": pa.array(list(cnt.values()), pa.int64())})
+
+    rows = grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                             [key_col, "bucket"],
+                             Sum("n", alias_name="n")).take_all()
+    per: dict[str, list] = {}
+    for r in rows:
+        per.setdefault(r[key_col], []).append((int(r["bucket"]), int(r["n"])))
+    o_k, o_q, o_e, o_n = [], [], [], []
+    for k in sorted(per):
+        buckets = sorted(per[k])
+        tot = sum(n for _, n in buckets)
+        for q in q_pcts:
+            cum, est = 0, buckets[-1][0]
+            for b, n in buckets:
+                cum += n
+                if 100 * cum >= q * tot:
+                    est = b
+                    break
+            o_k.append(k); o_q.append(int(q)); o_e.append(est); o_n.append(tot)
+    return pa.table({key_col: pa.array(o_k, pa.string()),
+                     "q_pct": pa.array(o_q, pa.int64()),
+                     "est_cents": pa.array(o_e, pa.int64()),
+                     "n_rows": pa.array(o_n, pa.int64())})

@@ -8699,6 +8699,26 @@ def q_hdr_quantiles(sf_dir: str):
     return hdr_quantiles(cents, "cents")
 
 
+def q_hdr_quantiles_by_type(sf_dir: str):
+    """Per-event-type p50/p90/p99 off the grouped HDR sketch — the sketch ×
+    groupby composition (functions/sketches.hdr_quantiles_grouped): the
+    shuffle carries (type, bucket) counts only (group_count × ≤ ~1000 rows
+    at ANY cardinality) and the integer rank walk runs per type. Same
+    bit-identical bucket mapping as q_hdr_quantiles, so the SQL replication
+    just adds PARTITION BY. Output: (event_type, q_pct, est_cents,
+    n_rows)."""
+    from ..functions.sketches import hdr_quantiles_grouped
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: (lambda f: pa.table(
+            {"event_type": f.column("event_type"),
+             "cents": pa.array(_cents(np.asarray(f.column("value"))),
+                               pa.int64())}))(
+            t.filter(pc.is_valid(t.column("value")))),
+        batch_format="pyarrow")
+    return hdr_quantiles_grouped(ds, "event_type", "cents")
+
+
 def q_bucketed_join_revenue(sf_dir: str):
     """STORAGE-PARTITIONED JOIN (Spark SPJ / Iceberg bucketed-join analog):
     orders and lineitem are first laid out by ``write_partitioned`` on the
@@ -9535,6 +9555,7 @@ def queries() -> dict:
         "graph_harmonic": q_graph_harmonic,
         "graph_ppr": q_graph_ppr,
         "knn_srp": q_knn_srp,
+        "hdr_quantiles_by_type": q_hdr_quantiles_by_type,
     }
 
 
@@ -12463,6 +12484,33 @@ def oracle_sql() -> dict:
             FROM q, t, c1
             WHERE 100 * c1.cum >= q.q_pct * t.tot
             GROUP BY 1, 3
+        """,
+        "hdr_quantiles_by_type": """
+            WITH v AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+                       FROM events WHERE value IS NOT NULL),
+            b AS (SELECT event_type,
+                         CASE WHEN c < 32 THEN c
+                              ELSE (16 + ((c >> (LENGTH(BIN(c)) - 5)) & 15))
+                                   << (LENGTH(BIN(c)) - 5) END AS bucket
+                  FROM v),
+            g AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM b GROUP BY 1, 2),
+            c1 AS (SELECT event_type, bucket,
+                          SUM(n) OVER (PARTITION BY event_type
+                                       ORDER BY bucket) AS cum
+                   FROM g),
+            t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+                  FROM g GROUP BY 1),
+            q AS (SELECT * FROM (VALUES (50), (90), (99)) AS qq(q_pct))
+            SELECT c1.event_type,
+                   CAST(q.q_pct AS BIGINT) AS q_pct,
+                   CAST(MIN(c1.bucket) AS BIGINT) AS est_cents,
+                   t.tot AS n_rows
+            FROM q, t, c1
+            WHERE c1.event_type = t.event_type
+              AND 100 * c1.cum >= q.q_pct * t.tot
+            GROUP BY 1, 2, 4
         """,
         "bucketed_join_revenue": """
             SELECT o.o_orderpriority,

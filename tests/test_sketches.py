@@ -147,3 +147,27 @@ def test_hdr_quantiles_batch_invariant_and_planted():
     for q in (50, 90, 99):
         true = q * 100  # exact quantile of 1..10000
         assert got[q] <= true and (true - got[q]) * 16 < max(got[q], 1)
+
+
+def test_hdr_grouped_matches_exact_per_group(tmp_path):
+    # exact values < 32 buckets: the grouped sketch must equal true
+    # per-group percentiles computed by hand (rank rule 100·cum >= q·n).
+    import pyarrow.parquet as pq
+
+    from ner_extractor_ray.pipelines.queries import q_hdr_quantiles_by_type
+
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a"] * 10 + ["b"] * 4),
+        "value": pa.array([0.01 * v for v in range(1, 11)]
+                          + [0.05, 0.10, 0.15, 0.20]),
+    }), tmp_path / "events.parquet")
+    out = (q_hdr_quantiles_by_type(str(tmp_path)).to_pandas()
+           .set_index(["event_type", "q_pct"]))
+    # group a: cents 1..10 exact → p50=5, p90=9, p99=10
+    assert out.loc[("a", 50), "est_cents"] == 5
+    assert out.loc[("a", 90), "est_cents"] == 9
+    assert out.loc[("a", 99), "est_cents"] == 10
+    assert out.loc[("a", 50), "n_rows"] == 10
+    # group b: cents 5,10,15,20 → p50=10 (cum 2/4), p90=20, p99=20
+    assert out.loc[("b", 50), "est_cents"] == 10
+    assert out.loc[("b", 90), "est_cents"] == 20
