@@ -843,6 +843,30 @@ def q_customer_order_counts(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape: distribution of customers by order count, zero-order
+    customers KEPT — the aggregate-of-an-aggregate. Level 1 reuses the
+    customer_order_counts plan (fact table folds to per-batch partial counts
+    → ONE bucketed Sum at customer cardinality → LEFT hash join for the
+    zero-fill); level 2 re-aggregates that customer-sized table down to the
+    order-count histogram with the same partial-then-Sum shape, so the second
+    exchange carries at most (distinct n_orders × blocks) rows and nothing
+    customer-sized ever reaches the driver. Reference analog: the fold-metric
+    histogram (scripts/summarize_kfold.py:54-74) lifted to two aggregation
+    levels over a join."""
+    counts = q_customer_order_counts(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_orders", as_index=False).size().rename(
+            columns={"size": "n_customers"})
+        return g[["n_orders", "n_customers"]]
+
+    return _gagg(
+        counts.map_batches(partial, batch_format="pandas"),
+        "n_orders", Sum("n_customers", alias_name="n_customers"),
+    )
+
+
 def q_customers_with_orders(sf_dir: str, *, broadcast_limit: int = 2_000_000):
     """J-family semi join: customers having ≥1 order. Two physical plans
     gated on the DISTINCT key count of the fact side (the kg.py S7b switch —
@@ -9556,6 +9580,7 @@ def queries() -> dict:
         "graph_ppr": q_graph_ppr,
         "knn_srp": q_knn_srp,
         "hdr_quantiles_by_type": q_hdr_quantiles_by_type,
+        "order_count_distribution": q_order_count_distribution,
     }
 
 
@@ -12511,6 +12536,16 @@ def oracle_sql() -> dict:
             WHERE c1.event_type = t.event_type
               AND 100 * c1.cum >= q.q_pct * t.tot
             GROUP BY 1, 2, 4
+        """,
+        "order_count_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey,
+                       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey)
+            SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM per_cust GROUP BY 1
         """,
         "bucketed_join_revenue": """
             SELECT o.o_orderpriority,
