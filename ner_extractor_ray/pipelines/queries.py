@@ -9319,6 +9319,153 @@ def q_knn_srp(sf_dir: str):
         batch_format="pyarrow")
 
 
+_DSIR_BUCKETS = 4096
+
+
+def q_dsir_importance(sf_dir: str):
+    """DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every document by how much its hashed-unigram profile resembles the
+    TARGET slice (here lang='en') relative to the RAW corpus — the
+    data-selection scorer that needs no trained classifier, only two
+    counting passes. DSIR proper uses log(p_t/p_r); log is not
+    bit-reproducible across engines, so the weight is the same smoothed
+    frequency ratio in integer ppm: w(h) = 10⁶·(n_tgt(h)+1) //
+    (n_raw(h)+1) — per-bucket monotone in the classic weight.
+
+    Plan: ONE corpus pass builds BOTH tallies (per-batch partial
+    (h, n_raw, n_tgt) dicts → a ≤ 4096-row Sum aggregate — bounded
+    sketch-sized state at any corpus size, the HLL discipline), the weight
+    table broadcasts once via ``ray.put`` (16 KB — never a shuffle side),
+    and scoring is a second row-local pass; text never enters an exchange.
+    Zero-token docs drop (no tokens → no score), matching the SQL GROUP BY.
+    Output: (doc_id, n_tokens, importance_sum). Reference analog: the
+    aggregate-then-broadcast entity-pool pattern (src/augmentation.py:59-69)
+    with the pool shrunk to a fixed-width hash table."""
+    from ..functions.textfns import md5_hash64
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _hash_tokens(s: str, cache: dict) -> list:
+        out = []
+        for w in _ALNUM.findall((s or "").lower()):
+            h = cache.get(w)
+            if h is None:
+                h = int(md5_hash64(w) % _DSIR_BUCKETS)
+                cache[w] = h
+            out.append(h)
+        return out
+
+    def tally(t: pa.Table) -> pa.Table:
+        cache: dict[str, int] = {}
+        raw = np.zeros(_DSIR_BUCKETS, np.int64)
+        tgt = np.zeros(_DSIR_BUCKETS, np.int64)
+        for s, lang in zip(t.column("text").to_pylist(),
+                           t.column("lang").to_pylist()):
+            hs = _hash_tokens(s, cache)
+            is_tgt = lang == "en"
+            for h in hs:
+                raw[h] += 1
+                if is_tgt:
+                    tgt[h] += 1
+        nz = np.nonzero(raw)[0]
+        return pa.table({"h": pa.array(nz, pa.int64()),
+                         "n_raw": pa.array(raw[nz], pa.int64()),
+                         "n_tgt": pa.array(tgt[nz], pa.int64())})
+
+    counts = grouped_aggregate(
+        ds.map_batches(tally, batch_format="pyarrow"), ["h"],
+        Sum("n_raw", alias_name="n_raw"), Sum("n_tgt", alias_name="n_tgt"),
+    )
+    w = np.full(_DSIR_BUCKETS, 1_000_000, np.int64)  # unseen: (0+1)//(0+1)
+    for b in counts.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        hs = pc.cast(b.column("h"), pa.int64()).to_numpy()
+        nr = pc.cast(b.column("n_raw"), pa.int64()).to_numpy()
+        nt = pc.cast(b.column("n_tgt"), pa.int64()).to_numpy()
+        w[hs] = (nt + 1) * 1_000_000 // (nr + 1)
+    wref = ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        wt = ray.get(wref)
+        cache: dict[str, int] = {}
+        o_id, o_n, o_s = [], [], []
+        for did, s in zip(pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
+                          t.column("text").to_pylist()):
+            hs = _hash_tokens(s, cache)
+            if not hs:
+                continue
+            o_id.append(did)
+            o_n.append(len(hs))
+            o_s.append(int(wt[hs].sum()))
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "n_tokens": pa.array(o_n, pa.int64()),
+                         "importance_sum": pa.array(o_s, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_graph_neighbor_degree(sf_dir: str):
+    """Mean NEIGHBOR degree per node in exact ppm — the friendship-paradox
+    statistic and the simplest 1-hop GNN message-passing round (aggregate a
+    neighbor attribute along edges). Plan: node-sized degree table (per-batch
+    partials → one Sum), degrees attached to the directed edge list by ONE
+    partitioned hash join on the neighbor endpoint (never a broadcast — the
+    degree table is node-vocabulary-sized, the triangle_count lesson), then
+    a per-source Sum fold back to node cardinality; mean = 10⁶·Σdeg(nbr) //
+    deg(node) by truncated integer division. Exchange is O(edges) narrow
+    rows + two node-sized aggregates; nothing node-sized on the driver.
+    Output: (node, degree, nbr_degree_sum, mean_nbr_deg_ppm)."""
+    from ..functions.graph import degree_table
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    edges = _graph_edges(sf_dir).materialize()
+    deg = degree_table(edges).materialize()
+
+    def directed(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("u"), pa.int64()).to_numpy()
+        v = pc.cast(t.column("v"), pa.int64()).to_numpy()
+        return pa.table({"node": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "nbr": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    adj = edges.map_batches(directed, batch_format="pyarrow")
+    nbr_deg = hash_join(
+        adj,
+        deg.map_batches(
+            lambda t: pa.table({"nbr": t.column("node"),
+                                "nbr_degree": t.column("degree")}),
+            batch_format="pyarrow"),
+        on=("nbr",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "node": pc.cast(t.column("node"), pa.int64()).to_numpy(),
+            "nbr_degree_sum": pc.cast(t.column("nbr_degree"), pa.int64()).to_numpy(),
+        })
+        g = df.groupby("node", as_index=False).agg(
+            nbr_degree_sum=("nbr_degree_sum", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = grouped_aggregate(
+        nbr_deg.map_batches(partial, batch_format="pyarrow"), ["node"],
+        Sum("nbr_degree_sum", alias_name="nbr_degree_sum"),
+    )
+    out = hash_join(sums, deg, on=("node",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("degree"), pa.int64()).to_numpy()
+        s = pc.cast(t.column("nbr_degree_sum"), pa.int64()).to_numpy()
+        return pa.table({
+            "node": pc.cast(t.column("node"), pa.int64()),
+            "degree": pa.array(d, pa.int64()),
+            "nbr_degree_sum": pa.array(s, pa.int64()),
+            "mean_nbr_deg_ppm": pa.array(s * 1_000_000 // d, pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -9581,6 +9728,8 @@ def queries() -> dict:
         "knn_srp": q_knn_srp,
         "hdr_quantiles_by_type": q_hdr_quantiles_by_type,
         "order_count_distribution": q_order_count_distribution,
+        "dsir_importance": q_dsir_importance,
+        "graph_neighbor_degree": q_graph_neighbor_degree,
     }
 
 
@@ -12546,6 +12695,45 @@ def oracle_sql() -> dict:
                 GROUP BY c.c_custkey)
             SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
             FROM per_cust GROUP BY 1
+        """,
+        "dsir_importance": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS w
+              FROM documents),
+            hs AS (SELECT doc_id, lang,
+                          CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT
+                               % {_DSIR_BUCKETS} AS BIGINT) AS h
+                   FROM tok),
+            cnt AS (SELECT h,
+                           CAST(COUNT(*) AS BIGINT) AS n_raw,
+                           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_tgt
+                    FROM hs GROUP BY 1),
+            wt AS (SELECT h,
+                          CAST((n_tgt + 1) * 1000000 // (n_raw + 1)
+                               AS BIGINT) AS w_ppm
+                   FROM cnt)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(w_ppm) AS BIGINT) AS importance_sum
+            FROM hs JOIN wt USING (h) GROUP BY 1
+        """,
+        "graph_neighbor_degree": f"""
+            WITH e AS ({_co_edges_sql(1)}),
+            s AS (SELECT u AS node, v AS nbr FROM e
+                  UNION ALL SELECT v AS node, u AS nbr FROM e),
+            d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+                  FROM s GROUP BY node)
+            SELECT s.node, d2.degree,
+                   CAST(SUM(dn.degree) AS BIGINT) AS nbr_degree_sum,
+                   CAST(SUM(dn.degree) * 1000000 // d2.degree AS BIGINT)
+                       AS mean_nbr_deg_ppm
+            FROM s
+            JOIN d dn ON dn.node = s.nbr
+            JOIN d d2 ON d2.node = s.node
+            GROUP BY s.node, d2.degree
         """,
         "bucketed_join_revenue": """
             SELECT o.o_orderpriority,
