@@ -9466,6 +9466,65 @@ def q_graph_neighbor_degree(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_coverage_select(sf_dir: str, *, k: int = 3):
+    """Greedy MAX-COVERAGE document selection (the facility-location /
+    submodular data-selection step: pick k documents that together cover the
+    most distinct vocabulary — the classic 1−1/e greedy). Each of the k
+    rounds is ONE row-local corpus pass: every doc counts its tokens not yet
+    in the covered set (broadcast via ``ray.put`` — bounded by k × tokens
+    per doc, never corpus-sized), a per-batch lossless argmax combiner packs
+    (count ≪ 33) ∣ (2³³−1−doc_id) so ties break to the SMALLEST id, and the
+    global winner is a one-row Max fold; only the winner's own token set is
+    fetched back (one filtered take, doc-sized). Docs contributing zero new
+    tokens drop from the argmax (mirrors the SQL GROUP BY over the filtered
+    token table); selection stops early when nothing new remains.
+    Output: (round, doc_id, new_tokens). Reference analog: the grid-search
+    argmax loop (BiLSTM notebook cell 7) turned into a distributed
+    coverage-gain argmax per round."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    _TIE = (1 << 33) - 1
+
+    covered: frozenset = frozenset()
+    selected: list[tuple[int, int, int]] = []
+    chosen: set[int] = set()
+    for rnd in range(1, k + 1):
+        cref = ray.put(covered)
+        sel = frozenset(chosen)
+
+        def gain(t: pa.Table, _c=cref, _s=sel) -> pa.Table:
+            cov = ray.get(_c)
+            best = -1
+            for did, s in zip(
+                    pc.cast(t.column("doc_id"), pa.int64()).to_pylist(),
+                    t.column("text").to_pylist()):
+                if did in _s:
+                    continue
+                new = len(frozenset(_ALNUM.findall((s or "").lower())) - cov)
+                if new > 0:
+                    packed = (new << 33) | (_TIE - did)
+                    if packed > best:
+                        best = packed
+            if best < 0:
+                return pa.table({"packed": pa.array([], pa.int64())})
+            return pa.table({"packed": pa.array([best], pa.int64())})
+
+        top = ds.map_batches(gain, batch_format="pyarrow").max("packed")
+        if top is None:
+            break
+        new_cnt, win_id = int(top) >> 33, _TIE - (int(top) & _TIE)
+        wtext = ds.filter(
+            lambda r, _w=win_id: int(r["doc_id"]) == _w).take(1)[0]["text"]
+        covered = covered | frozenset(_ALNUM.findall((wtext or "").lower()))
+        chosen.add(win_id)
+        selected.append((rnd, win_id, new_cnt))
+
+    return pa.table({
+        "round": pa.array([r for r, _, _ in selected], pa.int64()),
+        "doc_id": pa.array([d for _, d, _ in selected], pa.int64()),
+        "new_tokens": pa.array([n for _, _, n in selected], pa.int64()),
+    })
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -9730,6 +9789,7 @@ def queries() -> dict:
         "order_count_distribution": q_order_count_distribution,
         "dsir_importance": q_dsir_importance,
         "graph_neighbor_degree": q_graph_neighbor_degree,
+        "coverage_select": q_coverage_select,
     }
 
 
@@ -12734,6 +12794,36 @@ def oracle_sql() -> dict:
             JOIN d dn ON dn.node = s.nbr
             JOIN d d2 ON d2.node = s.node
             GROUP BY s.node, d2.degree
+        """,
+        "coverage_select": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS w
+              FROM documents),
+            d AS (SELECT DISTINCT doc_id, w FROM tok),
+            c1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM d GROUP BY 1),
+            w1 AS (SELECT doc_id, n FROM c1 ORDER BY n DESC, doc_id LIMIT 1),
+            cov1 AS (SELECT DISTINCT w FROM d
+                     WHERE doc_id IN (SELECT doc_id FROM w1)),
+            c2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM d
+                   WHERE w NOT IN (SELECT w FROM cov1)
+                     AND doc_id NOT IN (SELECT doc_id FROM w1)
+                   GROUP BY 1),
+            w2 AS (SELECT doc_id, n FROM c2 ORDER BY n DESC, doc_id LIMIT 1),
+            cov2 AS (SELECT w FROM cov1
+                     UNION SELECT w FROM d
+                     WHERE doc_id IN (SELECT doc_id FROM w2)),
+            c3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM d
+                   WHERE w NOT IN (SELECT w FROM cov2)
+                     AND doc_id NOT IN (SELECT doc_id FROM w1
+                                        UNION ALL SELECT doc_id FROM w2)
+                   GROUP BY 1),
+            w3 AS (SELECT doc_id, n FROM c3 ORDER BY n DESC, doc_id LIMIT 1)
+            SELECT CAST(1 AS BIGINT) AS round, doc_id, n AS new_tokens FROM w1
+            UNION ALL SELECT CAST(2 AS BIGINT), doc_id, n FROM w2
+            UNION ALL SELECT CAST(3 AS BIGINT), doc_id, n FROM w3
         """,
         "bucketed_join_revenue": """
             SELECT o.o_orderpriority,

@@ -795,3 +795,32 @@ def test_knn_srp_sf_data_deterministic():
     b = q_knn_srp(sf).to_pandas().sort_values("rank")
     assert a["vec_id"].tolist() == b["vec_id"].tolist()
     assert a["rank"].tolist() == list(range(1, len(a) + 1))
+
+
+def test_coverage_select_greedy_not_topk(tmp_path):
+    # GREEDY coverage ≠ top-k by size: doc 2 has 5 distinct tokens but only
+    # 1 new after doc 1 wins round 1 (tie 5 vs 5 → min id), so rounds 2 and
+    # 3 go to the smaller-but-disjoint docs 3 (3 new) and 4 (2 new).
+    from ner_extractor_ray.pipelines.queries import q_coverage_select
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c d e", "a b c d x", "p q r", "x y"]),
+    }), tmp_path / "documents.parquet")
+    out = q_coverage_select(str(tmp_path)).to_pandas()
+    assert list(zip(out["round"], out["doc_id"], out["new_tokens"])) == [
+        (1, 1, 5), (2, 3, 3), (3, 4, 2)]
+
+
+def test_coverage_select_early_stop(tmp_path):
+    # identical docs: after round 1 nothing is new — selection stops at 1
+    # row instead of emitting zero-gain winners.
+    from ner_extractor_ray.pipelines.queries import q_coverage_select
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([7, 8, 9], pa.int64()),
+        "text": pa.array(["same words here"] * 3),
+    }), tmp_path / "documents.parquet")
+    out = q_coverage_select(str(tmp_path)).to_pandas()
+    assert list(zip(out["round"], out["doc_id"], out["new_tokens"])) == [
+        (1, 7, 3)]
