@@ -9525,6 +9525,73 @@ def q_coverage_select(sf_dir: str, *, k: int = 3):
     })
 
 
+def q_peak_concurrency(sf_dir: str):
+    """PEAK CONCURRENCY — the classic sweep-line: maximum number of user
+    sessions active at any instant (capacity planning / load-test sizing).
+    Sessions are the 1h-gap intervals of ``user_sessions`` (exact per-user
+    inside coarse hash buckets); each interval becomes (+1 at start, −1 at
+    end+1µs — half-open, so µs-adjacent sessions never overlap), deltas
+    PRE-AGGREGATE per distinct timestamp (making the scan key unique — and
+    evaluating concurrency only at timestamps, where it is well-defined),
+    then ONE range-partitioned ``keyed_prefix_sum`` turns the timeline into
+    running concurrency with no global sort; the finish is a two-scalar
+    fold over the (≤ 2·sessions)-row timeline. Output: one row
+    (n_sessions, peak_concurrency)."""
+    from ..functions.rank import keyed_prefix_sum
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(uid % P, pa.int64()))
+
+    def part_intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        gap = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds() > 3600
+        sid = gap.groupby(g["user_id"], sort=False).cumsum()
+        us = g["ts"].astype("int64")
+        iv = (
+            pd.DataFrame({"user_id": g["user_id"], "sid": sid, "us": us})
+            .groupby(["user_id", "sid"], as_index=False, sort=False)
+            .agg(s=("us", "min"), e=("us", "max"))
+        )
+        t = np.concatenate([iv["s"].to_numpy(), iv["e"].to_numpy() + 1])
+        delta = np.concatenate([np.ones(len(iv), np.int64),
+                                np.full(len(iv), -1, np.int64)])
+        out = pd.DataFrame({"t": t, "delta": delta,
+                            "n_start": (delta > 0).astype("int64")})
+        return out.groupby("t", as_index=False).agg(
+            delta=("delta", "sum"), n_start=("n_start", "sum"))
+
+    deltas = grouped_aggregate(
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_intervals, batch_format="pandas"),
+        ["t"],
+        Sum("delta", alias_name="delta"),
+        Sum("n_start", alias_name="n_start"),
+    ).materialize()  # timeline-sized (≤ 2·sessions rows); the prefix-sum
+    # primitive consumes it three times (edge sample, histogram, shuffle)
+    run = keyed_prefix_sum(deltas, "t", "delta", out="prefix")
+
+    def conc(t: pa.Table) -> pa.Table:
+        p = pc.cast(t.column("prefix"), pa.int64()).to_numpy()
+        d = pc.cast(t.column("delta"), pa.int64()).to_numpy()
+        return pa.table({
+            "conc": pa.array(p + d, pa.int64()),
+            "n_start": pc.cast(t.column("n_start"), pa.int64()),
+        })
+
+    res = run.map_batches(conc, batch_format="pyarrow").aggregate(
+        Max("conc"), Sum("n_start"))
+    return pa.table({
+        "n_sessions": pa.array([int(res["sum(n_start)"])], pa.int64()),
+        "peak_concurrency": pa.array([int(res["max(conc)"])], pa.int64()),
+    })
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -9790,6 +9857,7 @@ def queries() -> dict:
         "dsir_importance": q_dsir_importance,
         "graph_neighbor_degree": q_graph_neighbor_degree,
         "coverage_select": q_coverage_select,
+        "peak_concurrency": q_peak_concurrency,
     }
 
 
@@ -12824,6 +12892,31 @@ def oracle_sql() -> dict:
             SELECT CAST(1 AS BIGINT) AS round, doc_id, n AS new_tokens FROM w1
             UNION ALL SELECT CAST(2 AS BIGINT), doc_id, n FROM w2
             UNION ALL SELECT CAST(3 AS BIGINT), doc_id, n FROM w3
+        """,
+        "peak_concurrency": """
+            WITH mk AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                              PARTITION BY user_id ORDER BY ts)
+                            > 3600000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events),
+            sess AS (SELECT user_id, ts,
+                            SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM mk),
+            iv AS (SELECT user_id, sid,
+                          MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+                   FROM sess GROUP BY 1, 2),
+            d AS (SELECT s AS t, 1 AS delta FROM iv
+                  UNION ALL SELECT e + 1, -1 FROM iv),
+            agg AS (SELECT t, SUM(delta) AS delta FROM d GROUP BY t),
+            run AS (SELECT SUM(delta) OVER (ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS conc
+                    FROM agg)
+            SELECT CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_sessions,
+                   CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+            FROM run
         """,
         "bucketed_join_revenue": """
             SELECT o.o_orderpriority,

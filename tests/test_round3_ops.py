@@ -824,3 +824,21 @@ def test_coverage_select_early_stop(tmp_path):
     out = q_coverage_select(str(tmp_path)).to_pandas()
     assert list(zip(out["round"], out["doc_id"], out["new_tokens"])) == [
         (1, 7, 3)]
+
+
+def test_peak_concurrency_hand_computed(tmp_path):
+    # u1 [0s,10s]; u2 and u3 instant sessions at 5s; u4 starts at 10s+1µs
+    # (the half-open end: NOT concurrent with u1); u5 events 0s and 3600s
+    # exactly — gap is NOT > 1h, so ONE session [0s,3600s]. At t=5s users
+    # 1,2,3,5 are active → peak 4; 5 sessions total (a split u5 would read 6).
+    us = 1_000_000
+    rows = [(1, 0), (1, 10 * us), (2, 5 * us), (3, 5 * us),
+            (4, 10 * us + 1), (5, 0), (5, 3600 * us)]
+    pq.write_table(pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+    from ner_extractor_ray.pipelines.queries import q_peak_concurrency
+
+    out = q_peak_concurrency(str(tmp_path)).to_pandas()
+    assert (out.iloc[0]["n_sessions"], out.iloc[0]["peak_concurrency"]) == (5, 4)
