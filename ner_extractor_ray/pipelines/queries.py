@@ -9592,6 +9592,69 @@ def q_peak_concurrency(sf_dir: str):
     })
 
 
+def q_daily_ohlc(sf_dir: str):
+    """Daily OHLC bars per event type — the canonical time-series
+    downsample (open = value at the earliest (ts, event_id), close = at the
+    latest, high/low = extremes, all in exact cents). The per-batch combiner
+    is LOSSLESS: each batch reduces a (type, day) group to ONE candidate row
+    carrying (open_ts, open_id, open_cents, close_ts, close_id, close_cents,
+    hi, lo, n), so the exchange is O(groups × blocks) narrow rows and the
+    per-group finish folds ≤ blocks candidates inside a coarse-bucketed
+    map_groups — the value stream never shuffles. Ties at equal ts break by
+    event_id on both ends, so the bars are deterministic at any parallelism.
+    Output: (event_type, day, open_cents, high_cents, low_cents,
+    close_cents, n_events)."""
+    from ..stages.canonicalize import _compact_blocks
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+    P = _compact_blocks()
+    _DAY_US = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "day": us // _DAY_US,
+            "ts": us,
+            "event_id": pc.cast(t.column("event_id"), pa.int64()).to_numpy(),
+            "cents": np.floor(
+                pc.cast(t.column("value"), pa.float64()).to_numpy() * 100 + 0.5
+            ).astype(np.int64),
+        })
+        df = df.sort_values(["event_type", "day", "ts", "event_id"],
+                            kind="mergesort")
+        g = df.groupby(["event_type", "day"], as_index=False, sort=False).agg(
+            open_ts=("ts", "first"), open_id=("event_id", "first"),
+            open_cents=("cents", "first"),
+            close_ts=("ts", "last"), close_id=("event_id", "last"),
+            close_cents=("cents", "last"),
+            hi=("cents", "max"), lo=("cents", "min"), n=("cents", "size"),
+        )
+        g["__part"] = pd.util.hash_pandas_object(
+            g["event_type"].astype(str) + ":" + g["day"].astype(str),
+            index=False).to_numpy().astype(np.int64) % P
+        return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "day"], kind="mergesort")
+        out = []
+        for (et, day), grp in g.groupby(["event_type", "day"], sort=False):
+            o = grp.sort_values(["open_ts", "open_id"], kind="mergesort").iloc[0]
+            c = grp.sort_values(["close_ts", "close_id"], kind="mergesort").iloc[-1]
+            out.append((et, int(day), int(o["open_cents"]),
+                        int(grp["hi"].max()), int(grp["lo"].min()),
+                        int(c["close_cents"]), int(grp["n"].sum())))
+        return pd.DataFrame(out, columns=[
+            "event_type", "day", "open_cents", "high_cents", "low_cents",
+            "close_cents", "n_events"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -9858,6 +9921,7 @@ def queries() -> dict:
         "graph_neighbor_degree": q_graph_neighbor_degree,
         "coverage_select": q_coverage_select,
         "peak_concurrency": q_peak_concurrency,
+        "daily_ohlc": q_daily_ohlc,
     }
 
 
@@ -12917,6 +12981,28 @@ def oracle_sql() -> dict:
             SELECT CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_sessions,
                    CAST(MAX(conc) AS BIGINT) AS peak_concurrency
             FROM run
+        """,
+        "daily_ohlc": """
+            WITH base AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     epoch_us(ts) AS us, event_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            r AS (SELECT *,
+                    ROW_NUMBER() OVER (PARTITION BY event_type, day
+                        ORDER BY us, event_id) AS rno,
+                    ROW_NUMBER() OVER (PARTITION BY event_type, day
+                        ORDER BY us DESC, event_id DESC) AS rnc
+                  FROM base)
+            SELECT event_type, day,
+                   CAST(MAX(CASE WHEN rno = 1 THEN cents END) AS BIGINT)
+                       AS open_cents,
+                   CAST(MAX(cents) AS BIGINT) AS high_cents,
+                   CAST(MIN(cents) AS BIGINT) AS low_cents,
+                   CAST(MAX(CASE WHEN rnc = 1 THEN cents END) AS BIGINT)
+                       AS close_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM r GROUP BY 1, 2
         """,
         "bucketed_join_revenue": """
             SELECT o.o_orderpriority,

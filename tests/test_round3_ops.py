@@ -842,3 +842,20 @@ def test_peak_concurrency_hand_computed(tmp_path):
 
     out = q_peak_concurrency(str(tmp_path)).to_pandas()
     assert (out.iloc[0]["n_sessions"], out.iloc[0]["peak_concurrency"]) == (5, 4)
+
+
+def test_daily_ohlc_tiebreak(tmp_path):
+    # two events at the SAME ts: open takes the min event_id (cents 100),
+    # close the max (cents 300); a later event closes at 50, hi/lo span all.
+    us = 1_000_000
+    pq.write_table(pa.table({
+        "event_type": pa.array(["view"] * 3),
+        "ts": pa.array([10 * us, 10 * us, 20 * us], pa.timestamp("us")),
+        "event_id": pa.array([2, 1, 3], pa.int64()),
+        "value": pa.array([3.0, 1.0, 0.5]),
+    }), tmp_path / "events.parquet")
+    from ner_extractor_ray.pipelines.queries import q_daily_ohlc
+
+    out = q_daily_ohlc(str(tmp_path)).to_pandas().iloc[0]
+    assert (out["open_cents"], out["high_cents"], out["low_cents"],
+            out["close_cents"], out["n_events"]) == (100, 300, 50, 50, 3)
