@@ -9655,6 +9655,52 @@ def q_daily_ohlc(sf_dir: str):
     )
 
 
+def q_late_events(sf_dir: str):
+    """WATERMARK late-data accounting — the streaming-ingestion health
+    metric: an event is LATE when its event time sits more than 1h behind
+    the watermark, i.e. the maximum event time among all rows that ARRIVED
+    before it (arrival order = event_id, the ingestion sequence). The
+    watermark is a true streaming scan (each row depends on the unbounded
+    arrival prefix) and runs on ``keyed_prefix_max`` — sampled bucket edges,
+    one tree-reduced per-bucket max, one bucket shuffle with a local sorted
+    cummax; no global sort. Lateness is then a row-local flag folded into a
+    type-sized count aggregate. Output: (event_type, n_events, n_late)."""
+    from ..functions.rank import keyed_prefix_max
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "event_type"])
+    _LATE_US = 3_600_000_000
+    _I64_MIN = np.iinfo(np.int64).min
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "us": pc.cast(t.column("ts"), pa.int64()),
+            "event_type": t.column("event_type"),
+        })
+
+    wm = keyed_prefix_max(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        "event_id", "us", "us", out="wm")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["wm"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        late = (w != _I64_MIN) & (us < w - _LATE_US)
+        g = pd.DataFrame({"event_type": df["event_type"],
+                          "n_events": 1,
+                          "n_late": late.astype(np.int64)})
+        return g.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), n_late=("n_late", "sum"))
+
+    return grouped_aggregate(
+        wm.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_late", alias_name="n_late"),
+    )
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -9922,6 +9968,7 @@ def queries() -> dict:
         "coverage_select": q_coverage_select,
         "peak_concurrency": q_peak_concurrency,
         "daily_ohlc": q_daily_ohlc,
+        "late_events": q_late_events,
     }
 
 
@@ -13003,6 +13050,19 @@ def oracle_sql() -> dict:
                        AS close_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM r GROUP BY 1, 2
+        """,
+        "late_events": """
+            WITH o AS (
+              SELECT event_type, epoch_us(ts) AS us,
+                     MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS wm
+              FROM events)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN wm IS NOT NULL
+                                  AND us < wm - 3600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM o GROUP BY 1
         """,
         "bucketed_join_revenue": """
             SELECT o.o_orderpriority,

@@ -859,3 +859,21 @@ def test_daily_ohlc_tiebreak(tmp_path):
     out = q_daily_ohlc(str(tmp_path)).to_pandas().iloc[0]
     assert (out["open_cents"], out["high_cents"], out["low_cents"],
             out["close_cents"], out["n_events"]) == (100, 300, 50, 50, 3)
+
+
+def test_late_events_planted(tmp_path):
+    # arrival order (event_id) 1..4: watermark after id2 (ts 43200 s) is
+    # 43200−3600 = 39600 s. id3 at 37800 s < 39600 → LATE; id4 at exactly
+    # 39600 s is NOT late (strict <). The sf tables have zero late rows, so
+    # this pins the branch.
+    us = 1_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([36000 * us, 43200 * us, 37800 * us, 39600 * us],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["view"] * 4),
+    }), tmp_path / "events.parquet")
+    from ner_extractor_ray.pipelines.queries import q_late_events
+
+    out = q_late_events(str(tmp_path)).to_pandas().iloc[0]
+    assert (out["n_events"], out["n_late"]) == (4, 1)
