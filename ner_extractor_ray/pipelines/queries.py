@@ -9701,6 +9701,73 @@ def q_late_events(sf_dir: str):
     )
 
 
+def q_daily_locf(sf_dir: str):
+    """Daily LOCF gap-fill (last observation carried forward) — the
+    time-series resample that turns sparse per-day closes into a DENSE
+    calendar grid per type, missing days inheriting the previous day's
+    value (sensor/price panels, feature-store snapshots). Per-batch
+    combiner reduces each (type, day) to one close candidate (argmax by
+    (ts, event_id), the daily_ohlc close rule); candidates coarse-bucket by
+    TYPE so each type's whole timeline lands in one group (timeline-sized,
+    the value_median driver contract), where the dense ``arange(min_day,
+    max_day)`` grid + vectorized searchsorted fill happen row-locally —
+    the event stream itself never reshuffles. Output: (event_type, day,
+    value_cents, filled). The sf tables have no empty days, so the fill
+    path is pinned by a gap fixture."""
+    from ..stages.canonicalize import _compact_blocks
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+    P = _compact_blocks()
+    _DAY_US = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "day": us // _DAY_US,
+            "ts": us,
+            "event_id": pc.cast(t.column("event_id"), pa.int64()).to_numpy(),
+            "cents": np.floor(
+                pc.cast(t.column("value"), pa.float64()).to_numpy() * 100 + 0.5
+            ).astype(np.int64),
+        }).sort_values(["event_type", "day", "ts", "event_id"],
+                       kind="mergesort")
+        g = df.groupby(["event_type", "day"], as_index=False, sort=False).agg(
+            ts=("ts", "last"), event_id=("event_id", "last"),
+            cents=("cents", "last"))
+        g["__part"] = pd.util.hash_pandas_object(
+            g["event_type"].astype(str), index=False
+        ).to_numpy().astype(np.int64) % P
+        return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            daily = (grp.sort_values(["day", "ts", "event_id"],
+                                     kind="mergesort")
+                     .groupby("day", as_index=False, sort=True)
+                     .agg(cents=("cents", "last")))
+            days = daily["day"].to_numpy(np.int64)
+            cents = daily["cents"].to_numpy(np.int64)
+            full = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+            idx = np.searchsorted(days, full, side="right") - 1
+            have = np.isin(full, days)
+            out.append(pd.DataFrame({
+                "event_type": et, "day": full, "value_cents": cents[idx],
+                "filled": (~have).astype(np.int64)}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "day": pd.Series([], dtype="int64"),
+            "value_cents": pd.Series([], dtype="int64"),
+            "filled": pd.Series([], dtype="int64")})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -9969,6 +10036,7 @@ def queries() -> dict:
         "peak_concurrency": q_peak_concurrency,
         "daily_ohlc": q_daily_ohlc,
         "late_events": q_late_events,
+        "daily_locf": q_daily_locf,
     }
 
 
@@ -13063,6 +13131,32 @@ def oracle_sql() -> dict:
                                   AND us < wm - 3600000000
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_late
             FROM o GROUP BY 1
+        """,
+        "daily_locf": """
+            WITH base AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     epoch_us(ts) AS us, event_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day
+                      ORDER BY us DESC, event_id DESC) AS rn
+                  FROM base),
+            daily AS (SELECT event_type, day, cents FROM r WHERE rn = 1),
+            span AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1),
+            grid AS (SELECT event_type,
+                            unnest(generate_series(d0, d1)) AS day
+                     FROM span),
+            j AS (SELECT g.event_type, g.day, d.cents
+                  FROM grid g LEFT JOIN daily d
+                    ON d.event_type = g.event_type AND d.day = g.day)
+            SELECT event_type, day,
+                   CAST(LAST_VALUE(cents IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS value_cents,
+                   CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                       AS filled
+            FROM j
         """,
         "bucketed_join_revenue": """
             SELECT o.o_orderpriority,

@@ -877,3 +877,28 @@ def test_late_events_planted(tmp_path):
 
     out = q_late_events(str(tmp_path)).to_pandas().iloc[0]
     assert (out["n_events"], out["n_late"]) == (4, 1)
+
+
+def test_daily_locf_gap_fill(tmp_path):
+    # view: data on days 0 and 3 → days 1, 2 carry day 0's close (filled=1);
+    # day 0's close takes the later ts (200 cents, not 100). click: single
+    # day — no fill. The sf tables have no empty days, so this pins the path.
+    day = 86_400_000_000
+    pq.write_table(pa.table({
+        "event_type": pa.array(["view", "view", "view", "click"]),
+        "ts": pa.array([10, 20, 3 * day + 5, day + 7], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "value": pa.array([1.0, 2.0, 9.0, 5.0]),
+    }), tmp_path / "events.parquet")
+    from ner_extractor_ray.pipelines.queries import q_daily_locf
+
+    out = (q_daily_locf(str(tmp_path)).to_pandas()
+           .sort_values(["event_type", "day"]).reset_index(drop=True))
+    view = out[out["event_type"] == "view"]
+    assert view["day"].tolist() == [0, 1, 2, 3]
+    assert view["value_cents"].tolist() == [200, 200, 200, 900]
+    assert view["filled"].tolist() == [0, 1, 1, 0]
+    click = out[out["event_type"] == "click"]
+    assert click["day"].tolist() == [1]
+    assert click["value_cents"].tolist() == [500]
+    assert click["filled"].tolist() == [0]
