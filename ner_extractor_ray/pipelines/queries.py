@@ -9768,6 +9768,34 @@ def q_daily_locf(sf_dir: str):
     )
 
 
+def q_price_qty_hist2d(sf_dir: str):
+    """2-D HISTOGRAM heat grid (price × quantity) — the joint-distribution
+    profiler behind heatmap dataviz and independence eyeballing, and the
+    2-D sibling of `key_skew_stats`. Equi-width integer buckets ($10
+    price cells via cents // 1000, quantity is already integral), counted
+    per batch into (bucket, bucket) partials — the exchange is bounded by
+    the grid cardinality × blocks, never the fact table, at any scale.
+    Output: (price_bucket, qty, n)."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            pc.cast(t.column("l_extendedprice"), pa.float64()).to_numpy()
+            * 100 + 0.5).astype(np.int64)
+        qty = pc.cast(t.column("l_quantity"), pa.int64()).to_numpy()
+        df = pd.DataFrame({"price_bucket": cents // 1000, "qty": qty})
+        g = df.groupby(["price_bucket", "qty"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["price_bucket", "qty"], Sum("n", alias_name="n"),
+    )
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -10037,6 +10065,7 @@ def queries() -> dict:
         "daily_ohlc": q_daily_ohlc,
         "late_events": q_late_events,
         "daily_locf": q_daily_locf,
+        "price_qty_hist2d": q_price_qty_hist2d,
     }
 
 
@@ -13157,6 +13186,13 @@ def oracle_sql() -> dict:
                    CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
                        AS filled
             FROM j
+        """,
+        "price_qty_hist2d": """
+            SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) // 1000
+                       AS price_bucket,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1, 2
         """,
         "bucketed_join_revenue": """
             SELECT o.o_orderpriority,
