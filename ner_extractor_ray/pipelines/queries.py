@@ -9796,6 +9796,99 @@ def q_price_qty_hist2d(sf_dir: str):
     )
 
 
+def q_event_type_comovement(sf_dir: str):
+    """Pairwise CO-MOVEMENT of the per-type daily count series — the exact
+    integer covariance numerator n·Σxy − Σx·Σy over the shared day axis
+    (do event types rise and fall together? the cross-series dependence
+    probe behind correlation heatmaps). Key insight: zero days contribute
+    nothing to Σx or Σxy, so the SPARSE (day, type, n) aggregate suffices —
+    no dense pivot; n_days is one scalar. Plan: bounded daily aggregate →
+    per-type sums (type-sized) + per-day pair products pre-aggregated
+    inside day-complete coarse buckets (exchange ≤ pairs × buckets) → a
+    pair-keyed Sum; pairs that never co-occur are zero-filled from the
+    type-sized table so cov_num = −Σx·Σy is still emitted. Output:
+    (type_a, type_b, n_days, cov_num)."""
+    from ..stages.canonicalize import _compact_blocks, grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type"])
+    P = _compact_blocks()
+    _DAY_US = 86_400_000_000
+
+    def day_type(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame({"day": us // _DAY_US,
+                           "event_type": t.column("event_type").to_pylist()})
+        return df.groupby(["day", "event_type"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    daily = grouped_aggregate(
+        ds.map_batches(day_type, batch_format="pyarrow"),
+        ["day", "event_type"], Sum("n", alias_name="n"),
+    ).materialize()  # bounded: days × type vocabulary
+
+    # type-sized Σx and the scalar day count (both driver-safe)
+    sx: dict[str, int] = {}
+    days: set[int] = set()
+    for b in daily.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for d, et, n in zip(b.column("day").to_pylist(),
+                            b.column("event_type").to_pylist(),
+                            b.column("n").to_pylist()):
+            sx[et] = sx.get(et, 0) + int(n)
+            days.add(int(d))
+    n_days = len(days)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("day"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(d % P, pa.int64()))
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        out: dict[tuple, int] = {}
+        for _, grp in g.groupby("day", sort=False):
+            ets = grp["event_type"].to_numpy()
+            ns = grp["n"].to_numpy(np.int64)
+            order = np.argsort(ets, kind="mergesort")
+            ets, ns = ets[order], ns[order]
+            for i in range(len(ets)):
+                for j in range(i + 1, len(ets)):
+                    k = (ets[i], ets[j])
+                    out[k] = out.get(k, 0) + int(ns[i]) * int(ns[j])
+        if not out:
+            return pd.DataFrame({"type_a": pd.Series([], dtype="object"),
+                                 "type_b": pd.Series([], dtype="object"),
+                                 "sxy": pd.Series([], dtype="int64")})
+        ks = list(out)
+        return pd.DataFrame({"type_a": [a for a, _ in ks],
+                             "type_b": [b for _, b in ks],
+                             "sxy": [out[k] for k in ks]})
+
+    sxy_ds = grouped_aggregate(
+        daily.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pair_partials, batch_format="pandas"),
+        ["type_a", "type_b"], Sum("sxy", alias_name="sxy"),
+    )
+    sxy: dict[tuple, int] = {}
+    for b in sxy_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for a, c, s in zip(b.column("type_a").to_pylist(),
+                           b.column("type_b").to_pylist(),
+                           b.column("sxy").to_pylist()):
+            sxy[(a, c)] = int(s)
+
+    types = sorted(sx)
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            a, c = types[i], types[j]
+            s = sxy.get((a, c), 0)
+            rows.append((a, c, n_days, n_days * s - sx[a] * sx[c]))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows]),
+        "type_b": pa.array([r[1] for r in rows]),
+        "n_days": pa.array([r[2] for r in rows], pa.int64()),
+        "cov_num": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -10066,6 +10159,7 @@ def queries() -> dict:
         "late_events": q_late_events,
         "daily_locf": q_daily_locf,
         "price_qty_hist2d": q_price_qty_hist2d,
+        "event_type_comovement": q_event_type_comovement,
     }
 
 
@@ -13193,6 +13287,31 @@ def oracle_sql() -> dict:
                    CAST(l_quantity AS BIGINT) AS qty,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM lineitem GROUP BY 1, 2
+        """,
+        "event_type_comovement": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            nd AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n
+                   FROM daily),
+            sx AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS s
+                   FROM daily GROUP BY 1),
+            pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+                      FROM sx a JOIN sx b ON a.event_type < b.event_type),
+            sxy AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                           CAST(SUM(a.n * b.n) AS BIGINT) AS s
+                    FROM daily a JOIN daily b
+                      ON a.day = b.day AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+            SELECT p.ta AS type_a, p.tb AS type_b,
+                   (SELECT n FROM nd) AS n_days,
+                   CAST((SELECT n FROM nd) * COALESCE(sxy.s, 0) - x.s * y.s
+                        AS BIGINT) AS cov_num
+            FROM pairs p
+            LEFT JOIN sxy ON sxy.ta = p.ta AND sxy.tb = p.tb
+            JOIN sx x ON x.event_type = p.ta
+            JOIN sx y ON y.event_type = p.tb
         """,
         "bucketed_join_revenue": """
             SELECT o.o_orderpriority,

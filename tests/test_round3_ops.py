@@ -902,3 +902,23 @@ def test_daily_locf_gap_fill(tmp_path):
     assert click["day"].tolist() == [1]
     assert click["value_cents"].tolist() == [500]
     assert click["filled"].tolist() == [0]
+
+
+def test_comovement_zero_fill_pair(tmp_path):
+    # A only on day 0 (2 events), B only on day 1 (3): never co-occur, so
+    # the pair must still appear with cov_num = n·0 − ΣxΣy = −6. C has one
+    # event each day → cov_num 0 against both.
+    day = 86_400_000_000
+    ts = [0, 1, day, day + 1, day + 2, 2, day + 3]
+    et = ["A", "A", "B", "B", "B", "C", "C"]
+    pq.write_table(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(et),
+    }), tmp_path / "events.parquet")
+    from ner_extractor_ray.pipelines.queries import q_event_type_comovement
+
+    out = q_event_type_comovement(str(tmp_path)).to_pandas()
+    got = {(r["type_a"], r["type_b"]): (r["n_days"], r["cov_num"])
+           for _, r in out.iterrows()}
+    assert got == {("A", "B"): (2, -6), ("A", "C"): (2, 0),
+                   ("B", "C"): (2, 0)}
