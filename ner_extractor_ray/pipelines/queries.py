@@ -9889,6 +9889,66 @@ def q_event_type_comovement(sf_dir: str):
     })
 
 
+def q_merge_upsert(sf_dir: str):
+    """CDC MERGE INTO / upsert-apply — the lakehouse change-data-capture
+    primitive: a base table + a changelog of keyed UPDATE/DELETE rows →
+    the post-merge table, winner per key = highest version, DELETE
+    tombstones dropped. The changelog is synthesized deterministically from
+    the base (keys ≡ 0 mod 11 → DELETE; else ≡ 0 mod 7 → UPDATE adding
+    100 cents), so both engines derive identical change streams with no
+    external data. Plan: side-tagged union (version travels with the row),
+    per-batch LOSSLESS combiner packs (version ≪ 33 ∣ is_del ≪ 32 ∣ cents)
+    — cents < 2³² at any TPC-H scale — so each key ships ≤ 1 row per batch
+    per side into ONE keyed Max aggregate; decode + tombstone filter are
+    row-local. No join, no sort; the merge is a single bucketed exchange at
+    key cardinality (the snapshot_delta sibling — apply instead of diff).
+    Output: (o_orderkey, cents, version)."""
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def tagged(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy()
+        cents = np.floor(
+            pc.cast(t.column("o_totalprice"), pa.float64()).to_numpy()
+            * 100 + 0.5).astype(np.int64)
+        # base rows: version 0, live
+        packed_base = cents
+        keys, packed = [k], [packed_base]
+        is_del = k % 11 == 0
+        is_upd = ~is_del & (k % 7 == 0)
+        # changelog rows: version 1
+        if is_del.any():
+            keys.append(k[is_del])
+            packed.append(np.full(int(is_del.sum()),
+                                  (1 << 33) | (1 << 32), np.int64))
+        if is_upd.any():
+            keys.append(k[is_upd])
+            packed.append((1 << 33) + cents[is_upd] + 100)
+        df = pd.DataFrame({"o_orderkey": np.concatenate(keys),
+                           "packed": np.concatenate(packed)})
+        g = df.groupby("o_orderkey", as_index=False).agg(packed=("packed", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = grouped_aggregate(
+        ds.map_batches(tagged, batch_format="pyarrow"),
+        ["o_orderkey"], Max("packed", alias_name="packed"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        p = pc.cast(t.column("packed"), pa.int64()).to_numpy()
+        k = pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy()
+        live = (p >> 32) & 1
+        keep = live == 0
+        return pa.table({
+            "o_orderkey": pa.array(k[keep], pa.int64()),
+            "cents": pa.array(p[keep] & ((1 << 32) - 1), pa.int64()),
+            "version": pa.array(p[keep] >> 33, pa.int64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict:
     """One entry per implemented operator (SURVEY.md §2 / §2.11).
 
@@ -10160,6 +10220,7 @@ def queries() -> dict:
         "daily_locf": q_daily_locf,
         "price_qty_hist2d": q_price_qty_hist2d,
         "event_type_comovement": q_event_type_comovement,
+        "merge_upsert": q_merge_upsert,
     }
 
 
@@ -13312,6 +13373,26 @@ def oracle_sql() -> dict:
             LEFT JOIN sxy ON sxy.ta = p.ta AND sxy.tb = p.tb
             JOIN sx x ON x.event_type = p.ta
             JOIN sx y ON y.event_type = p.tb
+        """,
+        "merge_upsert": """
+            WITH base AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders),
+            u AS (
+              SELECT k, cents, 0 AS version, 0 AS is_del FROM base
+              UNION ALL
+              SELECT k,
+                     CASE WHEN k % 11 = 0 THEN 0 ELSE cents + 100 END,
+                     1,
+                     CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END
+              FROM base WHERE k % 11 = 0 OR k % 7 = 0),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                      ORDER BY version DESC) AS rn
+                  FROM u)
+            SELECT k AS o_orderkey, CAST(cents AS BIGINT) AS cents,
+                   CAST(version AS BIGINT) AS version
+            FROM r WHERE rn = 1 AND is_del = 0
         """,
         "bucketed_join_revenue": """
             SELECT o.o_orderpriority,
