@@ -1,0 +1,256 @@
+"""Hyperlink extraction + host-level link-graph construction.
+
+The webtext sibling of the text-extraction front end (functions/textfns.py
+``extract_text``): where that keeps the ``<p>`` prose the NER core consumes,
+this keeps the ``<a href>`` structure a crawl-scale pipeline consumes — the
+host link graph (ranking / crawl prioritization), and anchor-text
+aggregation per target (the classic weak-label source for retrieval).
+The reference repo parses files into records single-process
+(DistilBERT-CRF/src/datasets.py:47-72); here the parse is a per-row pure
+function applied inside ``map_batches`` over zero-copy Arrow page batches.
+
+Determinism: regex-driven, no tag-soup heuristics — the same html bytes
+always produce the same (href, anchor) list, asserted against an independent
+``html.parser.HTMLParser`` reference in tests/test_weblinks.py.
+
+Scale notes (100 TB crawl):
+- link extraction is embarrassingly row-parallel; the emitted link table is
+  (src_host, dst_host, anchor) — NEVER the html payload — so the shuffle
+  that follows ships a few dozen bytes per link, not the page.
+- the host graph is built with per-batch partial counting (value_counts on
+  the pair key) before ONE bucketed ``grouped_aggregate`` exchange, so
+  traffic is ∝ distinct (src_host, dst_host) pairs per batch, not ∝ links.
+- hot targets (nav/hub pages attract most inlinks) only ever appear as
+  pre-aggregated (pair, partial_count) rows, so head-host skew does not
+  concentrate raw link rows on one reducer.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .hashing import stable_hash64
+
+# href first attribute-parsed, then the anchor's inner markup. DOTALL: anchors
+# may wrap elements / newlines. Both quote styles accepted.
+_A_RE = re.compile(
+    r"<a\b[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)')[^>]*>(.*?)</a>",
+    re.DOTALL | re.IGNORECASE,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+_HOST_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)")
+
+
+def host_of(url: str) -> str:
+    """Lowercased authority of an absolute URL ('' when there is none)."""
+    m = _HOST_RE.match(url)
+    return m.group(1).lower() if m else ""
+
+
+def resolve_href(href: str, base_url: str) -> str | None:
+    """Absolutize ``href`` against ``base_url``; None for non-navigational
+    targets (fragments, mailto:/javascript:, empty). Deterministic subset of
+    RFC 3986 resolution sufficient for crawl html: absolute URLs pass
+    through, ``//host/p`` inherits https, ``/p`` is host-rooted, other
+    relative paths resolve against the base URL's directory."""
+    href = href.strip()
+    if not href or href.startswith("#"):
+        return None
+    if _SCHEME_RE.match(href):
+        low = href.lower()
+        if low.startswith(("http://", "https://")):
+            return href
+        return None  # mailto:, javascript:, data:, tel:, ...
+    base_host = host_of(base_url)
+    if not base_host:
+        return None
+    if href.startswith("//"):
+        return "https:" + href
+    if href.startswith("/"):
+        return f"https://{base_host}{href}"
+    return base_url.rsplit("/", 1)[0] + "/" + href
+
+
+def extract_links(html_bytes: bytes | None, base_url: str) -> list[tuple[str, str]]:
+    """html → document-ordered [(absolute_url, anchor_text)].
+
+    Anchor text = the anchor's inner text with nested tags stripped, entities
+    unescaped and whitespace normalized (may be ''). Unresolvable hrefs are
+    dropped. Pure per-row function — safe at any parallelism."""
+    if not html_bytes:
+        return []
+    doc = html_bytes.decode("utf-8", errors="replace")
+    out: list[tuple[str, str]] = []
+    for m in _A_RE.finditer(doc):
+        raw = m.group(1) if m.group(1) is not None else m.group(2)
+        target = resolve_href(_htmllib.unescape(raw), base_url)
+        if target is None:
+            continue
+        anchor = " ".join(_htmllib.unescape(_TAG_RE.sub(" ", m.group(3))).split())
+        out.append((target, anchor))
+    return out
+
+
+def links_table(pages_ds):
+    """pages(url, html, ...) → Dataset(src_url, src_host, dst_url, dst_host,
+    anchor). One row per extracted link; html never leaves the extracting
+    task."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        htmls = t.column("html").to_pylist()
+        su, sh, du, dh, an = [], [], [], [], []
+        for url, hb in zip(urls, htmls):
+            bh = host_of(url)
+            for dst, anchor in extract_links(hb, url):
+                su.append(url)
+                sh.append(bh)
+                du.append(dst)
+                dh.append(host_of(dst))
+                an.append(anchor)
+        return pa.table(
+            {
+                "src_url": pa.array(su, pa.string()),
+                "src_host": pa.array(sh, pa.string()),
+                "dst_url": pa.array(du, pa.string()),
+                "dst_host": pa.array(dh, pa.string()),
+                "anchor": pa.array(an, pa.string()),
+            }
+        )
+
+    return pages_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def host_link_graph(pages_ds, *, include_self: bool = False):
+    """→ Dataset(src_host, dst_host, n_links) — the host-level link graph.
+
+    Per-batch partial counting (pandas value_counts on the host pair), then
+    one bucketed ``grouped_aggregate`` Sum — shuffle rows ∝ distinct pairs
+    per batch. ``include_self=False`` drops intra-host links (nav chrome)
+    before anything is counted."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["src_host", "dst_host"]).to_pandas()
+        if not include_self:
+            df = df[df["src_host"] != df["dst_host"]]
+        out = (
+            df.groupby(["src_host", "dst_host"], sort=False)
+            .size()
+            .reset_index(name="n_links")
+        )
+        return out
+
+    links = links_table(pages_ds)
+    return grouped_aggregate(
+        links.map_batches(partial, batch_format="pyarrow"),
+        ["src_host", "dst_host"],
+        Sum("n_links", alias_name="n_links"),
+    )
+
+
+def anchor_top_terms(pages_ds, *, k: int = 3, include_self: bool = False):
+    """Top-``k`` anchor texts per destination host, by (count desc, anchor
+    asc) — deterministic ties. The weak-label aggregation: at crawl scale
+    anchors for a target are the retrieval-training query set.
+
+    Plan: per-batch partial (dst_host, anchor, n) counts → bucketed Sum →
+    per-host top-k inside ``map_groups`` over host-hashed coarse buckets
+    (vocabulary-sized input: one row per DISTINCT (host, anchor))."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["src_host", "dst_host", "anchor"]).to_pandas()
+        if not include_self:
+            df = df[df["src_host"] != df["dst_host"]]
+        df = df[df["anchor"] != ""]
+        return (
+            df.groupby(["dst_host", "anchor"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    counts = grouped_aggregate(
+        links_table(pages_ds).map_batches(partial, batch_format="pyarrow"),
+        ["dst_host", "anchor"],
+        Sum("n", alias_name="n"),
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["dst_host", "n", "anchor"], ascending=[True, False, True]
+        )
+        return df.groupby("dst_host", sort=False).head(k)
+
+    # distinct-(host, anchor) cardinality table → coarse host-hash buckets so
+    # each map_groups task sees whole hosts but never one giant group key.
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["dst_host"].map(lambda s: stable_hash64("ab:" + s) % 32)
+        return df.assign(_b=h.astype(np.int64))
+
+    out = (
+        counts.map_batches(bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(topk, batch_format="pandas")
+        .drop_columns(["_b"])
+    )
+    return out
+
+
+def host_pagerank(pages_ds, *, n_iters: int = 3):
+    """PageRank over the host link graph → (host, pr) with the integer-exact
+    power iteration from functions/graph.py.
+
+    Host → node id via ``stable_hash64 % 2^31`` (no distinct pass, ids fit
+    the 32-bit pair-encode invariant); the id→host names come from the
+    graph's OWN distinct host set, joined back at graph-vocabulary size.
+    At a real crawl's ~10^8-host vocabulary every step here stays
+    partitioned: the pagerank rounds are hash_join-based and the name
+    attach is one more hash_join. Uses the engine's (symmetrized,
+    integer-exact) power iteration, so scores reflect undirected link
+    mass — identical convention to ``q_graph_pagerank``."""
+    from .graph import pagerank
+    from ..stages.joins import hash_join
+
+    g = host_link_graph(pages_ds, include_self=False).materialize()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        su = [stable_hash64("host:" + s) % (1 << 31) for s in t.column("src_host").to_pylist()]
+        du = [stable_hash64("host:" + s) % (1 << 31) for s in t.column("dst_host").to_pylist()]
+        return pa.table(
+            {"u": pa.array(su, pa.int64()), "v": pa.array(du, pa.int64())}
+        )
+
+    edges = g.map_batches(to_edges, batch_format="pyarrow")
+    pr = pagerank(edges, n_iters=n_iters)
+
+    def names(t: pa.Table) -> pa.Table:
+        hosts = sorted(
+            set(t.column("src_host").to_pylist())
+            | set(t.column("dst_host").to_pylist())
+        )
+        return pa.table(
+            {
+                "node": pa.array(
+                    [stable_hash64("host:" + h) % (1 << 31) for h in hosts],
+                    pa.int64(),
+                ),
+                "host": pa.array(hosts, pa.string()),
+            }
+        )
+
+    name_tbl = g.map_batches(names, batch_format="pyarrow").groupby("node").map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+    joined = hash_join(pr, name_tbl, on=["node"])
+    return joined.select_columns(["host", "pr"])

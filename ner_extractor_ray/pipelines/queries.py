@@ -1601,6 +1601,64 @@ def q_kg_edges(sf_dir: str):
     return res["edges"]
 
 
+def _synthetic_pages_dir(sf_dir: str) -> str:
+    """Shared cache of the deterministic synthetic crawl, scaled by sf.
+
+    Self-heals caches written before the link-planting generator revision:
+    ``gold_links.parquet`` doubles as the generation-version sentinel, so a
+    pre-link cache is regenerated in place (page text/urls are unchanged
+    across that revision — only the html gains an <aside> link block)."""
+    import re as _re
+
+    from ..sources.pages import write_pages
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    n_pages = max(100, int(20000 * sf))
+    pdir = f"/tmp/ner_ray_pages_sf{sf}"
+    if not os.path.exists(os.path.join(pdir, "gold_links.parquet")):
+        write_pages(pdir, n_pages, seed=42, n_files=8)
+    return pdir
+
+
+def q_host_link_graph(sf_dir: str):
+    """Host-level link graph of the synthetic crawl: html → <a href> links →
+    (src_host, dst_host, n_links), intra-host nav dropped; per-batch partial
+    pair counts before ONE bucketed exchange (functions/weblinks.py).
+    Rows-only driver check; link-extraction parity vs an independent
+    html.parser reference is asserted in tests/test_weblinks.py."""
+    from ..functions.weblinks import host_link_graph
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    g = host_link_graph(pages_dataset(pdir))
+    return g.sort(["src_host", "dst_host"])
+
+
+def q_anchor_texts(sf_dir: str):
+    """Top-3 anchor texts per destination host (count desc, text asc) — the
+    weak-label aggregation retrieval corpora are built from. Vocabulary-sized
+    grouped top-k after per-batch partial counting. Rows-only."""
+    from ..functions.weblinks import anchor_top_terms
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    out = anchor_top_terms(pages_dataset(pdir), k=3)
+    return out.sort(["dst_host", "anchor"])
+
+
+def q_host_pagerank(sf_dir: str):
+    """Integer-exact PageRank over the host link graph (crawl-prioritization
+    signal): link extraction → host-pair aggregate → hash_join power
+    iteration → name attach, every step partitioned. Rows-only."""
+    from ..functions.weblinks import host_pagerank
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    pr = host_pagerank(pages_dataset(pdir), n_iters=3)
+    return pr.sort(["pr", "host"], descending=[True, False])
+
+
 # --------------------------------------------------------------------------
 # Window / rank / rollup / interval-join family (round-2 additions)
 # --------------------------------------------------------------------------
@@ -10163,6 +10221,9 @@ def queries() -> dict:
         "cluster_homogeneity": q_cluster_homogeneity,
         "mention_confusion": q_mention_confusion,
         "kg_edges": q_kg_edges,
+        "host_link_graph": q_host_link_graph,
+        "anchor_texts": q_anchor_texts,
+        "host_pagerank": q_host_pagerank,
         # ---- late-round-3 additions (oracle-backed; next-round window
         # candidates — appended so the attested first-50 window is stable) ----
         "late_order_priority": q_late_order_priority,

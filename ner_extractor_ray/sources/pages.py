@@ -106,17 +106,69 @@ def _fill_template(rng, template, triples_spec):
     return tokens, mentions, triples
 
 
-def _render_html(rng, paragraphs: list[str], title: str) -> bytes:
+def _render_html(
+    rng, paragraphs: list[str], title: str,
+    links: list[tuple[str, str]] | None = None,
+) -> bytes:
     nav = "<nav><a href='/'>home</a> <a href='/about'>about</a></nav>"
     script = "<script>var t=Date.now();track(t);</script>"
     style = "<style>p{margin:0}</style>"
     body = "".join(f"<p>{p}</p>" for p in paragraphs)
+    # Outbound links live in an <aside> — OUTSIDE every <p> — so
+    # extract_text's paragraph-only contract (and the byte-identical
+    # gold_text invariant) is untouched while extract_links sees them.
+    aside = (
+        "<aside>" + "".join(f'<a href="{u}">{a}</a>' for u, a in links) + "</aside>"
+        if links else ""
+    )
     ad = "<footer>© example — all rights reserved</footer>"
     html = (
         f"<html><head><title>{title}</title>{style}{script}</head>"
-        f"<body>{nav}{body}{ad}</body></html>"
+        f"<body>{nav}{body}{aside}{ad}</body></html>"
     )
     return html.encode("utf-8")
+
+
+# ------------------------------------------------------------- link planting
+
+_ANCHOR_PHRASES = [
+    "read more", "full story", "related coverage", "see the analysis",
+    "background briefing",
+]
+_LINK_UNIVERSE = 20_000  # target index space; targets may dangle (uncrawled)
+
+
+def _domain_of(seed: int, j: int, _cache: dict = {}) -> str:
+    """Domain of page ``j`` — replays page-j's FIRST rng draw, so link targets
+    carry the same url a later crawl of article-j would have. Memoized: the
+    Pareto head means most links hit a few hub indices."""
+    key = (seed, j)
+    d = _cache.get(key)
+    if d is None:
+        r = np.random.RandomState(stable_hash64(f"page:{seed}:{j}") % (2**32))
+        d = _DOMAINS[int(np.searchsorted(_DOMAIN_CDF, r.uniform()))]
+        if len(_cache) < 200_000:
+            _cache[key] = d
+    return d
+
+
+def _gen_links(seed: int, i: int) -> list[tuple[str, str]]:
+    """Deterministic outlinks of page ``i``: 0-5 targets with Pareto head
+    skew (a few hub articles attract most inlinks — the link-graph analog of
+    the planted head-domain skew). Independent rng stream (``links:`` salt),
+    so adding links never perturbs the page's text/mention draws."""
+    rng = np.random.RandomState(stable_hash64(f"links:{seed}:{i}") % (2**32))
+    n = int(rng.randint(0, 6))
+    out: list[tuple[str, str]] = []
+    for _ in range(n):
+        j = int(rng.pareto(1.1) * 40.0) % _LINK_UNIVERSE
+        dst = f"https://{_domain_of(seed, j)}/article-{j}"
+        if rng.uniform() < 0.7:
+            anchor = _ANCHOR_PHRASES[int(rng.randint(0, len(_ANCHOR_PHRASES)))]
+        else:
+            anchor = f"article {j}"
+        out.append((dst, anchor))
+    return out
 
 
 def generate_pages(
@@ -130,6 +182,7 @@ def generate_pages(
     urls, tss, htmls, texts, langs = [], [], [], [], []
     g_m = {"url": [], "sent_id": [], "start": [], "end": [], "type": [], "surface": []}
     g_t = {"url": [], "sent_id": [], "subj": [], "pred": [], "obj": []}
+    g_l = {"src_url": [], "dst_url": [], "anchor": []}
 
     for i in range(start_index, start_index + n_pages):
         rng = np.random.RandomState(stable_hash64(f"page:{seed}:{i}") % (2**32))
@@ -177,7 +230,12 @@ def generate_pages(
 
         urls.append(url)
         tss.append(_EPOCH_US + (stable_hash64(f"ts:{seed}:{i}") % (86_400_000_000 * 365)))
-        htmls.append(_render_html(rng, paragraphs, f"Article {i}"))
+        links = _gen_links(seed, i)
+        for dst, anchor in links:
+            g_l["src_url"].append(url)
+            g_l["dst_url"].append(dst)
+            g_l["anchor"].append(anchor)
+        htmls.append(_render_html(rng, paragraphs, f"Article {i}", links))
         texts.append(text)
         langs.append(lang)
 
@@ -213,6 +271,13 @@ def generate_pages(
             }
         ),
         "gold_entities": _gold_entities_table(),
+        "gold_links": pa.table(
+            {
+                "src_url": pa.array(g_l["src_url"], pa.string()),
+                "dst_url": pa.array(g_l["dst_url"], pa.string()),
+                "anchor": pa.array(g_l["anchor"], pa.string()),
+            }
+        ),
     }
     return pages, gold
 
@@ -316,7 +381,7 @@ def write_pages(
         pq.write_table(tbl, os.path.join(out_dir, f"pages-{f:04d}.parquet"))
         golds.append(gold)
     if write_gold:
-        for name in ("gold_text", "gold_mentions", "gold_triples"):
+        for name in ("gold_text", "gold_mentions", "gold_triples", "gold_links"):
             merged = pa.concat_tables([g[name] for g in golds])
             pq.write_table(merged, os.path.join(out_dir, f"{name}.parquet"))
         pq.write_table(golds[0]["gold_entities"], os.path.join(out_dir, "gold_entities.parquet"))

@@ -1,0 +1,229 @@
+"""Hyperlink extraction + host link graph (functions/weblinks.py).
+
+Parity oracle: an INDEPENDENT stdlib ``html.parser.HTMLParser`` +
+``urllib.parse.urljoin`` reference implementation — no code shared with the
+regex extractor under test — run over the full synthetic crawl.  Gold oracle:
+the generator's ``gold_links.parquet`` (sources/pages.py plants every
+outbound link it renders), aggregated with plain pandas.
+"""
+
+import os
+from html.parser import HTMLParser
+from urllib.parse import urljoin, urlsplit
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ner_extractor_ray.functions.weblinks import (
+    extract_links,
+    host_of,
+    resolve_href,
+)
+
+
+# ------------------------------------------------------------------ reference
+
+class _RefLinkParser(HTMLParser):
+    """Stack-based anchor collector: (raw_href, inner_text) per <a>."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.raw = []
+        self._open = []  # [href, [text parts]] for each nested open <a>
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._open.append([dict(attrs).get("href", ""), []])
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._open:
+            href, parts = self._open.pop()
+            self.raw.append((href, " ".join(" ".join(parts).split())))
+
+    def handle_data(self, data):
+        for frame in self._open:
+            frame[1].append(data)
+
+
+def ref_extract(html_bytes: bytes, base_url: str):
+    p = _RefLinkParser()
+    p.feed(html_bytes.decode("utf-8", errors="replace"))
+    out = []
+    for href, anchor in p.raw:
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        u = urljoin(base_url, href)
+        if urlsplit(u).scheme not in ("http", "https"):
+            continue
+        out.append((u, anchor))
+    return out
+
+
+def _pages_rows(pages_dir):
+    rows = []
+    for f in sorted(os.listdir(pages_dir)):
+        if f.startswith("pages-"):
+            t = pq.read_table(os.path.join(pages_dir, f), columns=["url", "html"])
+            rows += list(zip(t.column("url").to_pylist(), t.column("html").to_pylist()))
+    return rows
+
+
+# ---------------------------------------------------------------- unit tests
+
+def test_resolve_href_cases():
+    base = "https://news.example.org/article-7"
+    assert resolve_href("https://a.b/x", base) == "https://a.b/x"
+    assert resolve_href("http://a.b/x", base) == "http://a.b/x"
+    assert resolve_href("//cdn.example.com/i.js", base) == "https://cdn.example.com/i.js"
+    assert resolve_href("/about", base) == "https://news.example.org/about"
+    assert resolve_href("more", base) == "https://news.example.org/more"
+    assert resolve_href("#frag", base) is None
+    assert resolve_href("", base) is None
+    assert resolve_href("mailto:x@y.z", base) is None
+    assert resolve_href("javascript:void(0)", base) is None
+    assert host_of("https://News.Example.org/p?q=1") == "news.example.org"
+    assert host_of("not a url") == ""
+
+
+def test_extract_links_markup_shapes():
+    base = "https://h.example.com/article-1"
+    html = (
+        b"<html><body>"
+        b"<a href='https://a.b/x'>plain</a>"
+        b'<a href="https://a.b/y"><b>bold</b> tail</a>'
+        b"<a href=\"/rel\">rooted &amp; escaped</a>"
+        b"<a href='#skip'>frag</a>"
+        b"<a href='mailto:x@y'>mail</a>"
+        b"</body></html>"
+    )
+    got = extract_links(html, base)
+    assert got == [
+        ("https://a.b/x", "plain"),
+        ("https://a.b/y", "bold tail"),
+        ("https://h.example.com/rel", "rooted & escaped"),
+    ]
+    assert extract_links(None, base) == []
+    assert extract_links(b"", base) == []
+
+
+# --------------------------------------------------- corpus parity vs stdlib
+
+def test_extract_links_parity_vs_htmlparser(small_pages_dir):
+    rows = _pages_rows(small_pages_dir)
+    assert len(rows) == 300
+    n_links = 0
+    for url, hb in rows:
+        got = extract_links(hb, url)
+        want = ref_extract(hb, url)
+        assert got == want, url
+        n_links += len(got)
+    assert n_links >= 2 * len(rows)  # nav links alone guarantee 2/page
+
+
+def test_extract_links_matches_gold_links(small_pages_dir):
+    """Per page: extracted == [nav home, nav about] + planted gold links."""
+    gold = pq.read_table(os.path.join(small_pages_dir, "gold_links.parquet")).to_pandas()
+    by_src = {
+        u: list(zip(g["dst_url"], g["anchor"]))
+        for u, g in gold.groupby("src_url", sort=False)
+    }
+    for url, hb in _pages_rows(small_pages_dir):
+        h = host_of(url)
+        got = extract_links(hb, url)
+        assert got[:2] == [(f"https://{h}/", "home"), (f"https://{h}/about", "about")]
+        assert got[2:] == by_src.get(url, [])
+
+
+# --------------------------------------------------------- distributed plans
+
+def _expected_host_graph(gold: pd.DataFrame) -> pd.DataFrame:
+    df = gold.assign(
+        src_host=gold["src_url"].map(lambda u: urlsplit(u).netloc.lower()),
+        dst_host=gold["dst_url"].map(lambda u: urlsplit(u).netloc.lower()),
+    )
+    df = df[df["src_host"] != df["dst_host"]]
+    return (
+        df.groupby(["src_host", "dst_host"])
+        .size()
+        .reset_index(name="n_links")
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+
+
+def test_host_link_graph_matches_gold(small_pages_dir):
+    from ner_extractor_ray.functions.weblinks import host_link_graph
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+
+    got = (
+        host_link_graph(pages_dataset(small_pages_dir))
+        .to_pandas()
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    gold = pq.read_table(os.path.join(small_pages_dir, "gold_links.parquet")).to_pandas()
+    want = _expected_host_graph(gold)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_links": "int64"}), want.astype({"n_links": "int64"})
+    )
+    # planted Pareto head skew: inlink mass is concentrated, not uniform
+    inmass = want.groupby("dst_host")["n_links"].sum().sort_values(ascending=False)
+    assert inmass.iloc[0] >= 3 * inmass.iloc[-1]
+
+
+def test_anchor_top_terms_matches_gold(small_pages_dir):
+    from ner_extractor_ray.functions.weblinks import anchor_top_terms
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+
+    got = (
+        anchor_top_terms(pages_dataset(small_pages_dir), k=3)
+        .to_pandas()
+        .sort_values(["dst_host", "anchor"])
+        .reset_index(drop=True)
+    )
+    gold = pq.read_table(os.path.join(small_pages_dir, "gold_links.parquet")).to_pandas()
+    df = gold.assign(
+        src_host=gold["src_url"].map(lambda u: urlsplit(u).netloc.lower()),
+        dst_host=gold["dst_url"].map(lambda u: urlsplit(u).netloc.lower()),
+    )
+    df = df[(df["src_host"] != df["dst_host"]) & (df["anchor"] != "")]
+    counts = df.groupby(["dst_host", "anchor"]).size().reset_index(name="n")
+    want = (
+        counts.sort_values(["dst_host", "n", "anchor"], ascending=[True, False, True])
+        .groupby("dst_host", sort=False)
+        .head(3)
+        .sort_values(["dst_host", "anchor"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["dst_host", "anchor", "n"]].astype({"n": "int64"}),
+        want.astype({"n": "int64"}),
+    )
+
+
+def test_host_pagerank_deterministic_and_skew(small_pages_dir):
+    from ner_extractor_ray.functions.weblinks import host_pagerank
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+
+    a = host_pagerank(pages_dataset(small_pages_dir), n_iters=2).to_pandas()
+    b = host_pagerank(pages_dataset(small_pages_dir), n_iters=2).to_pandas()
+    key = ["host", "pr"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[key],
+        b.sort_values(key).reset_index(drop=True)[key],
+    )
+    gold = pq.read_table(os.path.join(small_pages_dir, "gold_links.parquet")).to_pandas()
+    hosts = set(gold["src_url"].map(lambda u: urlsplit(u).netloc.lower())) | set(
+        gold["dst_url"].map(lambda u: urlsplit(u).netloc.lower())
+    )
+    # graph nodes = hosts on at least one cross-host edge
+    cross = _expected_host_graph(gold)
+    want_hosts = set(cross["src_host"]) | set(cross["dst_host"])
+    assert set(a["host"]) == want_hosts <= hosts
+    assert (a["pr"] > 0).all()
+    # head hosts should out-rank the tail (planted 1/k domain skew)
+    top = a.sort_values("pr", ascending=False)["host"].iloc[0]
+    inmass = cross.groupby("dst_host")["n_links"].sum()
+    assert inmass.get(top, 0) >= inmass.median()
