@@ -77,6 +77,38 @@ def resolve_href(href: str, base_url: str) -> str | None:
     return base_url.rsplit("/", 1)[0] + "/" + href
 
 
+_TRACKING_EXACT = frozenset({"ref", "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid"})
+_URL_PARTS_RE = re.compile(r"^([^/]+//[^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$")
+
+
+def canonical_url(url: str) -> str:
+    """Crawl-dedup canonical form of an absolute URL.
+
+    Normalizations (each a pure string rewrite — no network, no IDNA):
+    scheme+authority lowercased; fragment dropped; tracking params
+    (``utm_*`` and the exact names in ``_TRACKING_EXACT``) dropped and the
+    survivors SORTED for order-independence; trailing slashes stripped from
+    non-root paths. URLs without a ``scheme://authority`` prefix pass
+    through unchanged (nothing to normalize against)."""
+    m = _URL_PARTS_RE.match(url)
+    if not m:
+        return url
+    prefix = m.group(1).lower()
+    path = m.group(2) or ""
+    query = m.group(3)
+    keep: list[str] = []
+    if query:
+        for part in query.split("&"):
+            k = part.split("=", 1)[0]
+            if not k or k.startswith("utm_") or k in _TRACKING_EXACT:
+                continue
+            keep.append(part)
+        keep.sort()
+    if len(path) > 1 and path.endswith("/"):
+        path = path.rstrip("/") or "/"
+    return prefix + path + ("?" + "&".join(keep) if keep else "")
+
+
 def extract_links(html_bytes: bytes | None, base_url: str) -> list[tuple[str, str]]:
     """html → document-ordered [(absolute_url, anchor_text)].
 
@@ -246,11 +278,21 @@ def host_pagerank(pages_ds, *, n_iters: int = 3):
                     pa.int64(),
                 ),
                 "host": pa.array(hosts, pa.string()),
+                "one": pa.array([1] * len(hosts), pa.int64()),
             }
         )
 
-    name_tbl = g.map_batches(names, batch_format="pyarrow").groupby("node").map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
+    # distinct (node, host): per-batch set-dedup above, then ONE bucketed
+    # exchange — not groupby(node).map_groups, whose per-GROUP Python reduce
+    # is exactly the overhead grouped_aggregate exists to avoid.
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+
+    name_tbl = grouped_aggregate(
+        g.map_batches(names, batch_format="pyarrow"),
+        ["node", "host"],
+        Sum("one", alias_name="one"),
+    ).drop_columns(["one"])
     joined = hash_join(pr, name_tbl, on=["node"])
     return joined.select_columns(["host", "pr"])

@@ -1659,6 +1659,55 @@ def q_host_pagerank(sf_dir: str):
     return pr.sort(["pr", "host"], descending=[True, False])
 
 
+def q_url_canonical_dedup(sf_dir: str):
+    """Canonical-URL dedup — the first pass of every crawl pipeline: the same
+    article arrives as clean / SHOUTING-host + trailing-slash / tracking-param
+    variants, and dedup keys on ``canonical_url`` (functions/weblinks.py:
+    lowercase authority, drop fragment + utm_*/ref params, strip trailing
+    slash). URLs are derived deterministically from ``doc_id`` — three
+    variants per article index — so the oracle replicates both the derivation
+    and the normalization in SQL and the match is exact.
+
+    Plan: read doc_id ONLY → row-local derive+canonicalize → ONE bucketed
+    (canonical_url) exchange of Count + Min partials. At crawl scale the
+    shuffle ships (url, 1, doc_id) — never page bytes — and the per-batch
+    partial collapses variant triples that co-reside in a batch."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.weblinks import canonical_url
+    from ..stages.canonicalize import grouped_aggregate
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        urls = []
+        for d in ids:
+            a = int(d) // 3
+            s = a % 7
+            v = int(d) % 3
+            if v == 0:
+                u = f"https://www.s{s}.example.org/a/{a}"
+            elif v == 1:
+                u = f"HTTPS://WWW.S{s}.EXAMPLE.ORG/a/{a}/"
+            else:
+                u = f"https://www.s{s}.example.org/a/{a}?utm_source=feed&ref=tw#frag"
+            urls.append(canonical_url(u))
+        return pa.table(
+            {"canonical_url": pa.array(urls, pa.string()),
+             "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    docs = _rp(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    out = grouped_aggregate(
+        docs,
+        ["canonical_url"],
+        Count(alias_name="n_variants"),
+        Min("doc_id", alias_name="keep_doc_id"),
+    )
+    return out.sort("canonical_url")
+
+
 # --------------------------------------------------------------------------
 # Window / rank / rollup / interval-join family (round-2 additions)
 # --------------------------------------------------------------------------
@@ -10282,6 +10331,7 @@ def queries() -> dict:
         "price_qty_hist2d": q_price_qty_hist2d,
         "event_type_comovement": q_event_type_comovement,
         "merge_upsert": q_merge_upsert,
+        "url_canonical_dedup": q_url_canonical_dedup,
     }
 
 
@@ -13434,6 +13484,32 @@ def oracle_sql() -> dict:
             LEFT JOIN sxy ON sxy.ta = p.ta AND sxy.tb = p.tb
             JOIN sx x ON x.event_type = p.ta
             JOIN sx y ON y.event_type = p.tb
+        """,
+        "url_canonical_dedup": """
+            WITH u AS (
+              SELECT doc_id, doc_id // 3 AS a, (doc_id // 3) % 7 AS s,
+                     doc_id % 3 AS v
+              FROM documents),
+            raw AS (
+              SELECT doc_id,
+                CASE v
+                  WHEN 0 THEN 'https://www.s' || s || '.example.org/a/' || a
+                  WHEN 1 THEN 'HTTPS://WWW.S' || s || '.EXAMPLE.ORG/a/' || a || '/'
+                  ELSE 'https://www.s' || s || '.example.org/a/' || a
+                       || '?utm_source=feed&ref=tw#frag'
+                END AS url
+              FROM u),
+            canon AS (
+              SELECT doc_id,
+                     lower(regexp_extract(url, '^[^/]+//[^/?#]+'))
+                     || regexp_replace(regexp_replace(
+                            substr(url, length(regexp_extract(url, '^[^/]+//[^/?#]+')) + 1),
+                            '[?#].*$', ''),
+                        '/$', '') AS canonical_url
+              FROM raw)
+            SELECT canonical_url, COUNT(*) AS n_variants,
+                   MIN(doc_id) AS keep_doc_id
+            FROM canon GROUP BY 1
         """,
         "merge_upsert": """
             WITH base AS (

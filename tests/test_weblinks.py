@@ -16,6 +16,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from ner_extractor_ray.functions.weblinks import (
+    canonical_url,
     extract_links,
     host_of,
     resolve_href,
@@ -106,6 +107,26 @@ def test_extract_links_markup_shapes():
     ]
     assert extract_links(None, base) == []
     assert extract_links(b"", base) == []
+
+
+def test_canonical_url_cases():
+    # authority lowercased, path case preserved
+    assert canonical_url("HTTPS://WWW.Ex.ORG/A/B") == "https://www.ex.org/A/B"
+    # fragment dropped
+    assert canonical_url("https://e.org/p#sec2") == "https://e.org/p"
+    # tracking params dropped; survivors kept and SORTED
+    assert (
+        canonical_url("https://e.org/p?utm_source=x&page=2&ref=tw&b=1")
+        == "https://e.org/p?b=1&page=2"
+    )
+    # all-tracking query disappears entirely (no dangling '?')
+    assert canonical_url("https://e.org/p?utm_a=1&gclid=z") == "https://e.org/p"
+    # trailing slash stripped on non-root paths, root kept
+    assert canonical_url("https://e.org/a/b/") == "https://e.org/a/b"
+    assert canonical_url("https://e.org/") == "https://e.org/"
+    assert canonical_url("https://e.org") == "https://e.org"
+    # non-URL strings pass through
+    assert canonical_url("not a url") == "not a url"
 
 
 # --------------------------------------------------- corpus parity vs stdlib
