@@ -99,6 +99,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         # (exact-substring span rewrite, LSH+CC keep-longest decision)
         "kmeans_fixed", "graph_components", "table_checksum",
         "dedup_ngram_spans", "neardup_keep_best",
+        # round-3 webtext additions: html link extraction → host graph, and
+        # canonical-URL variant dedup
+        "host_link_graph", "url_canonical_dedup",
     ]
     if os.environ.get("GRAFT_BENCH_KG_ONLY"):
         suite = []

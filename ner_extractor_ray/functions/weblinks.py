@@ -239,6 +239,73 @@ def anchor_top_terms(pages_ds, *, k: int = 3, include_self: bool = False):
     return out
 
 
+def crawl_frontier(pages_ds, *, n_iters: int = 3):
+    """Recrawl-prioritization table → (host, n_pages, latest_ts, pr,
+    priority) sorted most-urgent-first.
+
+    The scheduling heuristic every crawler runs: importance (host PageRank
+    over the link graph) × staleness (whole DAYS since the host's LATEST
+    capture, relative to the corpus-wide newest capture). priority =
+    pr · age_days — integer-exact and overflow-safe (pr ≤ PR_SCALE = 10¹²,
+    age_days < 10⁵ even from epoch, product ≪ 2⁶³; µs staleness would
+    silently wrap int64), so the ranking is reproducible at any
+    parallelism. Day granularity is the natural recrawl unit.
+
+    Plan: pages contribute only (host, 1, warc_ts) partials — Count + Max
+    per host in ONE bucketed exchange over host-sized rows — joined
+    (hash_join, partitioned) with the PageRank table; hosts seen only as
+    link TARGETS (uncrawled frontier) get n_pages=0 and maximal staleness,
+    which is exactly the discover-new-hosts behavior a frontier needs."""
+    from ray.data.aggregate import Count, Max
+
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    def partial(t: pa.Table) -> pa.Table:
+        hosts = [host_of(u) for u in t.column("url").to_pylist()]
+        ts = t.column("warc_ts").cast(pa.int64()).to_pylist()
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()),
+             "ts_us": pa.array(ts, pa.int64())}
+        )
+
+    # two read branches, each column-pruned at the parquet scan: the crawl
+    # side never loads html, the link side never loads warc_ts
+    crawled = grouped_aggregate(
+        pages_ds.select_columns(["url", "warc_ts"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["host"],
+        Count(alias_name="n_pages"),
+        Max("ts_us", alias_name="latest_ts"),
+    ).materialize()
+    now_us = int(crawled.max("latest_ts") or 0)
+
+    pr = host_pagerank(pages_ds.select_columns(["url", "html"]), n_iters=n_iters)
+    joined = hash_join(pr, crawled, on=["host"], how="left")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"host": pd.Series([], dtype="object"),
+                 "n_pages": pd.Series([], dtype="int64"),
+                 "latest_ts": pd.Series([], dtype="int64"),
+                 "pr": pd.Series([], dtype="int64"),
+                 "priority": pd.Series([], dtype="int64")}
+            )
+        n = df["n_pages"].fillna(0).astype("int64")
+        latest = df["latest_ts"].fillna(0).astype("int64")
+        # uncrawled hosts: maximal staleness (age from epoch)
+        age_days = (now_us - latest) // 86_400_000_000
+        pri = df["pr"].astype("int64") * age_days
+        return pd.DataFrame(
+            {"host": df["host"], "n_pages": n, "latest_ts": latest,
+             "pr": df["pr"].astype("int64"), "priority": pri}
+        )
+
+    return joined.map_batches(score, batch_format="pandas")
+
+
 def host_pagerank(pages_ds, *, n_iters: int = 3):
     """PageRank over the host link graph → (host, pr) with the integer-exact
     power iteration from functions/graph.py.

@@ -1708,6 +1708,21 @@ def q_url_canonical_dedup(sf_dir: str):
     return out.sort("canonical_url")
 
 
+def q_crawl_frontier(sf_dir: str):
+    """Recrawl-prioritization frontier over the synthetic crawl: per host —
+    page count, latest capture, PageRank, priority = pr × staleness_µs
+    (integer-exact). Uncrawled link targets surface with n_pages=0 and
+    maximal staleness — the discover-new-hosts path. Rows-only; the
+    composition is pinned by tests/test_weblinks.py against a pandas
+    replication on the gold link table."""
+    from ..functions.weblinks import crawl_frontier
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    out = crawl_frontier(pages_dataset(pdir, with_ts=True), n_iters=3)
+    return out.sort(["priority", "host"], descending=[True, False])
+
+
 # --------------------------------------------------------------------------
 # Window / rank / rollup / interval-join family (round-2 additions)
 # --------------------------------------------------------------------------
@@ -10332,6 +10347,7 @@ def queries() -> dict:
         "event_type_comovement": q_event_type_comovement,
         "merge_upsert": q_merge_upsert,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 

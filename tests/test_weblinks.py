@@ -12,6 +12,7 @@ from html.parser import HTMLParser
 from urllib.parse import urljoin, urlsplit
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -222,6 +223,100 @@ def test_anchor_top_terms_matches_gold(small_pages_dir):
         got[["dst_host", "anchor", "n"]].astype({"n": "int64"}),
         want.astype({"n": "int64"}),
     )
+
+
+def test_crawl_frontier_matches_pandas_replication(small_pages_dir):
+    """Composition check: n_pages/latest_ts from the pages table, pr carried
+    from host_pagerank (already pinned above), priority = pr × age_µs, and
+    uncrawled link-target hosts present with n_pages=0 / maximal age."""
+    from ner_extractor_ray.functions.weblinks import crawl_frontier, host_pagerank
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+
+    got = (
+        crawl_frontier(pages_dataset(small_pages_dir, with_ts=True), n_iters=2)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pr = host_pagerank(pages_dataset(small_pages_dir), n_iters=2).to_pandas()
+
+    pages = pa.concat_tables(
+        [
+            pq.read_table(os.path.join(small_pages_dir, f), columns=["url", "warc_ts"])
+            for f in sorted(os.listdir(small_pages_dir))
+            if f.startswith("pages-")
+        ]
+    ).to_pandas()
+    pages["host"] = pages["url"].map(lambda u: urlsplit(u).netloc.lower())
+    pages["ts_us"] = pages["warc_ts"].astype("int64")
+    crawled = pages.groupby("host").agg(
+        n_pages=("url", "size"), latest_ts=("ts_us", "max")
+    )
+    now_us = int(pages["ts_us"].max())
+
+    want = pr.set_index("host").join(crawled, how="left")
+    want["n_pages"] = want["n_pages"].fillna(0).astype("int64")
+    want["latest_ts"] = want["latest_ts"].fillna(0).astype("int64")
+    want["priority"] = want["pr"].astype("int64") * (
+        (now_us - want["latest_ts"]) // 86_400_000_000
+    )
+    want = want.reset_index().sort_values("host").reset_index(drop=True)
+    cols = ["host", "n_pages", "latest_ts", "pr", "priority"]
+    pd.testing.assert_frame_equal(
+        got[cols].astype({c: "int64" for c in cols[1:]}),
+        want[cols].astype({c: "int64" for c in cols[1:]}),
+    )
+
+
+def test_crawl_frontier_uncrawled_host(tmp_path):
+    """A host seen only as a link TARGET surfaces with n_pages=0 and maximal
+    staleness (age = now), out-prioritizing an equally-ranked crawled host."""
+    from ner_extractor_ray.functions.weblinks import crawl_frontier
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+
+    def page(url, ts, hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return {
+            "url": url,
+            "warc_ts": ts,
+            "html": f"<html><body><p>t</p>{body}</body></html>".encode(),
+            "text": "t",
+            "lang": "en",
+        }
+
+    DAY = 86_400_000_000
+    rows = [
+        page("https://a.example/p1", 1 * DAY, ["https://b.example/q", "https://ghost.example/z"]),
+        page("https://b.example/q", 3 * DAY, ["https://a.example/p1"]),
+    ]
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]}).cast(
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+                ("html", pa.binary()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+            ]
+        )
+    )
+    pq.write_table(t, str(tmp_path / "pages-0000.parquet"))
+    out = (
+        crawl_frontier(pages_dataset(str(tmp_path), with_ts=True), n_iters=1)
+        .to_pandas()
+        .set_index("host")
+    )
+    assert out.loc["ghost.example", "n_pages"] == 0
+    assert out.loc["ghost.example", "latest_ts"] == 0
+    # maximal staleness: age == corpus-wide now (3 days)
+    assert (
+        out.loc["ghost.example", "priority"]
+        == out.loc["ghost.example", "pr"] * 3
+    )
+    # a.example captured at day 1 → 2 days stale; b.example fresh → 0
+    assert out.loc["a.example", "priority"] == out.loc["a.example", "pr"] * 2
+    assert out.loc["b.example", "priority"] == 0
+    assert out.loc["b.example", "n_pages"] == 1
 
 
 def test_host_pagerank_deterministic_and_skew(small_pages_dir):
