@@ -89,6 +89,47 @@ def test_resolve_href_cases():
     assert host_of("not a url") == ""
 
 
+def test_canonical_url_properties():
+    """Idempotence + invariants over generated URLs: a second normalization
+    is a no-op, and no canonical form carries a fragment or tracking param."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.text(
+        alphabet="abcXYZ019-._~", min_size=0, max_size=6
+    )
+    param = st.sampled_from(
+        ["utm_source=x", "utm_medium=y", "ref=tw", "gclid=1",
+         "page=2", "q=a+b", "id=7", "sort=desc", ""]
+    )
+    urls = st.builds(
+        lambda scheme, host, path, params, frag: (
+            f"{scheme}://{host}"
+            + "".join("/" + p for p in path)
+            + ("/" if frag == "slash" else "")
+            + ("?" + "&".join(params) if params else "")
+            + ("#sec" if frag == "frag" else "")
+        ),
+        st.sampled_from(["http", "HTTPS", "https"]),
+        st.sampled_from(["E.org", "www.ex.NET", "a-b.example"]),
+        st.lists(seg, max_size=3),
+        st.lists(param, max_size=4),
+        st.sampled_from(["none", "frag", "slash"]),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(urls)
+    def check(u):
+        c = canonical_url(u)
+        assert canonical_url(c) == c
+        assert "#" not in c
+        assert "utm_" not in c and "gclid" not in c and "ref=tw" not in c
+        # authority is lowercased
+        assert c.split("//", 1)[0].islower() or "//" not in c
+
+    check()
+
+
 def test_extract_links_markup_shapes():
     base = "https://h.example.com/article-1"
     html = (
