@@ -37,9 +37,12 @@ import pyarrow as pa
 from .hashing import stable_hash64
 
 # href first attribute-parsed, then the anchor's inner markup. DOTALL: anchors
-# may wrap elements / newlines. Both quote styles accepted.
+# may wrap elements / newlines. Double-quoted, single-quoted AND unquoted
+# attribute values accepted (unquoted is legal HTML and common in the wild).
+# Known divergence from a tree parser: nested <a> inside <a> yields one link
+# (the regex consumes to the first </a>), not two.
 _A_RE = re.compile(
-    r"<a\b[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)')[^>]*>(.*?)</a>",
+    r"<a\b[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'=<>`]+))[^>]*>(.*?)</a>",
     re.DOTALL | re.IGNORECASE,
 )
 _TAG_RE = re.compile(r"<[^>]+>")
@@ -53,12 +56,43 @@ def host_of(url: str) -> str:
     return m.group(1).lower() if m else ""
 
 
+_BASE_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)([^?#]*)")
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 on an absolute path ('.'/'..' segments resolved;
+    trailing '.'/'..' keeps the directory slash, '..' never climbs past
+    root). Matches ``urllib.parse.urljoin``'s behavior on these inputs."""
+    if "/." not in path and not path.startswith("."):
+        return path  # hot-loop fast path: nothing to resolve
+    segs = path.split("/")
+    out: list[str] = []
+    last = len(segs) - 1
+    for i, s in enumerate(segs):
+        if s == ".":
+            if i == last:
+                out.append("")
+            continue
+        if s == "..":
+            if len(out) > 1:
+                out.pop()
+            if i == last:
+                out.append("")
+            continue
+        out.append(s)
+    if not out or out[0] != "":
+        out.insert(0, "")
+    return "/".join(out)
+
+
 def resolve_href(href: str, base_url: str) -> str | None:
     """Absolutize ``href`` against ``base_url``; None for non-navigational
     targets (fragments, mailto:/javascript:, empty). Deterministic subset of
-    RFC 3986 resolution sufficient for crawl html: absolute URLs pass
-    through, ``//host/p`` inherits https, ``/p`` is host-rooted, other
-    relative paths resolve against the base URL's directory."""
+    RFC 3986 resolution sufficient for crawl html (parity with
+    ``urllib.parse.urljoin`` asserted in tests): absolute http(s) URLs pass
+    through, ``//host/p`` inherits the base scheme, ``/p`` is host-rooted,
+    ``?q`` replaces the base query, and other relative paths merge against
+    the base URL's directory — all with '.'/'..' dot segments resolved."""
     href = href.strip()
     if not href or href.startswith("#"):
         return None
@@ -67,14 +101,20 @@ def resolve_href(href: str, base_url: str) -> str | None:
         if low.startswith(("http://", "https://")):
             return href
         return None  # mailto:, javascript:, data:, tel:, ...
-    base_host = host_of(base_url)
-    if not base_host:
+    m = _BASE_RE.match(base_url)
+    if m is None:
         return None
+    prefix, bpath = m.group(1), m.group(2)
+    scheme = prefix.split(":", 1)[0]
     if href.startswith("//"):
-        return "https:" + href
+        return f"{scheme}:{href}"
     if href.startswith("/"):
-        return f"https://{base_host}{href}"
-    return base_url.rsplit("/", 1)[0] + "/" + href
+        return prefix + _remove_dot_segments(href)
+    if href.startswith("?"):
+        return prefix + (bpath or "/") + href
+    # merge against the base directory (base path up to its last '/')
+    base_dir = bpath.rsplit("/", 1)[0] + "/" if bpath else "/"
+    return prefix + _remove_dot_segments(base_dir + href)
 
 
 _TRACKING_EXACT = frozenset({"ref", "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid"})
@@ -120,11 +160,11 @@ def extract_links(html_bytes: bytes | None, base_url: str) -> list[tuple[str, st
     doc = html_bytes.decode("utf-8", errors="replace")
     out: list[tuple[str, str]] = []
     for m in _A_RE.finditer(doc):
-        raw = m.group(1) if m.group(1) is not None else m.group(2)
+        raw = next(g for g in m.group(1, 2, 3) if g is not None)
         target = resolve_href(_htmllib.unescape(raw), base_url)
         if target is None:
             continue
-        anchor = " ".join(_htmllib.unescape(_TAG_RE.sub(" ", m.group(3))).split())
+        anchor = " ".join(_htmllib.unescape(_TAG_RE.sub(" ", m.group(4))).split())
         out.append((target, anchor))
     return out
 
@@ -252,10 +292,13 @@ def crawl_frontier(pages_ds, *, n_iters: int = 3):
     parallelism. Day granularity is the natural recrawl unit.
 
     Plan: pages contribute only (host, 1, warc_ts) partials — Count + Max
-    per host in ONE bucketed exchange over host-sized rows — joined
-    (hash_join, partitioned) with the PageRank table; hosts seen only as
-    link TARGETS (uncrawled frontier) get n_pages=0 and maximal staleness,
-    which is exactly the discover-new-hosts behavior a frontier needs."""
+    per host in ONE bucketed exchange over host-sized rows — FULL-OUTER
+    hash-joined (partitioned) with the PageRank table. Hosts seen only as
+    link TARGETS (uncrawled frontier) get n_pages=0 and maximal staleness —
+    the discover-new-hosts path; crawled hosts with NO cross-host link
+    evidence (intra-host links only, no inlinks) are absent from the graph
+    and carry pr=0 — present in the frontier, lowest priority, never
+    silently dropped."""
     from ray.data.aggregate import Count, Max
 
     from ..stages.canonicalize import grouped_aggregate
@@ -282,7 +325,7 @@ def crawl_frontier(pages_ds, *, n_iters: int = 3):
     now_us = int(crawled.max("latest_ts") or 0)
 
     pr = host_pagerank(pages_ds.select_columns(["url", "html"]), n_iters=n_iters)
-    joined = hash_join(pr, crawled, on=["host"], how="left")
+    joined = hash_join(pr, crawled, on=["host"], how="outer")
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -295,12 +338,13 @@ def crawl_frontier(pages_ds, *, n_iters: int = 3):
             )
         n = df["n_pages"].fillna(0).astype("int64")
         latest = df["latest_ts"].fillna(0).astype("int64")
+        # outer join: crawled-but-unlinked hosts carry pr=0 (no evidence)
+        prv = df["pr"].fillna(0).astype("int64")
         # uncrawled hosts: maximal staleness (age from epoch)
         age_days = (now_us - latest) // 86_400_000_000
-        pri = df["pr"].astype("int64") * age_days
         return pd.DataFrame(
             {"host": df["host"], "n_pages": n, "latest_ts": latest,
-             "pr": df["pr"].astype("int64"), "priority": pri}
+             "pr": prv, "priority": prv * age_days}
         )
 
     return joined.map_batches(score, batch_format="pandas")
@@ -310,10 +354,12 @@ def host_pagerank(pages_ds, *, n_iters: int = 3):
     """PageRank over the host link graph → (host, pr) with the integer-exact
     power iteration from functions/graph.py.
 
-    Host → node id via ``stable_hash64 % 2^31`` (no distinct pass, ids fit
-    the 32-bit pair-encode invariant); the id→host names come from the
-    graph's OWN distinct host set, joined back at graph-vocabulary size.
-    At a real crawl's ~10^8-host vocabulary every step here stays
+    Host → node id via ``stable_hash64 % 2^62`` (no distinct pass; 62 bits
+    keep ids positive int64 and put the birthday-collision expectation at
+    ~n²/2^63 ≈ 10⁻³ even for a 10⁸-host vocabulary — 31-bit ids would
+    expect millions of silent host merges there). The id→host names come
+    from the graph's OWN distinct host set, joined back at graph-vocabulary
+    size. At a real crawl's ~10^8-host vocabulary every step here stays
     partitioned: the pagerank rounds are hash_join-based and the name
     attach is one more hash_join. Uses the engine's (symmetrized,
     integer-exact) power iteration, so scores reflect undirected link
@@ -324,8 +370,8 @@ def host_pagerank(pages_ds, *, n_iters: int = 3):
     g = host_link_graph(pages_ds, include_self=False).materialize()
 
     def to_edges(t: pa.Table) -> pa.Table:
-        su = [stable_hash64("host:" + s) % (1 << 31) for s in t.column("src_host").to_pylist()]
-        du = [stable_hash64("host:" + s) % (1 << 31) for s in t.column("dst_host").to_pylist()]
+        su = [stable_hash64("host:" + s) % (1 << 62) for s in t.column("src_host").to_pylist()]
+        du = [stable_hash64("host:" + s) % (1 << 62) for s in t.column("dst_host").to_pylist()]
         return pa.table(
             {"u": pa.array(su, pa.int64()), "v": pa.array(du, pa.int64())}
         )
@@ -341,7 +387,7 @@ def host_pagerank(pages_ds, *, n_iters: int = 3):
         return pa.table(
             {
                 "node": pa.array(
-                    [stable_hash64("host:" + h) % (1 << 31) for h in hosts],
+                    [stable_hash64("host:" + h) % (1 << 62) for h in hosts],
                     pa.int64(),
                 ),
                 "host": pa.array(hosts, pa.string()),

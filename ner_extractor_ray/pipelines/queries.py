@@ -1557,22 +1557,13 @@ def q_cluster_homogeneity(sf_dir: str):
 def q_mention_confusion(sf_dir: str):
     """A8 — confusion top-k between pipeline mentions and generator gold over
     the synthetic pages corpus (groupby→sort→limit pattern). Rows-only."""
-    import re as _re
-
     import pyarrow.parquet as _pq
     import ray.data as _rd
 
     from ..functions.metrics import confusion_topk
     from .kg import pages_dataset, run_kg
 
-    m = _re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.01
-    n_pages = max(100, int(20000 * sf))
-    pdir = f"/tmp/ner_ray_pages_sf{sf}"
-    if not os.path.exists(os.path.join(pdir, "gold_triples.parquet")):
-        from ..sources.pages import write_pages
-
-        write_pages(pdir, n_pages, seed=42, n_files=8)
+    pdir = _synthetic_pages_dir(sf_dir)
     res = run_kg(pages_dataset(pdir), out_dir=None, n_partitions=8)
     pred = res["mentions"].map_batches(
         lambda t: t.select(["url", "sent_id", "start", "end", "type"]),
@@ -1586,17 +1577,9 @@ def q_kg_edges(sf_dir: str):
     """Flagship KG pipeline over the deterministic synthetic pages corpus
     (size scaled by sf). Rows-only driver check; full parity vs the oracle is
     asserted in tests/test_oracle_parity.py."""
-    import re as _re
-
-    from ..sources.pages import write_pages
     from .kg import pages_dataset, run_kg
 
-    m = _re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.01
-    n_pages = max(100, int(20000 * sf))
-    pdir = f"/tmp/ner_ray_pages_sf{sf}"
-    if not os.path.exists(os.path.join(pdir, "gold_triples.parquet")):
-        write_pages(pdir, n_pages, seed=42, n_files=8)
+    pdir = _synthetic_pages_dir(sf_dir)
     res = run_kg(pages_dataset(pdir), out_dir=None, n_partitions=8)
     return res["edges"]
 
@@ -1668,11 +1651,12 @@ def q_url_canonical_dedup(sf_dir: str):
     variants per article index — so the oracle replicates both the derivation
     and the normalization in SQL and the match is exact.
 
-    Plan: read doc_id ONLY → row-local derive+canonicalize → ONE bucketed
-    (canonical_url) exchange of Count + Min partials. At crawl scale the
-    shuffle ships (url, 1, doc_id) — never page bytes — and the per-batch
-    partial collapses variant triples that co-reside in a batch."""
-    from ray.data.aggregate import Count, Min
+    Plan: read doc_id ONLY → row-local derive+canonicalize → PER-BATCH
+    (canonical_url, partial count, partial min) partials → ONE bucketed
+    exchange of Sum + Min. At crawl scale the shuffle ships distinct-url-,
+    not corpus-, sized rows — never page bytes — and variant triples that
+    co-reside in a batch collapse before the exchange."""
+    from ray.data.aggregate import Min, Sum
 
     from ..functions.weblinks import canonical_url
     from ..stages.canonicalize import grouped_aggregate
@@ -1691,10 +1675,13 @@ def q_url_canonical_dedup(sf_dir: str):
             else:
                 u = f"https://www.s{s}.example.org/a/{a}?utm_source=feed&ref=tw#frag"
             urls.append(canonical_url(u))
-        return pa.table(
-            {"canonical_url": pa.array(urls, pa.string()),
-             "doc_id": pa.array(ids, pa.int64())}
+        part = (
+            pd.DataFrame({"canonical_url": urls, "doc_id": ids})
+            .groupby("canonical_url", sort=False)
+            .agg(n_variants=("doc_id", "size"), keep_doc_id=("doc_id", "min"))
+            .reset_index()
         )
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     docs = _rp(sf_dir, "documents", ["doc_id"]).map_batches(
         derive, batch_format="pyarrow"
@@ -1702,19 +1689,21 @@ def q_url_canonical_dedup(sf_dir: str):
     out = grouped_aggregate(
         docs,
         ["canonical_url"],
-        Count(alias_name="n_variants"),
-        Min("doc_id", alias_name="keep_doc_id"),
+        Sum("n_variants", alias_name="n_variants"),
+        Min("keep_doc_id", alias_name="keep_doc_id"),
     )
     return out.sort("canonical_url")
 
 
 def q_crawl_frontier(sf_dir: str):
     """Recrawl-prioritization frontier over the synthetic crawl: per host —
-    page count, latest capture, PageRank, priority = pr × staleness_µs
-    (integer-exact). Uncrawled link targets surface with n_pages=0 and
-    maximal staleness — the discover-new-hosts path. Rows-only; the
-    composition is pinned by tests/test_weblinks.py against a pandas
-    replication on the gold link table."""
+    page count, latest capture, PageRank, priority = pr × staleness in
+    whole DAYS (integer-exact and int64-overflow-safe; see
+    functions/weblinks.crawl_frontier). Uncrawled link targets surface with
+    n_pages=0 and maximal staleness — the discover-new-hosts path; crawled
+    hosts without link evidence carry pr=0 via the full-outer join.
+    Rows-only; the composition is pinned by tests/test_weblinks.py against
+    a pandas replication on the gold link table."""
     from ..functions.weblinks import crawl_frontier
     from .kg import pages_dataset
 
@@ -13515,14 +13504,22 @@ def oracle_sql() -> dict:
                        || '?utm_source=feed&ref=tw#frag'
                 END AS url
               FROM u),
-            canon AS (
+            rest AS (
               SELECT doc_id,
-                     lower(regexp_extract(url, '^[^/]+//[^/?#]+'))
-                     || regexp_replace(regexp_replace(
-                            substr(url, length(regexp_extract(url, '^[^/]+//[^/?#]+')) + 1),
-                            '[?#].*$', ''),
-                        '/$', '') AS canonical_url
-              FROM raw)
+                     lower(regexp_extract(url, '^[^/]+//[^/?#]+')) AS auth,
+                     regexp_replace(
+                         substr(url, length(regexp_extract(url, '^[^/]+//[^/?#]+')) + 1),
+                         '[?#].*$', '') AS p
+              FROM raw),
+            canon AS (
+              -- mirrors canonical_url exactly: ALL trailing slashes
+              -- stripped on non-root paths, all-slash paths collapse to '/'
+              SELECT doc_id,
+                     auth || CASE WHEN length(p) > 1 AND p LIKE '%/'
+                                  THEN COALESCE(NULLIF(
+                                           regexp_replace(p, '/+$', ''), ''), '/')
+                                  ELSE p END AS canonical_url
+              FROM rest)
             SELECT canonical_url, COUNT(*) AS n_variants,
                    MIN(doc_id) AS keep_doc_id
             FROM canon GROUP BY 1

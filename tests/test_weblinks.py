@@ -89,6 +89,29 @@ def test_resolve_href_cases():
     assert host_of("not a url") == ""
 
 
+def test_resolve_href_urljoin_parity_edges():
+    """The RFC-subset resolver matches urllib.parse.urljoin on the shapes
+    crawl html actually produces — including the ones the synthetic corpus
+    never exercises (path-less base, dot segments, scheme-relative under
+    http, query-only refs)."""
+    cases = [
+        ("more", "https://news.example.org"),           # base has NO path
+        ("a/b", "https://h.x"),
+        ("../c", "https://h.x/a/b"),
+        ("../../up", "https://h.x/a/b/c"),
+        ("../../../past-root", "https://h.x/a"),
+        ("./here", "https://h.x/a/b"),
+        (".", "https://h.x/a/b"),
+        ("..", "https://h.x/a/b/"),
+        ("/a/../b", "https://h.x/p/q"),
+        ("//cdn.x/y", "http://h.x/p"),                   # inherits http
+        ("?page=2", "https://h.x/a/b"),
+        ("c?x=1", "https://h.x/a/b"),
+    ]
+    for href, base in cases:
+        assert resolve_href(href, base) == urljoin(base, href), (href, base)
+
+
 def test_canonical_url_properties():
     """Idempotence + invariants over generated URLs: a second normalization
     is a no-op, and no canonical form carries a fragment or tracking param."""
@@ -149,6 +172,13 @@ def test_extract_links_markup_shapes():
     ]
     assert extract_links(None, base) == []
     assert extract_links(b"", base) == []
+    # unquoted href attributes are legal HTML and must extract
+    assert extract_links(b"<a href=/about>x</a>", base) == [
+        ("https://h.example.com/about", "x")
+    ]
+    assert extract_links(b"<a href=https://a.b/u class=nav>u</a>", base) == [
+        ("https://a.b/u", "u")
+    ]
 
 
 def test_canonical_url_cases():
@@ -163,8 +193,10 @@ def test_canonical_url_cases():
     )
     # all-tracking query disappears entirely (no dangling '?')
     assert canonical_url("https://e.org/p?utm_a=1&gclid=z") == "https://e.org/p"
-    # trailing slash stripped on non-root paths, root kept
+    # trailing slash(es) stripped on non-root paths, root kept
     assert canonical_url("https://e.org/a/b/") == "https://e.org/a/b"
+    assert canonical_url("https://e.org/a//") == "https://e.org/a"
+    assert canonical_url("https://e.org///") == "https://e.org/"
     assert canonical_url("https://e.org/") == "https://e.org/"
     assert canonical_url("https://e.org") == "https://e.org"
     # non-URL strings pass through
@@ -268,8 +300,9 @@ def test_anchor_top_terms_matches_gold(small_pages_dir):
 
 def test_crawl_frontier_matches_pandas_replication(small_pages_dir):
     """Composition check: n_pages/latest_ts from the pages table, pr carried
-    from host_pagerank (already pinned above), priority = pr × age_µs, and
-    uncrawled link-target hosts present with n_pages=0 / maximal age."""
+    from host_pagerank (already pinned above), priority = pr × age_DAYS
+    (day granularity keeps the int64 product overflow-safe), and uncrawled
+    link-target hosts present with n_pages=0 / maximal age."""
     from ner_extractor_ray.functions.weblinks import crawl_frontier, host_pagerank
     from ner_extractor_ray.pipelines.kg import pages_dataset
 
@@ -295,7 +328,8 @@ def test_crawl_frontier_matches_pandas_replication(small_pages_dir):
     )
     now_us = int(pages["ts_us"].max())
 
-    want = pr.set_index("host").join(crawled, how="left")
+    want = pr.set_index("host").join(crawled, how="outer")
+    want["pr"] = want["pr"].fillna(0).astype("int64")
     want["n_pages"] = want["n_pages"].fillna(0).astype("int64")
     want["latest_ts"] = want["latest_ts"].fillna(0).astype("int64")
     want["priority"] = want["pr"].astype("int64") * (
@@ -329,6 +363,9 @@ def test_crawl_frontier_uncrawled_host(tmp_path):
     rows = [
         page("https://a.example/p1", 1 * DAY, ["https://b.example/q", "https://ghost.example/z"]),
         page("https://b.example/q", 3 * DAY, ["https://a.example/p1"]),
+        # crawled host with ONLY an intra-host link: absent from the link
+        # graph, must still appear in the frontier (pr=0, never dropped)
+        page("https://lonely.example/r", 2 * DAY, ["https://lonely.example/other"]),
     ]
     t = pa.table({k: [r[k] for r in rows] for k in rows[0]}).cast(
         pa.schema(
@@ -358,6 +395,10 @@ def test_crawl_frontier_uncrawled_host(tmp_path):
     assert out.loc["a.example", "priority"] == out.loc["a.example", "pr"] * 2
     assert out.loc["b.example", "priority"] == 0
     assert out.loc["b.example", "n_pages"] == 1
+    # link-isolated crawled host survives the outer join with pr=0
+    assert out.loc["lonely.example", "n_pages"] == 1
+    assert out.loc["lonely.example", "pr"] == 0
+    assert out.loc["lonely.example", "priority"] == 0
 
 
 def test_host_pagerank_deterministic_and_skew(small_pages_dir):
