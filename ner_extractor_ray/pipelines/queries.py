@@ -18,6 +18,7 @@ shuffle joins; top-k as per-batch partial top-k → tiny global sort.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 
@@ -1693,6 +1694,74 @@ def q_url_canonical_dedup(sf_dir: str):
         Min("keep_doc_id", alias_name="keep_doc_id"),
     )
     return out.sort("canonical_url")
+
+
+def q_redirect_resolve(sf_dir: str):
+    """Redirect/alias CHAIN RESOLUTION — the crawl op that maps every URL to
+    its terminal target through arbitrarily long redirect chains (301 hops,
+    URL aliases), plus the hop count. The synthetic redirect function is
+    next(d) = d/2 for even d (odd ids and 0 are terminal), so chains are
+    d → d/2 → … → odd, length = trailing-zero count of d — which gives the
+    oracle a CLOSED FORM: target = d // (d & -d), hops = bit_count((d & -d)
+    − 1). No recursion in SQL, yet the engine must genuinely follow chains.
+
+    Plan: RECURSIVE DOUBLING — ptr_{k+1}(x) = ptr_k(ptr_k(x)), hops add —
+    one partitioned self-``hash_join`` per round on the node-sized pointer
+    table, rounds = ⌈log₂(bit-length of max id)⌉ ≥ ⌈log₂ max_chain⌉ (4 at
+    sf0.01; a 10¹²-url table needs 6). Terminals self-loop so saturation
+    is free. This is the pointer-jumping primitive canonicalization's
+    connected components already uses, applied to a functional graph."""
+    from ..stages.joins import hash_join
+
+    def init(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
+        even = (d % 2 == 0) & (d > 0)
+        ptr = np.where(even, d // 2, d)
+        hops = even.astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(d, pa.int64()),
+             "ptr": pa.array(ptr, pa.int64()),
+             "hops": pa.array(hops, pa.int64())}
+        )
+
+    state = _rp(sf_dir, "documents", ["doc_id"]).map_batches(
+        init, batch_format="pyarrow"
+    ).materialize()
+    # rounds sized to the longest POSSIBLE chain: max hops = bit-length of
+    # the max id, doubling covers 2^rounds hops. Partition count stays small
+    # — the pointer table is node-sized, and each extra partition is a fixed
+    # per-round task cost, not a win, until the table outgrows one heap.
+    max_id = int(state.max("doc_id") or 0)
+    rounds = max(1, math.ceil(math.log2(max(2, max_id.bit_length()))))
+    nparts = 8
+    for _ in range(rounds):
+        right = state.map_batches(
+            lambda t: pa.table(
+                {"ptr": pc.cast(t.column("doc_id"), pa.int64()),
+                 "ptr_b": pc.cast(t.column("ptr"), pa.int64()),
+                 "hops_b": pc.cast(t.column("hops"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(state, right, on=["ptr"], num_partitions=nparts)
+        state = joined.map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": df["doc_id"].astype("int64"),
+                 "ptr": df["ptr_b"].astype("int64"),
+                 "hops": (df["hops"] + df["hops_b"]).astype("int64")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    out = state.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "target_id": df["ptr"].astype("int64"),
+             "n_hops": df["hops"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    return out.sort("doc_id")
 
 
 def q_crawl_frontier(sf_dir: str):
@@ -10337,6 +10406,7 @@ def queries() -> dict:
         "merge_upsert": q_merge_upsert,
         "url_canonical_dedup": q_url_canonical_dedup,
         "crawl_frontier": q_crawl_frontier,
+        "redirect_resolve": q_redirect_resolve,
     }
 
 
@@ -13489,6 +13559,16 @@ def oracle_sql() -> dict:
             LEFT JOIN sxy ON sxy.ta = p.ta AND sxy.tb = p.tb
             JOIN sx x ON x.event_type = p.ta
             JOIN sx y ON y.event_type = p.tb
+        """,
+        "redirect_resolve": """
+            -- closed form for the chain d -> d/2 (even) -> ... -> odd:
+            -- the terminal strips all factors of two (lowest-set-bit trick)
+            SELECT doc_id,
+                   CASE WHEN doc_id = 0 THEN 0
+                        ELSE doc_id // (doc_id & -doc_id) END AS target_id,
+                   CASE WHEN doc_id = 0 THEN 0
+                        ELSE bit_count((doc_id & -doc_id) - 1) END AS n_hops
+            FROM documents
         """,
         "url_canonical_dedup": """
             WITH u AS (
