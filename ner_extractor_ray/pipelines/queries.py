@@ -1764,6 +1764,56 @@ def q_redirect_resolve(sf_dir: str):
     return out.sort("doc_id")
 
 
+def q_rendezvous_shards(sf_dir: str):
+    """Rendezvous (highest-random-weight) consistent shard assignment + the
+    RESHARD MOVEMENT MATRIX for growing 8 → 9 shards — the partitioner
+    primitive a 100-TB store uses so adding capacity moves only ~1/(S+1) of
+    the data: shard(d) = argmax_s md5(d:s), and because every candidate
+    weight is independent of S, a document's argmax under S+1 shards either
+    stays put or moves TO the new shard — never between old shards. The
+    output (old_shard, new_shard, n_docs) makes that invariant visible
+    (every off-diagonal row has new_shard = 8) and the oracle replicates
+    both argmaxes in SQL (md5 hex compares identically). md5 is the
+    oracle-parity choice; a production reshard would use the crc32-style
+    fast path, same convention as the minhash family.
+
+    Plan: row-local double argmax inside map_batches, per-batch (old, new)
+    partial counts, ONE bucketed exchange over the ≤ S·(S+1) matrix cells."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+
+    S_OLD, S_NEW = 8, 9
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
+        old = np.empty(len(ids), dtype=np.int64)
+        new = np.empty(len(ids), dtype=np.int64)
+        for i, d in enumerate(ids):
+            hs = [hashlib.md5(f"{d}:{s}".encode()).hexdigest()
+                  for s in range(S_NEW)]
+            old[i] = max(range(S_OLD), key=hs.__getitem__)
+            new[i] = max(range(S_NEW), key=hs.__getitem__)
+        part = (
+            pd.DataFrame({"old_shard": old, "new_shard": new})
+            .groupby(["old_shard", "new_shard"], sort=False)
+            .size()
+            .reset_index(name="n_docs")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    cells = grouped_aggregate(
+        _rp(sf_dir, "documents", ["doc_id"]).map_batches(
+            assign, batch_format="pyarrow"
+        ),
+        ["old_shard", "new_shard"],
+        Sum("n_docs", alias_name="n_docs"),
+    )
+    return cells.sort(["old_shard", "new_shard"])
+
+
 def q_crawl_frontier(sf_dir: str):
     """Recrawl-prioritization frontier over the synthetic crawl: per host —
     page count, latest capture, PageRank, priority = pr × staleness in
@@ -10407,6 +10457,7 @@ def queries() -> dict:
         "url_canonical_dedup": q_url_canonical_dedup,
         "crawl_frontier": q_crawl_frontier,
         "redirect_resolve": q_redirect_resolve,
+        "rendezvous_shards": q_rendezvous_shards,
     }
 
 
@@ -13559,6 +13610,22 @@ def oracle_sql() -> dict:
             LEFT JOIN sxy ON sxy.ta = p.ta AND sxy.tb = p.tb
             JOIN sx x ON x.event_type = p.ta
             JOIN sx y ON y.event_type = p.tb
+        """,
+        "rendezvous_shards": """
+            WITH sh AS (SELECT range AS shard FROM range(9)),
+            h AS (SELECT doc_id, shard,
+                         md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(shard AS VARCHAR)) AS hv
+                  FROM documents, sh),
+            o AS (SELECT doc_id, shard AS old_shard FROM h WHERE shard < 8
+                  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY hv DESC, shard) = 1),
+            n AS (SELECT doc_id, shard AS new_shard FROM h
+                  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY hv DESC, shard) = 1)
+            SELECT old_shard, new_shard, COUNT(*) AS n_docs
+            FROM o JOIN n USING (doc_id)
+            GROUP BY 1, 2
         """,
         "redirect_resolve": """
             -- closed form for the chain d -> d/2 (even) -> ... -> odd:

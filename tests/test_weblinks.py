@@ -401,6 +401,19 @@ def test_crawl_frontier_uncrawled_host(tmp_path):
     assert out.loc["lonely.example", "priority"] == 0
 
 
+def test_rendezvous_movement_invariant():
+    """Consistent-hashing guarantee: growing 8 → 9 shards moves documents
+    ONLY to the new shard (off-diagonal ⇒ new_shard == 8), and the moved
+    fraction is near the expected 1/9."""
+    from ner_extractor_ray.pipelines.queries import q_rendezvous_shards
+
+    df = q_rendezvous_shards("/root/testdata/sf0.001").to_pandas()
+    moved = df[df["old_shard"] != df["new_shard"]]
+    assert (moved["new_shard"] == 8).all()
+    frac = moved["n_docs"].sum() / df["n_docs"].sum()
+    assert 0.03 < frac < 0.25  # E = 1/9 ≈ 0.11; 250 docs → loose bounds
+
+
 def test_host_pagerank_deterministic_and_skew(small_pages_dir):
     from ner_extractor_ray.functions.weblinks import host_pagerank
     from ner_extractor_ray.pipelines.kg import pages_dataset
