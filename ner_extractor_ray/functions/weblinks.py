@@ -33,6 +33,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .hashing import stable_hash64
 
@@ -277,6 +278,132 @@ def anchor_top_terms(pages_ds, *, k: int = 3, include_self: bool = False):
         .drop_columns(["_b"])
     )
     return out
+
+
+def dangling_links(pages_ds, *, broadcast_limit: int = 2_000_000):
+    """Broken/dangling-link audit → (dst_host, n_links, n_dangling): of the
+    cross-host links a crawl extracted, how many point at URLs the crawl
+    never captured. The coverage signal a frontier feeds on, and the
+    anti-join-at-crawl-scale pattern: link targets vs the crawled URL set.
+
+    Plan: Bloom of crawled urls built distributed and broadcast ONCE
+    (functions/bloom.py) → every link probes it row-locally. Bloom
+    NEGATIVES are definitely dangling (no false negatives) and never
+    shuffle; only Bloom POSITIVES — true matches + the small FP slice —
+    need exact verification: against a broadcast url set below
+    ``broadcast_limit`` pages, else a partitioned LEFT ``hash_join``
+    against the url table with a match flag (the kg.py gate pattern).
+    Exactness is independent of the Bloom FP rate. All aggregation is
+    per-batch partial counts into bucketed host-sized exchanges."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+    from .bloom import build_bloom
+
+    urls_ds = pages_ds.select_columns(["url"])
+    bloom_ref = _ray.put(build_bloom(urls_ds, "url"))
+
+    links = links_table(pages_ds.select_columns(["url", "html"]))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bf = _ray.get(bloom_ref)
+        keep = [
+            (h, u)
+            for s, h, u in zip(
+                t.column("src_host").to_pylist(),
+                t.column("dst_host").to_pylist(),
+                t.column("dst_url").to_pylist(),
+            )
+            if s != h
+        ]
+        hosts = [h for h, _ in keep]
+        urls = [u for _, u in keep]
+        maybe = [u in bf for u in urls]
+        return pa.table(
+            {"dst_host": pa.array(hosts, pa.string()),
+             "dst_url": pa.array(urls, pa.string()),
+             "maybe": pa.array(maybe, pa.bool_())}
+        )
+
+    probed = links.map_batches(probe, batch_format="pyarrow").materialize()
+
+    def count_by_host(name):
+        def fn(t: pa.Table) -> pd.DataFrame:
+            return (
+                t.select(["dst_host"]).to_pandas()
+                .groupby("dst_host", sort=False).size().reset_index(name=name)
+            )
+        return fn
+
+    totals = grouped_aggregate(
+        probed.map_batches(count_by_host("n_links"), batch_format="pyarrow"),
+        ["dst_host"], Sum("n_links", alias_name="n_links"),
+    )
+    definite = probed.map_batches(
+        lambda t: t.filter(pc.invert(t.column("maybe"))),
+        batch_format="pyarrow",
+    )
+    maybes = probed.map_batches(
+        lambda t: t.filter(t.column("maybe")).select(["dst_host", "dst_url"]),
+        batch_format="pyarrow",
+    )
+
+    n_pages = urls_ds.count()
+    if n_pages <= broadcast_limit:
+        url_set_ref = _ray.put(
+            frozenset(r["url"] for r in urls_ds.take_all())
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            s = _ray.get(url_set_ref)
+            mask = [u not in s for u in t.column("dst_url").to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        fp_dangling = maybes.map_batches(verify, batch_format="pyarrow")
+    else:
+        flagged = hash_join(
+            maybes,
+            urls_ds.map_batches(
+                lambda t: pa.table(
+                    {"dst_url": t.column("url"),
+                     "hit": pa.array(np.ones(t.num_rows, np.int64))}
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["dst_url"], how="left",
+        )
+        fp_dangling = flagged.map_batches(
+            lambda df: df[df["hit"].fillna(0).astype("int64") == 0][
+                ["dst_host", "dst_url"]
+            ],
+            batch_format="pandas",
+        )
+
+    dangling = grouped_aggregate(
+        definite.select_columns(["dst_host"]).union(
+            fp_dangling.select_columns(["dst_host"])
+        ).map_batches(count_by_host("n_dangling"), batch_format="pyarrow"),
+        ["dst_host"], Sum("n_dangling", alias_name="n_dangling"),
+    ).materialize()
+    if dangling.count() == 0:
+        # fully-resolved crawl: zero-fill without joining an empty side
+        # (empty datasets have no schema — Dataset.join/union on them throws)
+        return totals.map_batches(
+            lambda df: df.assign(n_dangling=np.int64(0)),
+            batch_format="pandas",
+        )
+
+    out = hash_join(totals, dangling, on=["dst_host"], how="left")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"dst_host": df["dst_host"],
+             "n_links": df["n_links"].astype("int64"),
+             "n_dangling": df["n_dangling"].fillna(0).astype("int64")}
+        ),
+        batch_format="pandas",
+    )
 
 
 def crawl_frontier(pages_ds, *, n_iters: int = 3):

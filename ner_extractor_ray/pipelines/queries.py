@@ -1764,6 +1764,20 @@ def q_redirect_resolve(sf_dir: str):
     return out.sort("doc_id")
 
 
+def q_dangling_links(sf_dir: str):
+    """Broken-link audit of the synthetic crawl: per destination host, how
+    many cross-host link targets were never captured (Bloom prefilter +
+    gated exact verify — functions/weblinks.dangling_links). Rows-only; a
+    pandas replication on gold_links pins BOTH verify paths in
+    tests/test_weblinks.py."""
+    from ..functions.weblinks import dangling_links
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    out = dangling_links(pages_dataset(pdir))
+    return out.sort("dst_host")
+
+
 def q_rendezvous_shards(sf_dir: str):
     """Rendezvous (highest-random-weight) consistent shard assignment + the
     RESHARD MOVEMENT MATRIX for growing 8 → 9 shards — the partitioner
@@ -10458,6 +10472,7 @@ def queries() -> dict:
         "crawl_frontier": q_crawl_frontier,
         "redirect_resolve": q_redirect_resolve,
         "rendezvous_shards": q_rendezvous_shards,
+        "dangling_links": q_dangling_links,
     }
 
 

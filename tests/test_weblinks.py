@@ -401,6 +401,46 @@ def test_crawl_frontier_uncrawled_host(tmp_path):
     assert out.loc["lonely.example", "priority"] == 0
 
 
+@pytest.mark.parametrize("broadcast_limit", [2_000_000, 0])
+def test_dangling_links_matches_gold(small_pages_dir, broadcast_limit):
+    """Both verify paths (broadcast url-set and Bloom + partitioned left
+    hash_join at limit=0) must equal the pandas replication on gold_links:
+    a cross-host target dangles iff its url is not a crawled page url."""
+    from ner_extractor_ray.functions.weblinks import dangling_links
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+
+    got = (
+        dangling_links(
+            pages_dataset(small_pages_dir), broadcast_limit=broadcast_limit
+        )
+        .to_pandas()
+        .sort_values("dst_host")
+        .reset_index(drop=True)
+    )
+    gold = pq.read_table(os.path.join(small_pages_dir, "gold_links.parquet")).to_pandas()
+    crawled = set()
+    for url, _ in _pages_rows(small_pages_dir):
+        crawled.add(url)
+    df = gold.assign(
+        src_host=gold["src_url"].map(lambda u: urlsplit(u).netloc.lower()),
+        dst_host=gold["dst_url"].map(lambda u: urlsplit(u).netloc.lower()),
+    )
+    df = df[df["src_host"] != df["dst_host"]]
+    df["dangling"] = ~df["dst_url"].isin(crawled)
+    want = (
+        df.groupby("dst_host")
+        .agg(n_links=("dst_url", "size"), n_dangling=("dangling", "sum"))
+        .reset_index()
+        .sort_values("dst_host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_links": "int64", "n_dangling": "int64"}),
+        want.astype({"n_links": "int64", "n_dangling": "int64"}),
+    )
+    assert got["n_dangling"].sum() > 0  # the 20k-article universe dangles
+
+
 def test_rendezvous_movement_invariant():
     """Consistent-hashing guarantee: growing 8 → 9 shards moves documents
     ONLY to the new shard (off-diagonal ⇒ new_shard == 8), and the moved
