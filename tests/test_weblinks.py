@@ -441,6 +441,32 @@ def test_dangling_links_matches_gold(small_pages_dir, broadcast_limit):
     assert got["n_dangling"].sum() > 0  # the 20k-article universe dangles
 
 
+def test_host_link_graph_format_independent(small_pages_dir, tmp_path):
+    """The web family is source-format-agnostic: the host link graph built
+    from the WARC and JSONL readers is identical to the Parquet path (same
+    pages, same seed)."""
+    from ner_extractor_ray.functions.weblinks import host_link_graph
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+    from ner_extractor_ray.sources.pages import pages_dataset_jsonl, write_pages_jsonl
+    from ner_extractor_ray.sources.warc import pages_dataset_warc, write_pages_warc
+
+    wdir, jdir = str(tmp_path / "warc"), str(tmp_path / "jsonl")
+    write_pages_warc(wdir, 300, seed=42, n_files=4)
+    write_pages_jsonl(jdir, 300, seed=42, n_files=4)
+
+    def graph(ds):
+        return (
+            host_link_graph(ds)
+            .to_pandas()
+            .sort_values(["src_host", "dst_host"])
+            .reset_index(drop=True)
+        )
+
+    base = graph(pages_dataset(small_pages_dir))
+    pd.testing.assert_frame_equal(base, graph(pages_dataset_warc(wdir)))
+    pd.testing.assert_frame_equal(base, graph(pages_dataset_jsonl(jdir)))
+
+
 def test_rendezvous_movement_invariant():
     """Consistent-hashing guarantee: growing 8 → 9 shards moves documents
     ONLY to the new shard (off-diagonal ⇒ new_shard == 8), and the moved
