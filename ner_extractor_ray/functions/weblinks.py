@@ -286,30 +286,34 @@ def dangling_links(pages_ds, *, broadcast_limit: int = 2_000_000):
     never captured. The coverage signal a frontier feeds on, and the
     anti-join-at-crawl-scale pattern: link targets vs the crawled URL set.
 
-    Plan: Bloom of crawled urls built distributed and broadcast ONCE
-    (functions/bloom.py) → every link probes it row-locally. Bloom
-    NEGATIVES are definitely dangling (no false negatives) and never
-    shuffle; only Bloom POSITIVES — true matches + the small FP slice —
-    need exact verification: against a broadcast url set below
-    ``broadcast_limit`` pages, else a partitioned LEFT ``hash_join``
-    against the url table with a match flag (the kg.py gate pattern).
+    Plan, gated on the crawled-url count (computed FIRST, one url scan —
+    the url projection is materialized and reused):
+    - ≤ ``broadcast_limit`` pages: the exact url frozenset is broadcast and
+      every link probes it directly — a Bloom would be pure overhead when
+      the exact set itself fits (functions/bloom.py's own guidance).
+    - above the limit: a Bloom SIZED TO THE KEY COUNT (~10 bits/key, so it
+      never saturates at exactly the scale this path exists for) is built
+      distributed and broadcast; Bloom NEGATIVES are definitely dangling
+      (no false negatives) and never shuffle, and only POSITIVES — true
+      matches + the ~1% FP slice — take the partitioned flagged LEFT
+      ``hash_join`` against the url table (the kg.py gate pattern).
     Exactness is independent of the Bloom FP rate. All aggregation is
-    per-batch partial counts into bucketed host-sized exchanges."""
-    import ray as _ray
-    from ray.data.aggregate import Sum
+    per-batch partial counts into bucketed host-sized exchanges
+    (pre_aggregated_count)."""
+    import math as _math
 
-    from ..stages.canonicalize import grouped_aggregate
+    import ray as _ray
+
+    from ..stages.canonicalize import pre_aggregated_count
     from ..stages.joins import hash_join
     from .bloom import build_bloom
 
-    urls_ds = pages_ds.select_columns(["url"])
-    bloom_ref = _ray.put(build_bloom(urls_ds, "url"))
-
+    urls_ds = pages_ds.select_columns(["url"]).materialize()
+    n_pages = urls_ds.count()
     links = links_table(pages_ds.select_columns(["url", "html"]))
 
-    def probe(t: pa.Table) -> pa.Table:
-        bf = _ray.get(bloom_ref)
-        keep = [
+    def cross_host(t: pa.Table) -> list[tuple[str, str]]:
+        return [
             (h, u)
             for s, h, u in zip(
                 t.column("src_host").to_pylist(),
@@ -318,51 +322,47 @@ def dangling_links(pages_ds, *, broadcast_limit: int = 2_000_000):
             )
             if s != h
         ]
-        hosts = [h for h, _ in keep]
-        urls = [u for _, u in keep]
-        maybe = [u in bf for u in urls]
-        return pa.table(
-            {"dst_host": pa.array(hosts, pa.string()),
-             "dst_url": pa.array(urls, pa.string()),
-             "maybe": pa.array(maybe, pa.bool_())}
-        )
 
-    probed = links.map_batches(probe, batch_format="pyarrow").materialize()
-
-    def count_by_host(name):
-        def fn(t: pa.Table) -> pd.DataFrame:
-            return (
-                t.select(["dst_host"]).to_pandas()
-                .groupby("dst_host", sort=False).size().reset_index(name=name)
-            )
-        return fn
-
-    totals = grouped_aggregate(
-        probed.map_batches(count_by_host("n_links"), batch_format="pyarrow"),
-        ["dst_host"], Sum("n_links", alias_name="n_links"),
-    )
-    definite = probed.map_batches(
-        lambda t: t.filter(pc.invert(t.column("maybe"))),
-        batch_format="pyarrow",
-    )
-    maybes = probed.map_batches(
-        lambda t: t.filter(t.column("maybe")).select(["dst_host", "dst_url"]),
-        batch_format="pyarrow",
-    )
-
-    n_pages = urls_ds.count()
     if n_pages <= broadcast_limit:
-        url_set_ref = _ray.put(
-            frozenset(r["url"] for r in urls_ds.take_all())
-        )
+        url_set_ref = _ray.put(frozenset(r["url"] for r in urls_ds.take_all()))
 
-        def verify(t: pa.Table) -> pa.Table:
+        def probe_exact(t: pa.Table) -> pa.Table:
             s = _ray.get(url_set_ref)
-            mask = [u not in s for u in t.column("dst_url").to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
+            keep = cross_host(t)
+            return pa.table(
+                {"dst_host": pa.array([h for h, _ in keep], pa.string()),
+                 "dangling": pa.array([u not in s for _, u in keep], pa.bool_())}
+            )
 
-        fp_dangling = maybes.map_batches(verify, batch_format="pyarrow")
+        tagged = links.map_batches(probe_exact, batch_format="pyarrow").materialize()
+        totals = pre_aggregated_count(tagged, ["dst_host"], "n_links")
+        dang_rows = tagged.map_batches(
+            lambda t: t.filter(t.column("dangling")).select(["dst_host"]),
+            batch_format="pyarrow",
+        )
     else:
+        n_bits = 1 << max(20, _math.ceil(_math.log2(n_pages * 10)))
+        bloom_ref = _ray.put(build_bloom(urls_ds, "url", n_bits=n_bits))
+
+        def probe_bloom(t: pa.Table) -> pa.Table:
+            bf = _ray.get(bloom_ref)
+            keep = cross_host(t)
+            return pa.table(
+                {"dst_host": pa.array([h for h, _ in keep], pa.string()),
+                 "dst_url": pa.array([u for _, u in keep], pa.string()),
+                 "maybe": pa.array([u in bf for _, u in keep], pa.bool_())}
+            )
+
+        probed = links.map_batches(probe_bloom, batch_format="pyarrow").materialize()
+        totals = pre_aggregated_count(probed, ["dst_host"], "n_links")
+        definite = probed.map_batches(
+            lambda t: t.filter(pc.invert(t.column("maybe"))).select(["dst_host"]),
+            batch_format="pyarrow",
+        )
+        maybes = probed.map_batches(
+            lambda t: t.filter(t.column("maybe")).select(["dst_host", "dst_url"]),
+            batch_format="pyarrow",
+        )
         flagged = hash_join(
             maybes,
             urls_ds.map_batches(
@@ -375,18 +375,12 @@ def dangling_links(pages_ds, *, broadcast_limit: int = 2_000_000):
             on=["dst_url"], how="left",
         )
         fp_dangling = flagged.map_batches(
-            lambda df: df[df["hit"].fillna(0).astype("int64") == 0][
-                ["dst_host", "dst_url"]
-            ],
+            lambda df: df[df["hit"].fillna(0).astype("int64") == 0][["dst_host"]],
             batch_format="pandas",
         )
+        dang_rows = definite.union(fp_dangling)
 
-    dangling = grouped_aggregate(
-        definite.select_columns(["dst_host"]).union(
-            fp_dangling.select_columns(["dst_host"])
-        ).map_batches(count_by_host("n_dangling"), batch_format="pyarrow"),
-        ["dst_host"], Sum("n_dangling", alias_name="n_dangling"),
-    ).materialize()
+    dangling = pre_aggregated_count(dang_rows, ["dst_host"], "n_dangling").materialize()
     if dangling.count() == 0:
         # fully-resolved crawl: zero-fill without joining an empty side
         # (empty datasets have no schema — Dataset.join/union on them throws)

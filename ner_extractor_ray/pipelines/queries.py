@@ -1743,12 +1743,17 @@ def q_redirect_resolve(sf_dir: str):
             ),
             batch_format="pyarrow",
         )
-        joined = hash_join(state, right, on=["ptr"], num_partitions=nparts)
+        # LEFT join + coalesce: a pointer target outside the id domain
+        # (non-dense tables, filtered subsets) keeps its row as-is instead
+        # of being silently dropped by an inner join
+        joined = hash_join(state, right, on=["ptr"], how="left",
+                           num_partitions=nparts)
         state = joined.map_batches(
             lambda df: pd.DataFrame(
                 {"doc_id": df["doc_id"].astype("int64"),
-                 "ptr": df["ptr_b"].astype("int64"),
-                 "hops": (df["hops"] + df["hops_b"]).astype("int64")}
+                 "ptr": df["ptr_b"].where(df["ptr_b"].notna(), df["ptr"])
+                 .astype("int64"),
+                 "hops": (df["hops"] + df["hops_b"].fillna(0)).astype("int64")}
             ),
             batch_format="pandas",
         ).materialize()

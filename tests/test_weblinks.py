@@ -477,7 +477,7 @@ def test_rendezvous_movement_invariant():
     moved = df[df["old_shard"] != df["new_shard"]]
     assert (moved["new_shard"] == 8).all()
     frac = moved["n_docs"].sum() / df["n_docs"].sum()
-    assert 0.03 < frac < 0.25  # E = 1/9 ≈ 0.11; 250 docs → loose bounds
+    assert 0.03 < frac < 0.25  # E = 1/9 ≈ 0.11; 500 docs → ~6σ bounds
 
 
 def test_host_pagerank_deterministic_and_skew(small_pages_dir):
