@@ -280,6 +280,31 @@ def anchor_top_terms(pages_ds, *, k: int = 3, include_self: bool = False):
     return out
 
 
+def write_link_graph(pages_ds, out_dir: str, *, n_partitions: int = 16) -> dict:
+    """Materialize the host link graph as a RESUMABLE partitioned Parquet
+    table — the same per-partition lineage manifests, partition-aligned
+    sorted writes and kill-and-rerun compute-skip the flagship KG tables get
+    (stages/materialize.py): ``out_dir/host_graph/part=<k>/`` + manifests.
+
+    Partitioned by ``src_host`` hash, rows sorted (src_host, dst_host)
+    within each partition, so a re-crawl's incremental merge and any
+    downstream reader get deterministic, splittable input. Returns the
+    table manifest dict."""
+    import os as _os
+
+    from ..stages.materialize import write_partitioned
+
+    g = host_link_graph(pages_ds)
+    return write_partitioned(
+        g,
+        _os.path.join(out_dir, "host_graph"),
+        "src_host",
+        n_partitions=n_partitions,
+        sort_key=["src_host", "dst_host"],
+        lineage={"stage": "host_link_graph", "source": "pages"},
+    )
+
+
 def dangling_links(pages_ds, *, broadcast_limit: int = 2_000_000):
     """Broken/dangling-link audit → (dst_host, n_links, n_dangling): of the
     cross-host links a crawl extracted, how many point at URLs the crawl

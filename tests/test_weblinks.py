@@ -467,6 +467,61 @@ def test_host_link_graph_format_independent(small_pages_dir, tmp_path):
     pd.testing.assert_frame_equal(base, graph(pages_dataset_jsonl(jdir)))
 
 
+def test_write_link_graph_resumable(small_pages_dir, tmp_path):
+    """The link graph materializes through the same manifest machinery as
+    the KG tables: partitioned sorted parquet + per-partition manifests,
+    rerun skips completed partitions, and the written rows equal the
+    in-memory graph."""
+    import glob
+    import json
+    import time
+
+    from ner_extractor_ray.functions.weblinks import host_link_graph, write_link_graph
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+
+    out = str(tmp_path / "linkgraph")
+    man = write_link_graph(pages_dataset(small_pages_dir), out, n_partitions=4)
+    tdir = os.path.join(out, "host_graph")
+    assert os.path.exists(os.path.join(tdir, "_TABLE_MANIFEST.json"))
+    pmans = sorted(glob.glob(os.path.join(tdir, "part=*/_MANIFEST.json")))
+    assert pmans  # every written partition carries its lineage manifest
+
+    files = sorted(glob.glob(os.path.join(tdir, "part=*/*.parquet")))
+    written = (
+        pa.concat_tables([pq.read_table(f) for f in files])
+        .to_pandas()
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    mem = (
+        host_link_graph(pages_dataset(small_pages_dir))
+        .to_pandas()
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        written[["src_host", "dst_host", "n_links"]].astype({"n_links": "int64"}),
+        mem.astype({"n_links": "int64"}),
+    )
+
+    # resume: rerun must skip every completed partition (files untouched)
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    write_link_graph(pages_dataset(small_pages_dir), out, n_partitions=4)
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+
+    # torn-write recovery: drop one partition's manifest → only it rewrites
+    victim = pmans[0]
+    vdir = os.path.dirname(victim)
+    os.remove(victim)
+    time.sleep(0.01)
+    write_link_graph(pages_dataset(small_pages_dir), out, n_partitions=4)
+    assert os.path.exists(victim)
+    untouched = {f: os.path.getmtime(f) for f in files if not f.startswith(vdir)}
+    assert all(mtimes[f] == t for f, t in untouched.items())
+    with open(victim) as fh:
+        assert json.load(fh)["rows"] > 0
+
+
 def test_rendezvous_movement_invariant():
     """Consistent-hashing guarantee: growing 8 → 9 shards moves documents
     ONLY to the new shard (off-diagonal ⇒ new_shard == 8), and the moved
