@@ -305,6 +305,47 @@ def write_link_graph(pages_ds, out_dir: str, *, n_partitions: int = 16) -> dict:
     )
 
 
+def update_link_graph(
+    table_dir: str, delta_pages_ds, out_dir: str, *, n_partitions: int = 16
+) -> dict:
+    """INCREMENTAL graph maintenance: merge a delta crawl into a
+    materialized host graph (``write_link_graph`` layout) without touching
+    the old crawl's pages — the CDC sibling of the KG's incremental update.
+
+    The old side reads the AGGREGATED table (distinct-pair-sized, columns
+    pruned at the parquet scan); only the delta pages pay link extraction;
+    one bucketed Sum merges them — counts compose because Sum is
+    associative, so N delta crawls fold in N merges with no re-parse.
+    Output lands through the same partition-aligned manifest writer."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data as _rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.materialize import write_partitioned
+
+    files = sorted(
+        _glob.glob(_os.path.join(table_dir, "host_graph", "part=*", "*.parquet"))
+    )
+    old = _rd.read_parquet(files, columns=["src_host", "dst_host", "n_links"])
+    delta = host_link_graph(delta_pages_ds)
+    merged = grouped_aggregate(
+        old.union(delta),
+        ["src_host", "dst_host"],
+        Sum("n_links", alias_name="n_links"),
+    )
+    return write_partitioned(
+        merged,
+        _os.path.join(out_dir, "host_graph"),
+        "src_host",
+        n_partitions=n_partitions,
+        sort_key=["src_host", "dst_host"],
+        lineage={"stage": "host_link_graph", "delta_of": table_dir},
+    )
+
+
 def dangling_links(pages_ds, *, broadcast_limit: int = 2_000_000):
     """Broken/dangling-link audit → (dst_host, n_links, n_dangling): of the
     cross-host links a crawl extracted, how many point at URLs the crawl

@@ -522,6 +522,49 @@ def test_write_link_graph_resumable(small_pages_dir, tmp_path):
         assert json.load(fh)["rows"] > 0
 
 
+def test_update_link_graph_incremental_merge(small_pages_dir, tmp_path):
+    """Splitting the crawl in half and merging the second half as a DELTA
+    must equal the graph built from the full crawl in one pass — Sum
+    composes, no old page is re-parsed."""
+    from ner_extractor_ray.functions.weblinks import (
+        host_link_graph,
+        update_link_graph,
+        write_link_graph,
+    )
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+    from ner_extractor_ray.sources.pages import generate_pages
+
+    a_dir, b_dir = str(tmp_path / "crawl_a"), str(tmp_path / "crawl_b")
+    for d, start in ((a_dir, 0), (b_dir, 150)):
+        os.makedirs(d)
+        tbl, _ = generate_pages(150, seed=42, start_index=start)
+        pq.write_table(tbl, os.path.join(d, "pages-0000.parquet"))
+
+    out_a = str(tmp_path / "graph_a")
+    write_link_graph(pages_dataset(a_dir), out_a, n_partitions=4)
+    out_ab = str(tmp_path / "graph_ab")
+    update_link_graph(out_a, pages_dataset(b_dir), out_ab, n_partitions=4)
+
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out_ab, "host_graph", "part=*/*.parquet")))
+    merged = (
+        pa.concat_tables([pq.read_table(f) for f in files])
+        .to_pandas()[["src_host", "dst_host", "n_links"]]
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    full = (
+        host_link_graph(pages_dataset(small_pages_dir))
+        .to_pandas()
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        merged.astype({"n_links": "int64"}), full.astype({"n_links": "int64"})
+    )
+
+
 def test_rendezvous_movement_invariant():
     """Consistent-hashing guarantee: growing 8 → 9 shards moves documents
     ONLY to the new shard (off-diagonal ⇒ new_shard == 8), and the moved
