@@ -5,6 +5,7 @@
     python -m ner_extractor_ray.cli query NAME --sf-dir DIR [--out DIR]
     python -m ner_extractor_ray.cli query --list
     python -m ner_extractor_ray.cli curate --docs DIR --out DIR
+    python -m ner_extractor_ray.cli linkgraph --pages DIR --out DIR [--update-from DIR]
 
 Replaces the reference's env-var orchestrator→worker channel
 (NER_FOLD_* env injection, scripts/train_distilbert_crf.py:274-301;
@@ -249,6 +250,46 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def _pages_any_format(path: str, fmt: str):
+    """Open a pages corpus in any of the three source formats (url/html
+    columns only — the link family never reads text/lang)."""
+    cols = ["url", "html"]
+    if fmt == "jsonl":
+        from .sources.pages import pages_dataset_jsonl
+
+        return pages_dataset_jsonl(path, columns=cols)
+    if fmt == "warc":
+        from .sources.warc import pages_dataset_warc
+
+        return pages_dataset_warc(path, columns=cols)
+    import glob
+
+    import ray.data
+
+    files = sorted(glob.glob(os.path.join(path, "pages-*.parquet"))) or path
+    return ray.data.read_parquet(files, columns=cols)
+
+
+def cmd_linkgraph(args) -> int:
+    """Build — or incrementally extend — the materialized host link graph."""
+    _ensure_ray()
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .functions.weblinks import update_link_graph, write_link_graph
+
+    pages = _pages_any_format(args.pages, getattr(args, "format", "parquet"))
+    if args.update_from:
+        man = update_link_graph(
+            args.update_from, pages, args.out, n_partitions=args.n_partitions
+        )
+    else:
+        man = write_link_graph(pages, args.out, n_partitions=args.n_partitions)
+    print(json.dumps({"out": args.out, "rows": man.get("total_rows"),
+                      "partitions": len(man.get("partitions", {}))}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ner_extractor_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -325,6 +366,21 @@ def main(argv=None) -> int:
     cp.add_argument("--sort-key", default=None,
                     help="optional within-partition sort column")
     cp.set_defaults(fn=cmd_compact)
+
+    lg = sub.add_parser(
+        "linkgraph",
+        help="materialize the host link graph from a pages corpus "
+             "(resumable manifests); --update-from merges a delta crawl "
+             "into an existing graph without re-parsing old pages")
+    lg.add_argument("--pages", required=True)
+    lg.add_argument("--out", required=True)
+    lg.add_argument("--format", choices=["parquet", "jsonl", "warc"],
+                    default="parquet")
+    lg.add_argument("--update-from", default=None,
+                    help="existing graph dir (write_link_graph layout) to "
+                         "merge the delta into; output goes to --out")
+    lg.add_argument("--n-partitions", type=int, default=16)
+    lg.set_defaults(fn=cmd_linkgraph)
 
     gen = sub.add_parser("gen", help="generate the synthetic pages corpus")
     gen.add_argument("--out", required=True)

@@ -95,6 +95,35 @@ def test_cli_gen(tmp_path):
     assert (tmp_path / "pages" / "gold_triples.parquet").exists()
 
 
+def test_cli_linkgraph_build_and_update(tmp_path):
+    pages = str(tmp_path / "pages")
+    subprocess.run(
+        [sys.executable, "-m", "ner_extractor_ray.cli", "gen",
+         "--out", pages, "--n-pages", "40", "--n-files", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    g1 = str(tmp_path / "g1")
+    out = subprocess.run(
+        [sys.executable, "-m", "ner_extractor_ray.cli", "linkgraph",
+         "--pages", pages, "--out", g1, "--n-partitions", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["rows"] > 0 and info["partitions"] >= 1
+    assert (tmp_path / "g1" / "host_graph" / "_TABLE_MANIFEST.json").exists()
+
+    g2 = str(tmp_path / "g2")
+    out = subprocess.run(
+        [sys.executable, "-m", "ner_extractor_ray.cli", "linkgraph",
+         "--pages", pages, "--out", g2, "--update-from", g1,
+         "--n-partitions", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    info2 = json.loads(out.stdout.strip().splitlines()[-1])
+    # merging the same crawl again keeps the distinct-pair row count
+    assert info2["rows"] == info["rows"]
+
+
 def test_cli_query_list(capsys):
     from ner_extractor_ray.cli import main
 
