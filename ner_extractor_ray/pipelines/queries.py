@@ -1783,6 +1783,26 @@ def q_dangling_links(sf_dir: str):
     return out.sort("dst_host")
 
 
+def q_robots_filter(sf_dir: str):
+    """Robots-compliance gate on the crawl frontier: per destination host,
+    how many cross-host link targets are blocked by the host's robots.txt
+    (RFC 9309 longest-match over a deterministic per-host rules cache).
+    Rows-only; parser semantics and a pandas replication are pinned in
+    tests/test_weblinks.py."""
+    import ray.data as _rd
+
+    from ..functions.weblinks import robots_frontier_filter
+    from ..sources.pages import write_robots
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    rpath = os.path.join(pdir, "robots.parquet")
+    if not os.path.exists(rpath):
+        write_robots(pdir, seed=42)
+    out = robots_frontier_filter(pages_dataset(pdir), _rd.read_parquet(rpath))
+    return out.sort("dst_host")
+
+
 def q_rendezvous_shards(sf_dir: str):
     """Rendezvous (highest-random-weight) consistent shard assignment + the
     RESHARD MOVEMENT MATRIX for growing 8 → 9 shards — the partitioner
@@ -10478,6 +10498,7 @@ def queries() -> dict:
         "redirect_resolve": q_redirect_resolve,
         "rendezvous_shards": q_rendezvous_shards,
         "dangling_links": q_dangling_links,
+        "robots_filter": q_robots_filter,
     }
 
 

@@ -171,6 +171,47 @@ def _gen_links(seed: int, i: int) -> list[tuple[str, str]]:
     return out
 
 
+def robots_body(host: str, seed: int = 42) -> str:
+    """Deterministic robots.txt for ``host`` — shaped to exercise real RFC
+    9309 semantics on the corpus's /article-N paths: a Disallow prefix, a
+    LONGER Allow carve-out inside it (longest-match interplay), a non-*
+    group that must be ignored, comments, and (for every 4th host) the
+    empty-Disallow allow-all form."""
+    h = stable_hash64(f"robots:{seed}:{host}")
+    if h % 4 == 0:
+        return "User-agent: *\nDisallow:\n"
+    d = h % 10
+    d2 = (h // 10) % 10
+    return (
+        f"# crawl policy for {host}\n"
+        "User-agent: *\n"
+        f"Disallow: /article-{d}\n"
+        f"Allow: /article-{d}{d2}\n"
+        "User-agent: evilbot\n"
+        "Disallow: /\n"
+    )
+
+
+def write_robots(out_dir: str, seed: int = 42) -> str:
+    """Write ``robots.parquet`` (host, body) for every corpus domain — the
+    deterministic robots cache a compliant crawler consults before
+    scheduling fetches."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "host": pa.array(list(_DOMAINS), pa.string()),
+            "body": pa.array([robots_body(d, seed) for d in _DOMAINS], pa.string()),
+        }
+    )
+    path = os.path.join(out_dir, "robots.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def generate_pages(
     n_pages: int, seed: int = 42, start_index: int = 0
 ) -> tuple[pa.Table, dict[str, pa.Table]]:

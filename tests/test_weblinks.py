@@ -565,6 +565,80 @@ def test_update_link_graph_incremental_merge(small_pages_dir, tmp_path):
     )
 
 
+def test_robots_parser_semantics():
+    from ner_extractor_ray.functions.weblinks import parse_robots, robots_allowed
+
+    body = (
+        "# policy\n"
+        "User-agent: *\n"
+        "Disallow: /article-1\n"
+        "Allow: /article-12\n"
+        "User-agent: evilbot\n"
+        "Disallow: /\n"
+    )
+    rules = parse_robots(body)
+    assert rules == [(False, "/article-1"), (True, "/article-12")]
+    # longest-match: the longer Allow carves /article-12* out of /article-1*
+    assert not robots_allowed(rules, "/article-1")
+    assert not robots_allowed(rules, "/article-19")
+    assert robots_allowed(rules, "/article-12")
+    assert robots_allowed(rules, "/article-123")
+    # unmatched paths default to allowed; evilbot group was ignored
+    assert robots_allowed(rules, "/about")
+    # equal-length tie → Allow wins (RFC 9309 §2.2.2)
+    tie = [(False, "/a"), (True, "/a")]
+    assert robots_allowed(tie, "/a/x")
+    # empty Disallow value = no rule (allow-all form)
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+    assert robots_allowed([], "/anything")
+
+
+def test_robots_frontier_filter_matches_replication(small_pages_dir):
+    import ray.data as rd
+
+    from ner_extractor_ray.functions.weblinks import (
+        parse_robots,
+        robots_allowed,
+        robots_frontier_filter,
+    )
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+    from ner_extractor_ray.sources.pages import robots_body, write_robots
+
+    rpath = write_robots(small_pages_dir + "_robots", seed=42)
+    got = (
+        robots_frontier_filter(pages_dataset(small_pages_dir), rd.read_parquet(rpath))
+        .to_pandas()
+        .sort_values("dst_host")
+        .reset_index(drop=True)
+    )
+    gold = pq.read_table(os.path.join(small_pages_dir, "gold_links.parquet")).to_pandas()
+    df = gold.assign(
+        src_host=gold["src_url"].map(lambda u: urlsplit(u).netloc.lower()),
+        dst_host=gold["dst_url"].map(lambda u: urlsplit(u).netloc.lower()),
+        path=gold["dst_url"].map(lambda u: urlsplit(u).path or "/"),
+    )
+    df = df[df["src_host"] != df["dst_host"]]
+    rules = {h: parse_robots(robots_body(h, 42)) for h in set(df["dst_host"])}
+    df["blocked"] = [
+        not robots_allowed(rules.get(h, []), p) for h, p in zip(df["dst_host"], df["path"])
+    ]
+    want = (
+        df.groupby("dst_host")
+        .agg(n_links=("path", "size"), n_blocked=("blocked", "sum"))
+        .reset_index()
+        .sort_values("dst_host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_links": "int64", "n_blocked": "int64"}),
+        want.astype({"n_links": "int64", "n_blocked": "int64"}),
+    )
+    # the planted rules actually bite: some host has blocked links, none
+    # blocks everything (the Allow carve-outs and allow-all hosts exist)
+    assert got["n_blocked"].sum() > 0
+    assert (got["n_blocked"] < got["n_links"]).all()
+
+
 def test_rendezvous_movement_invariant():
     """Consistent-hashing guarantee: growing 8 → 9 shards moves documents
     ONLY to the new shard (off-diagonal ⇒ new_shard == 8), and the moved
