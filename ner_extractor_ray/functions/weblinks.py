@@ -40,8 +40,15 @@ from .hashing import stable_hash64
 # href first attribute-parsed, then the anchor's inner markup. DOTALL: anchors
 # may wrap elements / newlines. Double-quoted, single-quoted AND unquoted
 # attribute values accepted (unquoted is legal HTML and common in the wild).
-# Known divergence from a tree parser: nested <a> inside <a> yields one link
-# (the regex consumes to the first </a>), not two.
+# Known divergences from a tree parser (both asserted against html.parser on
+# the synthetic corpus's markup shapes in tests/test_weblinks.py; real-HTML
+# consumers should know the limits):
+#   - nested <a> inside <a> yields one link (the regex consumes to the first
+#     </a>), not two;
+#   - an attribute BEFORE href whose quoted value contains '>' (e.g.
+#     <a title="a>b" href="/x">) terminates the [^>]*? scan early, so that
+#     anchor is silently dropped — '>' inside quoted attribute values is
+#     rare in crawl html but legal.
 _A_RE = re.compile(
     r"<a\b[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'=<>`]+))[^>]*>(.*?)</a>",
     re.DOTALL | re.IGNORECASE,
@@ -177,13 +184,21 @@ def parse_robots(body: str) -> list[tuple[bool, str]]:
     """robots.txt → [(allow, path_prefix)] for the ``*`` user-agent group.
 
     Deterministic subset of RFC 9309 sufficient for crawl compliance:
-    ``User-agent`` lines open a group (only ``*`` groups are kept),
-    ``Allow``/``Disallow`` record prefix rules, comments and unknown
-    directives are ignored, an empty Disallow value means allow-all (no
-    rule). Matching semantics live in :func:`robots_allowed`."""
+    consecutive ``User-agent`` lines form ONE group (RFC 9309 §2.2.1 — a
+    rule block headed by ``User-agent: *`` then ``User-agent: foo`` applies
+    to BOTH agents, so the ``*`` group keeps those rules); a ``User-agent``
+    line that follows rule lines STARTS A NEW group. ``Allow``/``Disallow``
+    record literal path-prefix rules; comments and unknown directives are
+    ignored (and do not end a user-agent block); an empty Disallow value
+    means allow-all (no rule, but it does close the group header).
+
+    Documented limitation: prefixes match LITERALLY — the RFC's optional
+    ``*`` and ``$`` wildcards inside rule paths are NOT interpreted (a
+    ``Disallow: /a*/b`` rule only blocks paths literally starting with
+    ``/a*/b``). Matching semantics live in :func:`robots_allowed`."""
     rules: list[tuple[bool, str]] = []
-    in_star = False
-    seen_star_group = False
+    active = False  # current group includes the * agent
+    in_ua_header = False  # still reading the group's consecutive UA lines
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -192,10 +207,14 @@ def parse_robots(body: str) -> list[tuple[bool, str]]:
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
-            in_star = val == "*"
-            seen_star_group = seen_star_group or in_star
-        elif key in ("allow", "disallow") and in_star and val:
-            rules.append((key == "allow", val))
+            if not in_ua_header:  # UA after rules: a new group begins
+                active = False
+                in_ua_header = True
+            active = active or val == "*"
+        elif key in ("allow", "disallow"):
+            in_ua_header = False
+            if active and val:
+                rules.append((key == "allow", val))
     return rules
 
 
@@ -349,52 +368,158 @@ def write_link_graph(pages_ds, out_dir: str, *, n_partitions: int = 16) -> dict:
     )
 
 
-def robots_frontier_filter(pages_ds, robots_ds):
+# serialized-rules wire format for the parsed robots table: one string per
+# host, rules joined by \x1e, each rule "A<prefix>" or "D<prefix>". Survives
+# any join/broadcast as a plain string column; \x1e (record separator) cannot
+# appear in an RFC 9309 path token.
+_RULE_SEP = "\x1e"
+
+
+def _rules_to_str(rules: list[tuple[bool, str]]) -> str:
+    return _RULE_SEP.join(("A" if a else "D") + p for a, p in rules)
+
+
+def _rules_from_str(s: str) -> list[tuple[bool, str]]:
+    if not s:
+        return []
+    return [(r[0] == "A", r[1:]) for r in s.split(_RULE_SEP)]
+
+
+def parsed_robots_table(robots_ds):
+    """robots(host, body) → Dataset(host, rules) with ``rules`` the
+    serialized parse (``_rules_to_str``). The parse runs DISTRIBUTED inside
+    ``map_batches`` — at a 10⁸-host robots cache the bodies never congregate
+    on the driver."""
+
+    def parse(t: pa.Table) -> pa.Table:
+        hosts = t.column("host").to_pylist()
+        bodies = t.column("body").to_pylist()
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()),
+             "rules": pa.array(
+                 [_rules_to_str(parse_robots(b or "")) for b in bodies],
+                 pa.string())}
+        )
+
+    return robots_ds.map_batches(parse, batch_format="pyarrow")
+
+
+def _frontier_path_partials(pages_ds):
+    """links → per-batch (dst_host, path, n) partial counts of CROSS-HOST
+    link targets. The self-host prefilter and the path extraction are
+    vectorized Arrow kernels (``pc.not_equal`` mask + two
+    ``replace_substring_regex`` passes); only resolved absolute http(s)
+    URLs reach here (resolve_href's contract), so stripping the
+    scheme://authority prefix always fires. Rows out ∝ distinct
+    (host, path) per batch — hub targets collapse before any exchange."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("src_host"), t.column("dst_host")))
+        path = pc.replace_substring_regex(
+            t.column("dst_url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "",
+            max_replacements=1)
+        path = pc.replace_substring_regex(path, r"[?#].*$", "",
+                                          max_replacements=1)
+        path = pc.if_else(pc.equal(path, ""), "/", path)
+        df = pd.DataFrame(
+            {"dst_host": t.column("dst_host").to_pylist(),
+             "path": path.to_pylist()}
+        )
+        out = (df.groupby(["dst_host", "path"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return links_table(pages_ds).map_batches(partial, batch_format="pyarrow")
+
+
+def robots_frontier_filter(pages_ds, robots_ds, *,
+                           broadcast_limit: int = 1_000_000):
     """Compliance gate on the outbound frontier → (dst_host, n_links,
     n_blocked): of the cross-host link targets, how many may NOT be fetched
     under the target host's robots.txt (RFC 9309 longest-match, * group).
 
-    The rules table is HOST-vocabulary-sized — parsed once on the driver and
-    broadcast via ``ray.put`` (the canonical small-side pattern; a shuffle
-    join against a 12-row — or 10⁸-row, still tiny next to links — rules
-    table would be pure overhead). Every link then resolves row-locally:
-    path prefix match against its target host's parsed rules; hosts with no
-    robots entry are fetchable (RFC default). Per-batch (host, total,
-    blocked) partials → ONE bucketed Sum exchange."""
+    robots bodies are parsed DISTRIBUTED (``parsed_robots_table``) — never
+    collected raw. The parsed rules table is then applied through the
+    standard small-side gate, keyed on the robots HOST count:
+
+    - ≤ ``broadcast_limit`` hosts: the serialized rules dict is broadcast
+      once via ``ray.put`` and every (host, path, n) partial resolves
+      map-side — zero shuffle of the link side;
+    - above it: partitioned LEFT ``hash_join`` of the (host, path, n)
+      partials against the rules table on ``dst_host`` (the
+      ``dangling_links`` pattern) — nothing host-vocabulary-sized ever
+      lands on the driver.
+
+    Either way the prefix match runs per DISTINCT (host, path) row —
+    vocabulary-sized, not link-sized — hosts with no robots entry are
+    fetchable (RFC default), and per-batch (host, total, blocked) partials
+    meet in ONE bucketed Sum exchange."""
     import ray as _ray
     from ray.data.aggregate import Sum
 
     from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
 
-    rules_by_host = {
-        r["host"]: parse_robots(r["body"]) for r in robots_ds.take_all()
-    }
-    rules_ref = _ray.put(rules_by_host)
+    rules_tbl = parsed_robots_table(robots_ds).materialize()
+    partials = _frontier_path_partials(pages_ds)
 
-    def tally(t: pa.Table) -> pd.DataFrame:
-        rules = _ray.get(rules_ref)
-        rows: dict[str, list[int]] = {}
-        for s, h, u in zip(
-            t.column("src_host").to_pylist(),
-            t.column("dst_host").to_pylist(),
-            t.column("dst_url").to_pylist(),
-        ):
-            if s == h:
-                continue
-            m = _BASE_RE.match(u)
-            path = (m.group(2) or "/") if m else "/"
-            blocked = not robots_allowed(rules.get(h, []), path)
-            agg = rows.setdefault(h, [0, 0])
-            agg[0] += 1
-            agg[1] += int(blocked)
-        return pd.DataFrame(
-            {"dst_host": list(rows),
-             "n_links": [v[0] for v in rows.values()],
-             "n_blocked": [v[1] for v in rows.values()]}
+    if rules_tbl.count() <= broadcast_limit:
+        rules_by_host = {
+            r["host"]: _rules_from_str(r["rules"]) for r in rules_tbl.take_all()
+        }
+        rules_ref = _ray.put(rules_by_host)
+
+        def tally(t: pa.Table) -> pd.DataFrame:
+            rules = _ray.get(rules_ref)
+            rows: dict[str, list[int]] = {}
+            for h, p, n in zip(
+                t.column("dst_host").to_pylist(),
+                t.column("path").to_pylist(),
+                pc.cast(t.column("n"), pa.int64()).to_pylist(),
+            ):
+                blocked = not robots_allowed(rules.get(h, []), p)
+                agg = rows.setdefault(h, [0, 0])
+                agg[0] += n
+                agg[1] += n * int(blocked)
+            return pd.DataFrame(
+                {"dst_host": list(rows),
+                 "n_links": [v[0] for v in rows.values()],
+                 "n_blocked": [v[1] for v in rows.values()]}
+            )
+
+        tallied = partials.map_batches(tally, batch_format="pyarrow")
+    else:
+        joined = hash_join(
+            partials,
+            rules_tbl.map_batches(
+                lambda t: pa.table({"dst_host": t.column("host"),
+                                    "rules": t.column("rules")}),
+                batch_format="pyarrow",
+            ),
+            on=["dst_host"], how="left",
         )
 
+        def tally_joined(df: pd.DataFrame) -> pd.DataFrame:
+            rows: dict[str, list[int]] = {}
+            rls = df["rules"] if "rules" in df else pd.Series([], dtype=object)
+            for h, p, n, rs in zip(
+                df["dst_host"], df["path"], df["n"].astype("int64"), rls
+            ):
+                rules = _rules_from_str(rs) if isinstance(rs, str) else []
+                blocked = not robots_allowed(rules, p)
+                agg = rows.setdefault(h, [0, 0])
+                agg[0] += int(n)
+                agg[1] += int(n) * int(blocked)
+            return pd.DataFrame(
+                {"dst_host": list(rows),
+                 "n_links": [v[0] for v in rows.values()],
+                 "n_blocked": [v[1] for v in rows.values()]}
+            )
+
+        tallied = joined.map_batches(tally_joined, batch_format="pandas")
+
     return grouped_aggregate(
-        links_table(pages_ds).map_batches(tally, batch_format="pyarrow"),
+        tallied,
         ["dst_host"],
         Sum("n_links", alias_name="n_links"),
         Sum("n_blocked", alias_name="n_blocked"),
@@ -412,7 +537,12 @@ def update_link_graph(
     pruned at the parquet scan); only the delta pages pay link extraction;
     one bucketed Sum merges them — counts compose because Sum is
     associative, so N delta crawls fold in N merges with no re-parse.
-    Output lands through the same partition-aligned manifest writer."""
+    Output lands through the same partition-aligned manifest writer, with
+    ``resume=False``: merge output is NEVER resumable against a previous
+    merge's manifests (they describe a different input set — resuming
+    would silently skip every partition and leave the old counts in
+    place). In-place merge (``out_dir == table_dir``) is rejected for the
+    same reason."""
     import glob as _glob
     import os as _os
 
@@ -422,6 +552,12 @@ def update_link_graph(
     from ..stages.canonicalize import grouped_aggregate
     from ..stages.materialize import write_partitioned
 
+    if _os.path.abspath(out_dir) == _os.path.abspath(table_dir):
+        raise ValueError(
+            "update_link_graph: out_dir == table_dir (in-place merge) would "
+            "read and clobber the same host_graph table; write the merge to "
+            "a fresh directory"
+        )
     files = sorted(
         _glob.glob(_os.path.join(table_dir, "host_graph", "part=*", "*.parquet"))
     )
@@ -438,6 +574,7 @@ def update_link_graph(
         "src_host",
         n_partitions=n_partitions,
         sort_key=["src_host", "dst_host"],
+        resume=False,
         lineage={"stage": "host_link_graph", "delta_of": table_dir},
     )
 

@@ -926,17 +926,27 @@ def q_customers_with_orders(sf_dir: str, *, broadcast_limit: int = 2_000_000):
     )
 
 
-def q_bloom_semi_orders(sf_dir: str):
+def q_bloom_semi_orders(sf_dir: str, *, broadcast_limit: int = 2_000_000):
     """Bloom semi-join prefilter (functions/bloom.py) on the query surface:
     order counts/revenue per priority for BUILDING-segment customers. The
     bloom is built distributively over the small side (per-batch partial
     bitmaps OR-merged, broadcast once via ray.put) and prunes the big orders
-    side MAP-SIDE with no false negatives; the ≤fpr false positives are then
-    removed by an exact broadcast key-set verify (at scale: partitioned
-    hash_join on the survivors — the prefilter already cut the shuffle to
-    ~the matching rows). Exact output, so the DuckDB oracle is a plain
-    IN-subquery semi join."""
+    side MAP-SIDE with no false negatives. The ≤fpr false positives are then
+    removed by an exact verify, GATED on the distinct filtered-key count
+    (the q_customers_with_orders switch — a segment of a 10⁸-row customer
+    table must never be broadcast unconditionally):
+
+      * ≤ ``broadcast_limit`` keys: sorted int64 key array broadcast once
+        (8 B/key, zero-copy Arrow collect), vectorized ``np.isin`` verify
+        per batch;
+      * above it: partitioned ``hash_join`` of the survivors against the
+        distinct-key table — the prefilter already cut the shuffle to
+        ~matching rows, so the join side is survivor-sized.
+
+    Exact output on BOTH paths (the limit=0 test forces the join path), so
+    the DuckDB oracle is a plain IN-subquery semi join."""
     from ..functions.bloom import build_bloom, semi_join_prefilter
+    from ..stages.joins import hash_join
 
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: pa.table(
@@ -945,20 +955,13 @@ def q_bloom_semi_orders(sf_dir: str):
                 .column("c_custkey"), pa.int64())}
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
     bloom_ref = ray.put(build_bloom(cust, "c_custkey"))
-    # sorted int64 key array (8 B/key, zero-copy Arrow collect) — the exact
-    # verify is then one vectorized np.isin per batch, no per-row Python
-    exact_keys = ray.put(np.unique(cust.to_pandas()["c_custkey"].to_numpy(np.int64)))
 
     orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
     survivors = semi_join_prefilter(orders, "o_custkey", bloom_ref)
 
-    def verify_and_partial(t: pa.Table) -> pa.Table:
-        ks = ray.get(exact_keys)
-        keys = pc.cast(t.column("o_custkey"), pa.int64()).to_numpy()
-        mask = np.isin(keys, ks, assume_unique=False)
-        t = t.filter(pa.array(mask, pa.bool_()))
+    def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {"o_orderpriority": t.column("o_orderpriority").to_pylist(),
              "cents": _cents(np.asarray(t.column("o_totalprice")))}
@@ -972,8 +975,45 @@ def q_bloom_semi_orders(sf_dir: str):
              "total_cents": pa.array(g["total_cents"].astype("int64"), pa.int64())}
         )
 
+    if cust.count() <= broadcast_limit:
+        exact_keys = ray.put(np.unique(np.concatenate(
+            [b.column("c_custkey").to_numpy()
+             for b in cust.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow")]
+            or [np.array([], np.int64)])))
+
+        def verify_and_partial(t: pa.Table) -> pa.Table:
+            ks = ray.get(exact_keys)
+            keys = pc.cast(t.column("o_custkey"), pa.int64()).to_numpy()
+            mask = np.isin(keys, ks, assume_unique=False)
+            return partial(t.filter(pa.array(mask, pa.bool_())))
+
+        verified = survivors.map_batches(verify_and_partial, batch_format="pyarrow")
+    else:
+        key_tbl = _gagg(
+            cust, "c_custkey", Count(alias_name="_n")
+        ).map_batches(
+            lambda t: pa.table({"o_custkey": pc.cast(t.column("c_custkey"),
+                                                     pa.int64())}),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            survivors.map_batches(
+                lambda t: pa.table(
+                    {"o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                     "o_orderpriority": t.column("o_orderpriority"),
+                     "o_totalprice": t.column("o_totalprice")}),
+                batch_format="pyarrow",
+            ),
+            key_tbl, on=("o_custkey",),
+        )
+        verified = joined.map_batches(
+            lambda df: partial(pa.Table.from_pandas(df, preserve_index=False)),
+            batch_format="pandas",
+        )
+
     return (
-        survivors.map_batches(verify_and_partial, batch_format="pyarrow")
+        verified
         .groupby("o_orderpriority")
         .aggregate(Sum("n_orders", alias_name="n_orders"),
                    Sum("total_cents", alias_name="total_cents"))

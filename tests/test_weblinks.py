@@ -676,3 +676,106 @@ def test_host_pagerank_deterministic_and_skew(small_pages_dir):
     top = a.sort_values("pr", ascending=False)["host"].iloc[0]
     inmass = cross.groupby("dst_host")["n_links"].sum()
     assert inmass.get(top, 0) >= inmass.median()
+
+
+def test_robots_parser_multi_agent_group():
+    """RFC 9309 §2.2.1: consecutive User-agent lines share ONE rule block —
+    'User-agent: *' then 'User-agent: foo' then rules applies the rules to
+    BOTH, while a UA line AFTER rules starts a fresh group."""
+    from ner_extractor_ray.functions.weblinks import parse_robots
+
+    multi = (
+        "User-agent: *\n"
+        "User-agent: foo\n"
+        "Disallow: /shared\n"
+        "User-agent: bar\n"
+        "Disallow: /bar-only\n"
+    )
+    assert parse_robots(multi) == [(False, "/shared")]
+    # star group LAST in the header block — order inside the header is free
+    multi2 = "User-agent: foo\nUser-agent: *\nAllow: /ok\nDisallow: /no\n"
+    assert parse_robots(multi2) == [(True, "/ok"), (False, "/no")]
+    # unknown directives neither join rules to a closed group nor end the
+    # header block
+    with_noise = (
+        "Sitemap: https://x.example/sitemap.xml\n"
+        "User-agent: *\n"
+        "Crawl-delay: 5\n"
+        "Disallow: /a\n"
+    )
+    assert parse_robots(with_noise) == [(False, "/a")]
+
+
+def test_robots_frontier_filter_join_path_matches_broadcast(small_pages_dir):
+    """broadcast_limit=0 forces the partitioned hash-join rules path; both
+    physical plans must agree exactly (the scale-gate contract)."""
+    import ray.data as rd
+
+    from ner_extractor_ray.functions.weblinks import robots_frontier_filter
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+    from ner_extractor_ray.sources.pages import write_robots
+
+    rpath = write_robots(small_pages_dir + "_robots_gate", seed=42)
+
+    def run(limit):
+        return (
+            robots_frontier_filter(
+                pages_dataset(small_pages_dir), rd.read_parquet(rpath),
+                broadcast_limit=limit)
+            .to_pandas()
+            .sort_values("dst_host")
+            .reset_index(drop=True)
+            .astype({"n_links": "int64", "n_blocked": "int64"})
+        )
+
+    bc, joined = run(1_000_000), run(0)
+    pd.testing.assert_frame_equal(bc, joined)
+    assert bc["n_blocked"].sum() > 0
+
+
+def test_update_link_graph_rejects_in_place_and_never_noops(small_pages_dir, tmp_path):
+    """ADVICE r3: merging into a directory that already holds a completed
+    host_graph must NOT silently resume-skip every partition — rerunning the
+    merge into the same out_dir rewrites it, and out_dir == table_dir is
+    rejected outright."""
+    import glob
+
+    import pytest as _pytest
+
+    from ner_extractor_ray.functions.weblinks import (
+        update_link_graph,
+        write_link_graph,
+    )
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+    from ner_extractor_ray.sources.pages import generate_pages
+
+    a_dir, b_dir = str(tmp_path / "crawl_a"), str(tmp_path / "crawl_b")
+    for d, start in ((a_dir, 0), (b_dir, 150)):
+        os.makedirs(d)
+        tbl, _ = generate_pages(150, seed=42, start_index=start)
+        pq.write_table(tbl, os.path.join(d, "pages-0000.parquet"))
+
+    out_a = str(tmp_path / "graph_a")
+    write_link_graph(pages_dataset(a_dir), out_a, n_partitions=4)
+
+    with _pytest.raises(ValueError, match="in-place"):
+        update_link_graph(out_a, pages_dataset(b_dir), out_a, n_partitions=4)
+
+    def read_graph(d):
+        files = sorted(glob.glob(os.path.join(d, "host_graph", "part=*/*.parquet")))
+        return (
+            pa.concat_tables([pq.read_table(f) for f in files])
+            .to_pandas()[["src_host", "dst_host", "n_links"]]
+            .sort_values(["src_host", "dst_host"])
+            .reset_index(drop=True)
+        )
+
+    out_ab = str(tmp_path / "graph_ab")
+    update_link_graph(out_a, pages_dataset(b_dir), out_ab, n_partitions=4)
+    first = read_graph(out_ab)
+    # rerun into the SAME completed out_dir: before the fix this was a
+    # silent no-op (resume filtered all partitions); now it rewrites
+    update_link_graph(out_a, pages_dataset(b_dir), out_ab, n_partitions=4)
+    second = read_graph(out_ab)
+    pd.testing.assert_frame_equal(first, second)
+    assert int(second["n_links"].sum()) > int(read_graph(out_a)["n_links"].sum())
