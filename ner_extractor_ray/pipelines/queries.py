@@ -1649,8 +1649,9 @@ def q_host_link_graph(sf_dir: str):
     """Host-level link graph of the synthetic crawl: html → <a href> links →
     (src_host, dst_host, n_links), intra-host nav dropped; per-batch partial
     pair counts before ONE bucketed exchange (functions/weblinks.py).
-    Rows-only driver check; link-extraction parity vs an independent
-    html.parser reference is asserted in tests/test_weblinks.py."""
+    ORACLE-BACKED on the planted gold_links table (_web_oracle_sqls); the
+    html parse itself stays pinned by the independent html.parser parity
+    test in tests/test_weblinks.py."""
     from ..functions.weblinks import host_link_graph
     from .kg import pages_dataset
 
@@ -1662,7 +1663,8 @@ def q_host_link_graph(sf_dir: str):
 def q_anchor_texts(sf_dir: str):
     """Top-3 anchor texts per destination host (count desc, text asc) — the
     weak-label aggregation retrieval corpora are built from. Vocabulary-sized
-    grouped top-k after per-batch partial counting. Rows-only."""
+    grouped top-k after per-batch partial counting. Oracle-backed on
+    gold_links (grouped QUALIFY top-k, _web_oracle_sqls)."""
     from ..functions.weblinks import anchor_top_terms
     from .kg import pages_dataset
 
@@ -1674,7 +1676,8 @@ def q_anchor_texts(sf_dir: str):
 def q_host_pagerank(sf_dir: str):
     """Integer-exact PageRank over the host link graph (crawl-prioritization
     signal): link extraction → host-pair aggregate → hash_join power
-    iteration → name attach, every step partitioned. Rows-only."""
+    iteration → name attach, every step partitioned. Oracle-backed: the
+    unrolled integer-CTE replication over gold_links (_web_oracle_sqls)."""
     from ..functions.weblinks import host_pagerank
     from .kg import pages_dataset
 
@@ -1812,9 +1815,10 @@ def q_redirect_resolve(sf_dir: str):
 def q_dangling_links(sf_dir: str):
     """Broken-link audit of the synthetic crawl: per destination host, how
     many cross-host link targets were never captured (Bloom prefilter +
-    gated exact verify — functions/weblinks.dangling_links). Rows-only; a
-    pandas replication on gold_links pins BOTH verify paths in
-    tests/test_weblinks.py."""
+    gated exact verify — functions/weblinks.dangling_links). Oracle-backed:
+    LEFT-join anti-join audit over gold_links × gold_text
+    (_web_oracle_sqls); a pandas replication additionally pins BOTH verify
+    paths in tests/test_weblinks.py."""
     from ..functions.weblinks import dangling_links
     from .kg import pages_dataset
 
@@ -1827,7 +1831,9 @@ def q_robots_filter(sf_dir: str):
     """Robots-compliance gate on the crawl frontier: per destination host,
     how many cross-host link targets are blocked by the host's robots.txt
     (RFC 9309 longest-match over a deterministic per-host rules cache).
-    Rows-only; parser semantics and a pandas replication are pinned in
+    Oracle-backed: the fixture's rule SHAPE (Disallow prefix + longer Allow
+    carve-out) is replicated in SQL over robots.parquet × gold_links
+    (_web_oracle_sqls); general parser semantics stay pinned in
     tests/test_weblinks.py."""
     import ray.data as _rd
 
@@ -1900,14 +1906,144 @@ def q_crawl_frontier(sf_dir: str):
     functions/weblinks.crawl_frontier). Uncrawled link targets surface with
     n_pages=0 and maximal staleness — the discover-new-hosts path; crawled
     hosts without link evidence carry pr=0 via the full-outer join.
-    Rows-only; the composition is pinned by tests/test_weblinks.py against
-    a pandas replication on the gold link table."""
+    Oracle-backed: full-outer + integer scoring over the pagerank CTE and
+    the pages table (_web_oracle_sqls); the composition is additionally
+    pinned by tests/test_weblinks.py against a pandas replication."""
     from ..functions.weblinks import crawl_frontier
     from .kg import pages_dataset
 
     pdir = _synthetic_pages_dir(sf_dir)
     out = crawl_frontier(pages_dataset(pdir, with_ts=True), n_iters=3)
     return out.sort(["priority", "host"], descending=[True, False])
+
+
+def _web_oracle_sqls(pdir: str) -> dict:
+    """DuckDB oracles for the web family, over the PLANTED gold tables the
+    fixture generator writes alongside the pages (sources/pages.py:
+    ``gold_links.parquet`` = exactly the <aside> links rendered into the
+    html, ``gold_text.parquet`` = one row per crawled url,
+    ``robots.parquet`` = the per-host robots bodies). The engine side still
+    parses the html itself — only the PARSE stays pinned by the independent
+    html.parser parity test (tests/test_weblinks.py); every aggregation
+    layer above it (host pairs, anchor top-k, the integer power iteration,
+    the frontier outer-join scoring, the anti-join audit, the RFC 9309
+    longest-match tally) is externally hash-checked here.
+
+    Host of ``https://host/path`` is ``split_part(url, '/', 3)`` (generator
+    urls are already lowercase); the robots oracle parses the fixture's
+    body SHAPE (one Disallow prefix + one longer Allow carve-out, or the
+    empty-Disallow allow-all form) with regexp_extract — general RFC
+    semantics stay pinned by tests/test_weblinks.py."""
+    scale = 10**12
+    n_iters = 3
+    gl = f"read_parquet('{pdir}/gold_links.parquet')"
+    # shared link-graph CTE prefix: distinct cross-host pairs → symmetrized
+    # edge list → degrees → the unrolled integer power iteration of
+    # functions/graph.pagerank (the _pagerank_sql technique, host-keyed)
+    pr_parts = [f"""
+        e AS (SELECT DISTINCT split_part(src_url, '/', 3) AS u,
+                              split_part(dst_url, '/', 3) AS v
+              FROM {gl}
+              WHERE split_part(src_url, '/', 3) <> split_part(dst_url, '/', 3)),
+        s AS (SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v AS src, u AS dst FROM e),
+        d AS (SELECT src AS node, COUNT(*) AS outdeg FROM s GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM d),
+        p0 AS (SELECT d.node, d.outdeg,
+                      CAST({scale} // nn.n AS BIGINT) AS pr
+               FROM d CROSS JOIN nn)"""]
+    for i in range(1, n_iters + 1):
+        pr_parts.append(f""",
+        p{i} AS (SELECT d.node, d.outdeg,
+                        CAST((15 * ({scale} // nn.n)) // 100
+                             + (85 * c{i}.contrib) // 100 AS BIGINT) AS pr
+                 FROM d CROSS JOIN nn
+                 JOIN (SELECT s2.dst AS node, SUM(p.pr // p.outdeg) AS contrib
+                       FROM p{i - 1} p JOIN s s2 ON s2.src = p.node
+                       GROUP BY s2.dst) c{i} ON c{i}.node = d.node)""")
+    pr_cte = "".join(pr_parts)
+
+    return {
+        "host_link_graph": f"""
+            SELECT src_host, dst_host, COUNT(*) AS n_links FROM (
+                SELECT split_part(src_url, '/', 3) AS src_host,
+                       split_part(dst_url, '/', 3) AS dst_host
+                FROM {gl})
+            WHERE src_host <> dst_host
+            GROUP BY 1, 2
+        """,
+        "anchor_texts": f"""
+            SELECT dst_host, anchor, n FROM (
+                SELECT dst_host, anchor, COUNT(*) AS n FROM (
+                    SELECT split_part(src_url, '/', 3) AS src_host,
+                           split_part(dst_url, '/', 3) AS dst_host, anchor
+                    FROM {gl})
+                WHERE src_host <> dst_host AND anchor <> ''
+                GROUP BY 1, 2)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY dst_host ORDER BY n DESC, anchor) <= 3
+        """,
+        "host_pagerank": f"""
+            WITH {pr_cte}
+            SELECT node AS host, pr FROM p{n_iters}
+        """,
+        "dangling_links": f"""
+            WITH cl AS (
+                SELECT dst_host, dst_url FROM (
+                    SELECT split_part(src_url, '/', 3) AS src_host,
+                           split_part(dst_url, '/', 3) AS dst_host, dst_url
+                    FROM {gl})
+                WHERE src_host <> dst_host),
+            u AS (SELECT url FROM read_parquet('{pdir}/gold_text.parquet'))
+            SELECT cl.dst_host, COUNT(*) AS n_links,
+                   CAST(SUM(CASE WHEN u.url IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dangling
+            FROM cl LEFT JOIN u ON cl.dst_url = u.url
+            GROUP BY cl.dst_host
+        """,
+        "robots_filter": f"""
+            WITH r AS (
+                SELECT host,
+                       regexp_extract(body, 'Disallow: (/article-[0-9]+)', 1)
+                           AS dis,
+                       regexp_extract(body, 'Allow: (/article-[0-9]+)', 1)
+                           AS alw
+                FROM read_parquet('{pdir}/robots.parquet')),
+            cl AS (
+                SELECT dst_host, '/' || split_part(dst_url, '/', 4) AS path
+                FROM (
+                    SELECT split_part(src_url, '/', 3) AS src_host,
+                           split_part(dst_url, '/', 3) AS dst_host, dst_url
+                    FROM {gl})
+                WHERE src_host <> dst_host)
+            SELECT cl.dst_host, COUNT(*) AS n_links,
+                   CAST(SUM(CASE WHEN r.dis IS NOT NULL AND r.dis <> ''
+                                      AND starts_with(cl.path, r.dis)
+                                      AND NOT starts_with(cl.path, r.alw)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+            FROM cl LEFT JOIN r ON cl.dst_host = r.host
+            GROUP BY cl.dst_host
+        """,
+        "crawl_frontier": f"""
+            WITH {pr_cte},
+            prt AS (SELECT node AS host, pr FROM p{n_iters}),
+            crawled AS (
+                SELECT split_part(url, '/', 3) AS host,
+                       COUNT(*) AS n_pages,
+                       MAX(epoch_us(warc_ts)) AS latest_ts
+                FROM read_parquet('{pdir}/pages-*.parquet') GROUP BY 1),
+            now_t AS (SELECT MAX(latest_ts) AS now_us FROM crawled)
+            SELECT COALESCE(prt.host, crawled.host) AS host,
+                   CAST(COALESCE(crawled.n_pages, 0) AS BIGINT) AS n_pages,
+                   CAST(COALESCE(crawled.latest_ts, 0) AS BIGINT) AS latest_ts,
+                   CAST(COALESCE(prt.pr, 0) AS BIGINT) AS pr,
+                   CAST(COALESCE(prt.pr, 0)
+                        * ((now_t.now_us - COALESCE(crawled.latest_ts, 0))
+                           // 86400000000) AS BIGINT) AS priority
+            FROM prt FULL OUTER JOIN crawled ON prt.host = crawled.host
+            CROSS JOIN now_t
+        """,
+    }
 
 
 # --------------------------------------------------------------------------
@@ -10801,10 +10937,27 @@ _PII_TEXT_SQL = """
 """
 
 
-def oracle_sql() -> dict:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """ANSI-SQL oracle per oracle-backed queries() entry.
+
+    ``sf_dir`` parameterizes ONLY the web-family oracles, whose gold tables
+    live in the sf-keyed synthetic-pages cache (everything else reads the
+    driver's pre-registered views). The default matches the driver's sf0.01
+    correctness run — the driver calls ``oracle_sql()`` with no arguments;
+    tests/tools comparing at another sf pass their own sf_dir so the Ray
+    side and the oracle read the SAME fixture. Building the dict ensures
+    the fixture (pages + gold tables + robots cache) exists — generation is
+    deterministic and sentinel-cached."""
     from ..functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+    from ..sources.pages import write_robots
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    if not os.path.exists(os.path.join(pdir, "robots.parquet")):
+        write_robots(pdir, seed=42)
+    web = _web_oracle_sqls(pdir)
 
     return {
+        **web,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,

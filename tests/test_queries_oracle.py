@@ -51,13 +51,13 @@ def con():
     return c
 
 
-SQL_QUERIES = sorted(oracle_sql())
+SQL_QUERIES = sorted(oracle_sql(SF_DIR))
 
 
 @pytest.mark.parametrize("name", SQL_QUERIES)
 def test_query_matches_oracle(name, con):
     ray_df = _to_pandas(queries()[name](SF_DIR))
-    sql_df = con.execute(oracle_sql()[name]).fetchdf()
+    sql_df = con.execute(oracle_sql(SF_DIR)[name]).fetchdf()
     assert sorted(ray_df.columns) == sorted(sql_df.columns), (
         f"{name}: columns {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}"
     )
@@ -72,7 +72,7 @@ def test_fingerprint_oracle_window_assumption(con):
     assert n >= 16
 
 
-NON_SQL = sorted(set(queries()) - set(oracle_sql()) - {"kg_edges"})
+NON_SQL = sorted(set(queries()) - set(oracle_sql(SF_DIR)) - {"kg_edges"})
 
 
 @pytest.mark.parametrize("name", NON_SQL)

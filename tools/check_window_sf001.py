@@ -66,7 +66,7 @@ def main():
             f"read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs = queries()
-    osql = oracle_sql()
+    osql = oracle_sql(SF_DIR)
     names = list(qs)[START:END]
     bad = []
     for name in names:
