@@ -102,6 +102,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         # round-3 webtext additions: html link extraction → host graph, and
         # canonical-URL variant dedup
         "host_link_graph", "url_canonical_dedup",
+        # round-4 additions: the curation flagship (gate → dedup →
+        # keep-longest → span-rewrite composition) and the composed web op
+        # (pagerank × staleness full-outer frontier scoring)
+        "curation_pipeline", "crawl_frontier",
     ]
     if os.environ.get("GRAFT_BENCH_KG_ONLY"):
         suite = []

@@ -102,6 +102,17 @@ def train_bpe(ds: "ray.data.Dataset", col: str, token_re,
     deterministic at any parallelism. The vocabulary dataset is materialized
     once per round (vocab-sized — words, not corpus); the winning pair is a
     driver-side scalar broadcast into the next round's map closure.
+
+    PRODUCTION BOUND: one vocabulary pass per merge is the oracle-parity
+    demo shape — exact argmax per round, replicable by an independent
+    sequential trainer. A real 30k-merge tokenizer train would pay 30k
+    passes; the at-scale variant batches merges per round (apply the top-B
+    pairwise-NON-OVERLAPPING pairs — no shared left/right symbol — in one
+    pass, as in fast BPE trainers), cutting rounds to ~vocab_size/B at the
+    cost of a merge order that can diverge from strict one-at-a-time BPE
+    when counts tie across a batch. The per-round plan here (partial pair
+    counts → ≤1-row-per-block combiner → scalar broadcast) is unchanged by
+    batching; only the driver-side winner selection widens.
     """
     vocab = word_vocab(ds, col, token_re).map_batches(
         lambda t: pa.table(

@@ -611,16 +611,12 @@ def dangling_links(pages_ds, *, broadcast_limit: int = 2_000_000):
     n_pages = urls_ds.count()
     links = links_table(pages_ds.select_columns(["url", "html"]))
 
-    def cross_host(t: pa.Table) -> list[tuple[str, str]]:
-        return [
-            (h, u)
-            for s, h, u in zip(
-                t.column("src_host").to_pylist(),
-                t.column("dst_host").to_pylist(),
-                t.column("dst_url").to_pylist(),
-            )
-            if s != h
-        ]
+    def cross_host(t: pa.Table) -> pa.Table:
+        # vectorized self-host prefilter (pc.not_equal mask) — no Python
+        # row loop runs before the filtered, usually much smaller, slice
+        return t.filter(
+            pc.not_equal(t.column("src_host"), t.column("dst_host"))
+        ).select(["dst_host", "dst_url"])
 
     if n_pages <= broadcast_limit:
         url_set_ref = _ray.put(frozenset(r["url"] for r in urls_ds.take_all()))
@@ -629,8 +625,10 @@ def dangling_links(pages_ds, *, broadcast_limit: int = 2_000_000):
             s = _ray.get(url_set_ref)
             keep = cross_host(t)
             return pa.table(
-                {"dst_host": pa.array([h for h, _ in keep], pa.string()),
-                 "dangling": pa.array([u not in s for _, u in keep], pa.bool_())}
+                {"dst_host": keep.column("dst_host"),
+                 "dangling": pa.array(
+                     [u not in s for u in keep.column("dst_url").to_pylist()],
+                     pa.bool_())}
             )
 
         tagged = links.map_batches(probe_exact, batch_format="pyarrow").materialize()
@@ -647,9 +645,11 @@ def dangling_links(pages_ds, *, broadcast_limit: int = 2_000_000):
             bf = _ray.get(bloom_ref)
             keep = cross_host(t)
             return pa.table(
-                {"dst_host": pa.array([h for h, _ in keep], pa.string()),
-                 "dst_url": pa.array([u for _, u in keep], pa.string()),
-                 "maybe": pa.array([u in bf for _, u in keep], pa.bool_())}
+                {"dst_host": keep.column("dst_host"),
+                 "dst_url": keep.column("dst_url"),
+                 "maybe": pa.array(
+                     [u in bf for u in keep.column("dst_url").to_pylist()],
+                     pa.bool_())}
             )
 
         probed = links.map_batches(probe_bloom, batch_format="pyarrow").materialize()
