@@ -344,29 +344,13 @@ def q_crawl_frontier(sf_dir: str):
     return out.sort(["priority", "host"], descending=[True, False])
 
 
-def _web_oracle_sqls(pdir: str) -> dict:
-    """DuckDB oracles for the web family, over the PLANTED gold tables the
-    fixture generator writes alongside the pages (sources/pages.py:
-    ``gold_links.parquet`` = exactly the <aside> links rendered into the
-    html, ``gold_text.parquet`` = one row per crawled url,
-    ``robots.parquet`` = the per-host robots bodies). The engine side still
-    parses the html itself — only the PARSE stays pinned by the independent
-    html.parser parity test (tests/test_weblinks.py); every aggregation
-    layer above it (host pairs, anchor top-k, the integer power iteration,
-    the frontier outer-join scoring, the anti-join audit, the RFC 9309
-    longest-match tally) is externally hash-checked here.
-
-    Host of ``https://host/path`` is ``split_part(url, '/', 3)`` (generator
-    urls are already lowercase); the robots oracle parses the fixture's
-    body SHAPE (one Disallow prefix + one longer Allow carve-out, or the
-    empty-Disallow allow-all form) with regexp_extract — general RFC
-    semantics stay pinned by tests/test_weblinks.py."""
+def _gold_pr_cte(pdir: str, n_iters: int = 3) -> str:
+    """Shared link-graph CTE prefix over gold_links: distinct cross-host
+    pairs → symmetrized edge list → degrees → the unrolled integer power
+    iteration of functions/graph.pagerank (the _pagerank_sql technique,
+    host-keyed). Final ranks live in CTE ``p{n_iters}``."""
     scale = 10**12
-    n_iters = 3
     gl = f"read_parquet('{pdir}/gold_links.parquet')"
-    # shared link-graph CTE prefix: distinct cross-host pairs → symmetrized
-    # edge list → degrees → the unrolled integer power iteration of
-    # functions/graph.pagerank (the _pagerank_sql technique, host-keyed)
     pr_parts = [f"""
         e AS (SELECT DISTINCT split_part(src_url, '/', 3) AS u,
                               split_part(dst_url, '/', 3) AS v
@@ -388,7 +372,29 @@ def _web_oracle_sqls(pdir: str) -> dict:
                  JOIN (SELECT s2.dst AS node, SUM(p.pr // p.outdeg) AS contrib
                        FROM p{i - 1} p JOIN s s2 ON s2.src = p.node
                        GROUP BY s2.dst) c{i} ON c{i}.node = d.node)""")
-    pr_cte = "".join(pr_parts)
+    return "".join(pr_parts)
+
+
+def _web_oracle_sqls(pdir: str) -> dict:
+    """DuckDB oracles for the web family, over the PLANTED gold tables the
+    fixture generator writes alongside the pages (sources/pages.py:
+    ``gold_links.parquet`` = exactly the <aside> links rendered into the
+    html, ``gold_text.parquet`` = one row per crawled url,
+    ``robots.parquet`` = the per-host robots bodies). The engine side still
+    parses the html itself — only the PARSE stays pinned by the independent
+    html.parser parity test (tests/test_weblinks.py); every aggregation
+    layer above it (host pairs, anchor top-k, the integer power iteration,
+    the frontier outer-join scoring, the anti-join audit, the RFC 9309
+    longest-match tally) is externally hash-checked here.
+
+    Host of ``https://host/path`` is ``split_part(url, '/', 3)`` (generator
+    urls are already lowercase); the robots oracle parses the fixture's
+    body SHAPE (one Disallow prefix + one longer Allow carve-out, or the
+    empty-Disallow allow-all form) with regexp_extract — general RFC
+    semantics stay pinned by tests/test_weblinks.py."""
+    n_iters = 3
+    gl = f"read_parquet('{pdir}/gold_links.parquet')"
+    pr_cte = _gold_pr_cte(pdir, n_iters)
 
     return {
         "host_link_graph": f"""
@@ -943,5 +949,303 @@ def _kg_oracle_sqls(pdir: str) -> dict:
             FROM p LEFT JOIN p r
               ON p.src_host = r.dst_host AND p.dst_host = r.src_host
             GROUP BY 1
+        """,
+    }
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 2: crawl-operations + KG-graph consumers
+# --------------------------------------------------------------------------
+
+def q_url_inlink_topk(sf_dir: str):
+    """URL-level AUTHORITY top-k: the 20 link targets with the most DISTINCT
+    linking hosts (in-degree by host, the page-level citation signal under
+    host PageRank). Plan: per-batch distinct (dst_url, src_host) pairs →
+    one bucketed distinct-pair aggregate → per-url host count → tiny global
+    sort+limit over the url-vocabulary counts (never link-sized)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.weblinks import links_table
+    from ..stages.canonicalize import grouped_aggregate
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    links = links_table(pages_dataset(pdir))
+
+    def pair_partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.not_equal(t.column("src_host"), t.column("dst_host")))
+        return (t.select(["dst_url", "src_host"]).to_pandas()
+                .drop_duplicates().assign(one=np.int64(1)))
+
+    pairs = grouped_aggregate(
+        links.map_batches(pair_partial, batch_format="pyarrow"),
+        ["dst_url", "src_host"],
+        Sum("one", alias_name="one"),
+    )
+    counts = grouped_aggregate(
+        pairs.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("dst_url"), pa.array(np.ones(t.num_rows, np.int64))],
+                names=["dst_url", "n_hosts"]),
+            batch_format="pyarrow"),
+        ["dst_url"],
+        Sum("n_hosts", alias_name="n_hosts"),
+    )
+    return counts.sort(["n_hosts", "dst_url"], descending=[True, False]).limit(20)
+
+
+def q_link_graph_diff(sf_dir: str):
+    """Link-graph SNAPSHOT DIFF — the maintenance audit between two crawls:
+    host-pair counts of the 'old' crawl (even article indices) vs the 'new'
+    crawl (odd indices), each pair classified added / removed / changed /
+    stable. The split is a pure function of the source url, so the oracle
+    replicates it; the diff itself is the FULL-OUTER comparison pattern
+    (snapshot_delta) applied to edge tables: side-tagged per-batch partials
+    meet in ONE bucketed two-column Sum — no join at all."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.weblinks import links_table
+    from ..stages.canonicalize import grouped_aggregate
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    links = links_table(pages_dataset(pdir))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.not_equal(t.column("src_host"), t.column("dst_host")))
+        df = t.select(["src_host", "dst_host", "src_url"]).to_pandas()
+        idx = df["src_url"].str.extract(r"(\d+)$")[0].astype("int64")
+        side = (idx % 2).to_numpy(np.int64)
+        df = df.assign(
+            old_n=(side == 0).astype(np.int64),
+            new_n=(side == 1).astype(np.int64))
+        return (df.groupby(["src_host", "dst_host"], sort=False)
+                .agg(old_n=("old_n", "sum"), new_n=("new_n", "sum"))
+                .reset_index())
+
+    agg = grouped_aggregate(
+        links.map_batches(partial, batch_format="pyarrow"),
+        ["src_host", "dst_host"],
+        Sum("old_n", alias_name="old_n"),
+        Sum("new_n", alias_name="new_n"),
+    )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        old_n = df["old_n"].astype("int64")
+        new_n = df["new_n"].astype("int64")
+        change = np.where(
+            old_n == 0, "added",
+            np.where(new_n == 0, "removed",
+                     np.where(old_n != new_n, "changed", "stable")))
+        return df.assign(old_n=old_n, new_n=new_n, change=change)
+
+    return agg.map_batches(classify, batch_format="pandas").sort(
+        ["src_host", "dst_host"])
+
+
+def q_budget_allocation(sf_dir: str, *, budget: int = 10_000):
+    """Crawl-BUDGET APPORTIONMENT: split a fixed fetch budget over hosts
+    proportional to PageRank with LARGEST-REMAINDER rounding — Σbudget ==
+    budget exactly, every step integer (base = ⌊B·pr/S⌋; the B − Σbase
+    leftover units go to the largest remainders, ties by host asc). The
+    remainder ranking reuses the DISTRIBUTED rank operator
+    (functions/rank.global_rank — sampled edges + histogram offsets, no
+    global sort), so the plan holds at a 10⁸-host frontier where a
+    driver-side sort would not."""
+    from ..functions.rank import global_rank
+    from ..functions.weblinks import host_pagerank
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    pr = host_pagerank(pages_dataset(pdir), n_iters=3).materialize()
+    s = int(pr.sum("pr") or 0)
+
+    def base_rem(t: pa.Table) -> pa.Table:
+        p = pc.cast(t.column("pr"), pa.int64()).to_numpy()
+        q = budget * p
+        return pa.table(
+            {"host": t.column("host"),
+             "pr": pa.array(p, pa.int64()),
+             "base": pa.array(q // s, pa.int64()),
+             "rem": pa.array(q % s, pa.int64())})
+
+    alloc = pr.map_batches(base_rem, batch_format="pyarrow").materialize()
+    deficit = budget - int(alloc.sum("base") or 0)
+    ranked = global_rank(alloc, "rem", "host", descending=True, n_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        extra = (df["rank"].astype("int64") <= deficit).astype("int64")
+        return pd.DataFrame(
+            {"host": df["host"], "pr": df["pr"].astype("int64"),
+             "budget": (df["base"] + extra).astype("int64")})
+
+    return ranked.map_batches(finish, batch_format="pandas").sort("host")
+
+
+def q_politeness_slots(sf_dir: str):
+    """Per-host POLITENESS SCHEDULING: every distinct cross-host link target
+    gets a fetch slot 1..n within its host (url asc — deterministic), the
+    sequence a rate-limited fetcher walks one-per-interval. Grouped dense
+    row-number: distinct (host, url) pair aggregate, host-hash coarse
+    buckets so a task sees whole hosts, row-local sort+arange per host."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+    from ..functions.weblinks import links_table
+    from ..stages.canonicalize import grouped_aggregate
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    links = links_table(pages_dataset(pdir))
+
+    def pair_partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.not_equal(t.column("src_host"), t.column("dst_host")))
+        return (t.select(["dst_host", "dst_url"]).to_pandas()
+                .drop_duplicates().assign(one=np.int64(1)))
+
+    pairs = grouped_aggregate(
+        links.map_batches(pair_partial, batch_format="pyarrow"),
+        ["dst_host", "dst_url"],
+        Sum("one", alias_name="one"),
+    ).drop_columns(["one"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = [stable_hash64("pol:" + h) % 32 for h in df["dst_host"]]
+        return df.assign(_b=np.asarray(b, np.int64))
+
+    def slots(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dst_host", "dst_url"], kind="mergesort")
+        df["slot"] = df.groupby("dst_host", sort=False).cumcount() + 1
+        return df[["dst_host", "dst_url", "slot"]].assign(
+            slot=lambda d: d["slot"].astype("int64"))
+
+    return (
+        pairs.map_batches(bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(slots, batch_format="pandas")
+        .sort(["dst_host", "slot"])
+    )
+
+
+def q_entity_degree(sf_dir: str):
+    """Canonical-entity DEGREE in the triple graph — the KG hub report:
+    distinct neighbors per canonical entity over alias-resolved distinct
+    (subj, obj) pairs, direction-free (symmetric explode + distinct-pair
+    aggregate + per-entity count — the graph_degree shape on string
+    entities)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+
+    ents = {
+        r["surface"]: r["canonical"]
+        for r in _gold(sf_dir, "gold_entities").take_all()
+    }
+    eref = ray.put(ents)
+
+    def sym_pairs(t: pa.Table) -> pd.DataFrame:
+        m = ray.get(eref)
+        a = [m.get(s) for s in t.column("subj").to_pylist()]
+        b = [m.get(s) for s in t.column("obj").to_pylist()]
+        df = pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
+        sym = pd.concat(
+            [df, df.rename(columns={"a": "b", "b": "a"})], ignore_index=True
+        ).drop_duplicates()
+        return sym.assign(one=np.int64(1))
+
+    dist = grouped_aggregate(
+        _gold(sf_dir, "gold_triples", ["subj", "obj"]).map_batches(
+            sym_pairs, batch_format="pyarrow"),
+        ["a", "b"],
+        Sum("one", alias_name="one"),
+    )
+    deg = grouped_aggregate(
+        dist.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("a"), pa.array(np.ones(t.num_rows, np.int64))],
+                names=["canonical", "degree"]),
+            batch_format="pyarrow"),
+        ["canonical"],
+        Sum("degree", alias_name="degree"),
+    )
+    return deg.sort("canonical")
+
+
+def _crawlops_oracle_sqls(pdir: str) -> dict:
+    """DuckDB oracles for the round-4 batch-2 crawl-operations + KG-graph
+    consumers — same planted-gold-table discipline."""
+    gl = f"read_parquet('{pdir}/gold_links.parquet')"
+    gt = f"read_parquet('{pdir}/gold_triples.parquet')"
+    ge = f"read_parquet('{pdir}/gold_entities.parquet')"
+    pr_cte = _gold_pr_cte(pdir, 3)
+    return {
+        "url_inlink_topk": f"""
+            SELECT dst_url, n_hosts FROM (
+                SELECT dst_url, COUNT(DISTINCT src_host) AS n_hosts FROM (
+                    SELECT split_part(src_url, '/', 3) AS src_host,
+                           split_part(dst_url, '/', 3) AS dst_host, dst_url
+                    FROM {gl}) l
+                WHERE src_host <> dst_host
+                GROUP BY 1)
+            ORDER BY n_hosts DESC, dst_url LIMIT 20
+        """,
+        "link_graph_diff": f"""
+            WITH agg AS (
+                SELECT src_host, dst_host,
+                       CAST(SUM(CASE WHEN idx % 2 = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS old_n,
+                       CAST(SUM(CASE WHEN idx % 2 = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS new_n
+                FROM (
+                    SELECT split_part(src_url, '/', 3) AS src_host,
+                           split_part(dst_url, '/', 3) AS dst_host,
+                           CAST(regexp_extract(src_url, '([0-9]+)$', 1)
+                                AS BIGINT) AS idx
+                    FROM {gl}) l
+                WHERE src_host <> dst_host
+                GROUP BY 1, 2)
+            SELECT src_host, dst_host, old_n, new_n,
+                   CASE WHEN old_n = 0 THEN 'added'
+                        WHEN new_n = 0 THEN 'removed'
+                        WHEN old_n <> new_n THEN 'changed'
+                        ELSE 'stable' END AS change
+            FROM agg
+        """,
+        "budget_allocation": f"""
+            WITH {pr_cte},
+            prt AS (SELECT node AS host, pr FROM p3),
+            tot AS (SELECT CAST(SUM(pr) AS BIGINT) AS s FROM prt),
+            alloc AS (
+                SELECT host, pr,
+                       CAST((10000 * pr) // s AS BIGINT) AS base,
+                       CAST((10000 * pr) % s AS BIGINT) AS rem
+                FROM prt CROSS JOIN tot),
+            def AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS d FROM alloc)
+            SELECT host, pr,
+                   CAST(base + CASE WHEN ROW_NUMBER() OVER (
+                            ORDER BY rem DESC, host) <= d
+                        THEN 1 ELSE 0 END AS BIGINT) AS budget
+            FROM alloc CROSS JOIN def
+        """,
+        "politeness_slots": f"""
+            SELECT dst_host, dst_url,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dst_host ORDER BY dst_url) AS slot
+            FROM (
+                SELECT DISTINCT dst_host, dst_url FROM (
+                    SELECT split_part(src_url, '/', 3) AS src_host,
+                           split_part(dst_url, '/', 3) AS dst_host, dst_url
+                    FROM {gl}) l
+                WHERE src_host <> dst_host)
+        """,
+        "entity_degree": f"""
+            WITH d AS (
+                SELECT DISTINCT es.canonical AS a, eo.canonical AS b
+                FROM {gt} t
+                JOIN {ge} es ON t.subj = es.surface
+                JOIN {ge} eo ON t.obj = eo.surface),
+            sym AS (SELECT a, b FROM d UNION SELECT b, a FROM d)
+            SELECT a AS canonical, COUNT(DISTINCT b) AS degree
+            FROM sym GROUP BY 1
         """,
     }

@@ -97,7 +97,9 @@ from .q_web import (
     q_host_pagerank, q_host_reciprocity, q_kg_edges, q_kg_two_hop,
     q_mention_confusion, q_pred_type_matrix, q_redirect_resolve,
     q_rendezvous_shards, q_robots_filter, q_triple_provenance,
-    q_triple_support, q_url_canonical_dedup,
+    q_triple_support, q_url_canonical_dedup, _crawlops_oracle_sqls,
+    q_url_inlink_topk, q_link_graph_diff, q_budget_allocation,
+    q_politeness_slots, q_entity_degree,
 )
 from .q_stream import (
     _ACTIVE_WINDOW_S, _DEBOUNCE_S, _EVENT_TYPES, _FUNNEL_STEPS, _PATH_GAP_US,
@@ -442,6 +444,12 @@ def queries() -> dict:
         "brand_supplier_cnt": q_brand_supplier_cnt,
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_customers_by_segment": q_idle_customers_by_segment,
+        # batch 2: crawl operations + KG-graph consumers
+        "url_inlink_topk": q_url_inlink_topk,
+        "link_graph_diff": q_link_graph_diff,
+        "budget_allocation": q_budget_allocation,
+        "politeness_slots": q_politeness_slots,
+        "entity_degree": q_entity_degree,
     }
 
 
@@ -723,10 +731,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         write_robots(pdir, seed=42)
     web = _web_oracle_sqls(pdir)
     kg = _kg_oracle_sqls(pdir)
+    crawlops = _crawlops_oracle_sqls(pdir)
 
     return {
         **web,
         **kg,
+        **crawlops,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
