@@ -302,3 +302,15 @@ def test_bloom_semi_orders_join_path_matches_broadcast():
     at_scale = _norm(q_bloom_semi_orders(SF_DIR, broadcast_limit=0).to_pandas())
     pd.testing.assert_frame_equal(bc, at_scale)
     assert len(bc) > 0 and int(bc["n_orders"].sum()) > 0
+
+
+def test_idle_customers_join_path_matches_broadcast():
+    """Round-4 Q22 shape: the recent-orderer anti-join key set is gated —
+    broadcast_limit=0 forces the LEFT hash_join + null-filter path."""
+    from ner_extractor_ray.pipelines.queries import q_idle_customers_by_segment
+
+    bc = _norm(q_idle_customers_by_segment(SF_DIR).to_pandas())
+    at_scale = _norm(
+        q_idle_customers_by_segment(SF_DIR, broadcast_limit=0).to_pandas())
+    pd.testing.assert_frame_equal(bc, at_scale)
+    assert len(bc) > 0 and int(bc["n_customers"].sum()) > 0
