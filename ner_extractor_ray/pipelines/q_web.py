@@ -1249,3 +1249,316 @@ def _crawlops_oracle_sqls(pdir: str) -> dict:
             FROM sym GROUP BY 1
         """,
     }
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 3: association-strength + host-profile operators
+# --------------------------------------------------------------------------
+
+def q_entity_lift(sf_dir: str):
+    """Entity association LIFT — integer-exact PMI surrogate ranking: for
+    every co-occurring canonical pair, lift_ppm = ⌊10⁶ · n_ab · N /
+    (n_a · n_b)⌋ over sentence counts (N = distinct sentences with ≥1
+    mention). Same ORDERING as PMI (log is monotone) with none of the
+    float-log parity risk. Plan: the co-occurrence pair table (bucketed
+    sentence groupby) + a per-entity sentence-count aggregate joined back —
+    entity vocabulary is gazetteer-sized, broadcast; N is one driver
+    scalar."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+    from ..stages.canonicalize import grouped_aggregate
+
+    ents = {
+        r["surface"]: r["canonical"]
+        for r in _gold(sf_dir, "gold_entities").take_all()
+    }
+    eref = ray.put(ents)
+    mentions = _gold(sf_dir, "gold_mentions", ["url", "sent_id", "surface"])
+
+    def sent_rows(t: pa.Table) -> pd.DataFrame:
+        m = ray.get(eref)
+        df = pa.Table.from_arrays(
+            [t.column("url"), pc.cast(t.column("sent_id"), pa.int64()),
+             t.column("surface")],
+            names=["url", "sent_id", "surface"]).to_pandas()
+        df["canonical"] = df["surface"].map(m)
+        df = df.dropna(subset=["canonical"])
+        return (df[["url", "sent_id", "canonical"]].drop_duplicates()
+                .assign(one=np.int64(1)))
+
+    sent_ents = grouped_aggregate(
+        mentions.map_batches(sent_rows, batch_format="pyarrow"),
+        ["url", "sent_id", "canonical"],
+        Sum("one", alias_name="one"),
+    ).drop_columns(["one"]).materialize()
+
+    # N = distinct mentioned sentences; per-entity sentence counts
+    n_total = int(
+        grouped_aggregate(
+            sent_ents.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("url"), t.column("sent_id"),
+                     pa.array(np.ones(t.num_rows, np.int64))],
+                    names=["url", "sent_id", "one"]),
+                batch_format="pyarrow"),
+            ["url", "sent_id"],
+            Sum("one", alias_name="one"),
+        ).count())
+    ent_counts = {
+        r["canonical"]: int(r["n"])
+        for r in grouped_aggregate(
+            sent_ents.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("canonical"),
+                     pa.array(np.ones(t.num_rows, np.int64))],
+                    names=["canonical", "n"]),
+                batch_format="pyarrow"),
+            ["canonical"],
+            Sum("n", alias_name="n"),
+        ).take_all()
+    }
+    cref = ray.put(ent_counts)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = [stable_hash64(f"lift:{u}:{s}") % 64
+             for u, s in zip(df["url"], df["sent_id"])]
+        return df.assign(_b=np.asarray(b, np.int64))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out: dict[tuple[str, str], int] = {}
+        for (_, _), grp in df.groupby(["url", "sent_id"], sort=False):
+            es = sorted(set(grp["canonical"]))
+            for i in range(len(es)):
+                for j in range(i + 1, len(es)):
+                    k = (es[i], es[j])
+                    out[k] = out.get(k, 0) + 1
+        return pd.DataFrame(
+            {"ent_a": [k[0] for k in out], "ent_b": [k[1] for k in out],
+             "n_ab": list(out.values())})
+
+    pair_counts = grouped_aggregate(
+        sent_ents.map_batches(bucket, batch_format="pandas")
+        .groupby("_b").map_groups(pairs, batch_format="pandas"),
+        ["ent_a", "ent_b"],
+        Sum("n_ab", alias_name="n_ab"),
+    )
+
+    def lift(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = ray.get(cref)
+        na = df["ent_a"].map(cnt).astype("int64")
+        nb = df["ent_b"].map(cnt).astype("int64")
+        nab = df["n_ab"].astype("int64")
+        return pd.DataFrame(
+            {"ent_a": df["ent_a"], "ent_b": df["ent_b"], "n_ab": nab,
+             "n_a": na, "n_b": nb,
+             "lift_ppm": (1_000_000 * nab * n_total) // (na * nb)})
+
+    return pair_counts.map_batches(lift, batch_format="pandas").sort(
+        ["ent_a", "ent_b"])
+
+
+def q_host_spam_features(sf_dir: str):
+    """Host-profile FEATURE TABLE for link-spam / quality classification:
+    per linking host — total outbound links, intra-host (self) links,
+    distinct target hosts, distinct anchor strings. One Sum pass for the
+    two counts + two distinct-pair chains joined back (the feature-
+    engineering-at-scale shape: every column an independent bounded
+    aggregate over the same key)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.weblinks import links_table
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    links = links_table(pages_dataset(pdir)).materialize()
+
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["src_host", "dst_host"]).to_pandas()
+        df["self"] = (df["src_host"] == df["dst_host"]).astype(np.int64)
+        return (df.groupby("src_host", sort=False)
+                .agg(n_links=("dst_host", "size"), n_self=("self", "sum"))
+                .reset_index())
+
+    counts = grouped_aggregate(
+        links.map_batches(count_partial, batch_format="pyarrow"),
+        ["src_host"],
+        Sum("n_links", alias_name="n_links"),
+        Sum("n_self", alias_name="n_self"),
+    )
+
+    def distinct_chain(col: str, out: str):
+        pairs = grouped_aggregate(
+            links.map_batches(
+                lambda t, c=col: (t.select(["src_host", c]).to_pandas()
+                                  .drop_duplicates().assign(one=np.int64(1))),
+                batch_format="pyarrow"),
+            ["src_host", col],
+            Sum("one", alias_name="one"),
+        )
+        return grouped_aggregate(
+            pairs.map_batches(
+                lambda t, o=out: pa.Table.from_arrays(
+                    [t.column("src_host"),
+                     pa.array(np.ones(t.num_rows, np.int64))],
+                    names=["src_host", o]),
+                batch_format="pyarrow"),
+            ["src_host"],
+            Sum(out, alias_name=out),
+        )
+
+    hosts = hash_join(
+        hash_join(counts, distinct_chain("dst_host", "n_dst_hosts"),
+                  on=["src_host"]),
+        distinct_chain("anchor", "n_anchors"), on=["src_host"])
+    return hosts.map_batches(
+        lambda df: df[["src_host", "n_links", "n_self", "n_dst_hosts",
+                       "n_anchors"]]
+        .astype({c: "int64" for c in
+                 ("n_links", "n_self", "n_dst_hosts", "n_anchors")}),
+        batch_format="pandas",
+    ).sort("src_host")
+
+
+def q_anchor_salience(sf_dir: str):
+    """Per-host SALIENT anchors — the integer tf-idf surrogate: salience =
+    ⌊10⁶ · n(host, anchor) / df(anchor)⌋ with df = number of hosts whose
+    INBOUND links carry that anchor; top-3 per host by (salience desc,
+    anchor asc). Same ordering as tf-idf for a fixed host (1/df is
+    monotone in idf) with zero float-log parity risk. Plan: (host, anchor)
+    counts + anchor df (distinct-pair chain) joined on anchor — the join
+    key is the anchor VOCABULARY, never link-sized."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+    from ..functions.weblinks import links_table
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    links = links_table(pages_dataset(pdir)).materialize()
+
+    def ha_partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.not_equal(t.column("src_host"), t.column("dst_host")))
+        df = t.select(["dst_host", "anchor"]).to_pandas()
+        df = df[df["anchor"] != ""]
+        return (df.groupby(["dst_host", "anchor"], sort=False).size()
+                .reset_index(name="n"))
+
+    ha = grouped_aggregate(
+        links.map_batches(ha_partial, batch_format="pyarrow"),
+        ["dst_host", "anchor"],
+        Sum("n", alias_name="n"),
+    ).materialize()
+
+    df_tbl = grouped_aggregate(
+        ha.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("anchor"), pa.array(np.ones(t.num_rows, np.int64))],
+                names=["anchor", "df"]),
+            batch_format="pyarrow"),
+        ["anchor"],
+        Sum("df", alias_name="df"),
+    )
+    joined = hash_join(ha, df_tbl, on=["anchor"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype("int64")
+        d = df["df"].astype("int64")
+        return df.assign(salience=(1_000_000 * n) // d)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = [stable_hash64("sal:" + h) % 32 for h in df["dst_host"]]
+        return df.assign(_b=np.asarray(b, np.int64))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dst_host", "salience", "anchor"],
+                            ascending=[True, False, True], kind="mergesort")
+        return (df.groupby("dst_host", sort=False).head(3)
+                [["dst_host", "anchor", "n", "df", "salience"]])
+
+    out = (
+        joined.map_batches(score, batch_format="pandas")
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(topk, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda df: df.astype({c: "int64" for c in ("n", "df", "salience")}),
+        batch_format="pandas",
+    ).sort(["dst_host", "salience", "anchor"], descending=[False, True, False])
+
+
+def _assoc_oracle_sqls(pdir: str) -> dict:
+    """DuckDB oracles for the batch-3 association/profile operators.
+
+    ``host_spam_features`` runs over the FULL html link set, which includes
+    the template's two nav links per page (``<a href='/'>home</a>
+    <a href='/about'>about</a>`` — both self-host); the oracle synthesizes
+    exactly those two rows per crawled page from gold_text and unions them
+    with the planted gold_links, so the engine's html parse is checked
+    against the complete planted structure, nav included."""
+    gm = f"read_parquet('{pdir}/gold_mentions.parquet')"
+    ge = f"read_parquet('{pdir}/gold_entities.parquet')"
+    gl = f"read_parquet('{pdir}/gold_links.parquet')"
+    gtx = f"read_parquet('{pdir}/gold_text.parquet')"
+    return {
+        "entity_lift": f"""
+            WITH c AS (
+                SELECT DISTINCT m.url, m.sent_id, e.canonical
+                FROM {gm} m JOIN {ge} e USING (surface)),
+            n_t AS (SELECT COUNT(*) AS n FROM
+                    (SELECT DISTINCT url, sent_id FROM c)),
+            ec AS (SELECT canonical, COUNT(*) AS n FROM c GROUP BY 1),
+            p AS (SELECT a.canonical AS ent_a, b.canonical AS ent_b,
+                         COUNT(*) AS n_ab
+                  FROM c a JOIN c b
+                    ON a.url = b.url AND a.sent_id = b.sent_id
+                   AND a.canonical < b.canonical
+                  GROUP BY 1, 2)
+            SELECT p.ent_a, p.ent_b, p.n_ab,
+                   ea.n AS n_a, eb.n AS n_b,
+                   CAST((1000000 * p.n_ab * n_t.n) // (ea.n * eb.n)
+                        AS BIGINT) AS lift_ppm
+            FROM p JOIN ec ea ON p.ent_a = ea.canonical
+                   JOIN ec eb ON p.ent_b = eb.canonical
+                   CROSS JOIN n_t
+        """,
+        "host_spam_features": f"""
+            WITH nav AS (
+                SELECT split_part(url, '/', 3) AS src_host,
+                       split_part(url, '/', 3) AS dst_host,
+                       a.anchor
+                FROM {gtx} CROSS JOIN (VALUES ('home'), ('about')) a(anchor)),
+            pl AS (
+                SELECT split_part(src_url, '/', 3) AS src_host,
+                       split_part(dst_url, '/', 3) AS dst_host, anchor
+                FROM {gl}),
+            l AS (SELECT * FROM nav UNION ALL SELECT * FROM pl)
+            SELECT src_host, COUNT(*) AS n_links,
+                   CAST(SUM(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_self,
+                   COUNT(DISTINCT dst_host) AS n_dst_hosts,
+                   COUNT(DISTINCT anchor) AS n_anchors
+            FROM l GROUP BY 1
+        """,
+        "anchor_salience": f"""
+            WITH ha AS (
+                SELECT dst_host, anchor, COUNT(*) AS n FROM (
+                    SELECT split_part(src_url, '/', 3) AS src_host,
+                           split_part(dst_url, '/', 3) AS dst_host, anchor
+                    FROM {gl}) l
+                WHERE src_host <> dst_host AND anchor <> ''
+                GROUP BY 1, 2),
+            dfa AS (SELECT anchor, COUNT(*) AS df FROM ha GROUP BY 1)
+            SELECT dst_host, anchor, n, df, salience FROM (
+                SELECT ha.dst_host, ha.anchor, ha.n, dfa.df,
+                       CAST((1000000 * ha.n) // dfa.df AS BIGINT) AS salience
+                FROM ha JOIN dfa USING (anchor))
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY dst_host ORDER BY salience DESC, anchor) <= 3
+        """,
+    }

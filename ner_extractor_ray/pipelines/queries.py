@@ -99,7 +99,8 @@ from .q_web import (
     q_rendezvous_shards, q_robots_filter, q_triple_provenance,
     q_triple_support, q_url_canonical_dedup, _crawlops_oracle_sqls,
     q_url_inlink_topk, q_link_graph_diff, q_budget_allocation,
-    q_politeness_slots, q_entity_degree,
+    q_politeness_slots, q_entity_degree, _assoc_oracle_sqls,
+    q_entity_lift, q_host_spam_features, q_anchor_salience,
 )
 from .q_stream import (
     _ACTIVE_WINDOW_S, _DEBOUNCE_S, _EVENT_TYPES, _FUNNEL_STEPS, _PATH_GAP_US,
@@ -450,6 +451,10 @@ def queries() -> dict:
         "budget_allocation": q_budget_allocation,
         "politeness_slots": q_politeness_slots,
         "entity_degree": q_entity_degree,
+        # batch 3: association strength + host profiles
+        "entity_lift": q_entity_lift,
+        "host_spam_features": q_host_spam_features,
+        "anchor_salience": q_anchor_salience,
     }
 
 
@@ -732,11 +737,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     web = _web_oracle_sqls(pdir)
     kg = _kg_oracle_sqls(pdir)
     crawlops = _crawlops_oracle_sqls(pdir)
+    assoc = _assoc_oracle_sqls(pdir)
 
     return {
         **web,
         **kg,
         **crawlops,
+        **assoc,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
