@@ -963,6 +963,7 @@ def pagerank(
     n_iters: int = 3,
     num_partitions: int | None = None,
     personalize_seed: int | None = None,
+    driver_threshold: int = 500_000,
 ) -> "ray.data.Dataset":
     """Integer power iteration → (node, pr) with pr in parts-per-``PR_SCALE``.
 
@@ -1010,6 +1011,38 @@ def pagerank(
         )
 
     sym = edges_ds.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    if sym.count() <= driver_threshold:
+        # small-graph DRIVER plan (the canonicalize.py driver_threshold
+        # pattern): each distributed round costs a join + groupby execution
+        # (seconds of fixed latency), so a graph whose symmetrized edge list
+        # fits trivially in one heap runs the SAME integer ops locally —
+        # bit-identical output (np.add.at is exact int64 accumulation),
+        # pinned by the forced-path test in tests/test_graph.py. Above the
+        # gate the partitioned rounds below are unchanged.
+        chunks = [b for b in sym.iter_batches(batch_size=65536,
+                                              batch_format="pyarrow")]
+        tbl = pa.concat_tables(chunks)
+        src = pc.cast(tbl.column("src"), pa.int64()).to_numpy(zero_copy_only=False)
+        dst = pc.cast(tbl.column("dst"), pa.int64()).to_numpy(zero_copy_only=False)
+        nodes = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        outdeg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+        pr0 = (np.full(len(nodes), init, np.int64) if seed is None
+               else np.where(nodes == seed, np.int64(init), np.int64(0)))
+        b_vec = (np.full(len(nodes), base, np.int64) if seed is None
+                 else np.where(nodes == seed, np.int64(base), np.int64(0)))
+        pr = pr0
+        for _ in range(n_iters):
+            share = pr // outdeg
+            contrib = np.zeros(len(nodes), np.int64)
+            np.add.at(contrib, di, share[si])
+            pr = b_vec + (PR_DAMP_NUM * contrib) // PR_DAMP_DEN
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array(nodes, pa.int64()),
+             "pr": pa.array(pr, pa.int64())}))
+
     if num_partitions is None:
         from ..stages.canonicalize import data_partitions
 

@@ -285,3 +285,29 @@ def test_pagerank_uniform_unchanged_by_seed_param():
     exp = {v: base + (85 * sum(init // deg[u] for u in adj[v])) // 100
            for v in deg}
     assert got == exp
+
+
+def test_pagerank_driver_gate_matches_distributed():
+    """The small-graph driver plan (pagerank driver_threshold) must be
+    BIT-identical to the partitioned rounds — same integer ops, forced via
+    driver_threshold=0. Checked for both global and personalized runs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ner_extractor_ray.functions.graph import pagerank
+
+    edges = rd.from_items(
+        [{"u": u, "v": v} for (u, v) in
+         [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (2, 6)]]
+    )
+
+    def norm(ds):
+        return (ds.to_pandas().sort_values("node").reset_index(drop=True)
+                .astype({"node": "int64", "pr": "int64"}))
+
+    for seed in (None, 3):
+        drv = norm(pagerank(edges, n_iters=4, personalize_seed=seed))
+        dist = norm(pagerank(edges, n_iters=4, personalize_seed=seed,
+                             driver_threshold=0))
+        pd.testing.assert_frame_equal(drv, dist)
+        assert (drv["pr"] >= 0).all() and drv["pr"].sum() > 0
