@@ -85,16 +85,20 @@ def run_curation(
     stats: dict[str, int] = {"n_input": docs.count()}
 
     # ---- S1 quality gate (row-local; C4/Gopher rule filter) --------------
-    def keep_ids(t: pa.Table) -> pa.Table:
+    # The gate is a pure per-row predicate, so it applies as a row-local
+    # FILTER carrying (id, text) straight through — no id-table join: a join
+    # here would ship the whole corpus through a shuffle to apply a
+    # predicate each row can answer locally (fixed round 4; the dedup
+    # stages below DO need joins because their keep-decisions are global).
+    def keep_rows(t: pa.Table) -> pa.Table:
         q = quality_batch(t, text_col=text_col, id_col=id_col,
                           min_tokens=min_tokens,
                           max_punct_ratio=max_punct_ratio,
                           min_stopword_ratio=min_stopword_ratio)
-        kept = q.filter(q.column("keep"))
-        return pa.table({id_col: pc.cast(kept.column(id_col), pa.int64())})
+        kept = t.filter(q.column("keep"))
+        return pa.table({id_col: pc.cast(kept.column(id_col), pa.int64()),
+                         text_col: pc.cast(kept.column(text_col), pa.string())})
 
-    q_ids = docs.map_batches(keep_ids, batch_format="pyarrow").materialize()
-    stats["n_quality"] = q_ids.count()
     # each survivor table is consumed by SEVERAL downstream branches (dedup
     # hash pass + the join; LSH pairs + token counts + the join; gram pass +
     # text pass) — materialize at the stage boundary or the whole upstream
@@ -102,8 +106,9 @@ def run_curation(
     # sf0.1). At 100 TB this is the documented object-store working set: the
     # survivor table only shrinks stage over stage, and with out_dir the
     # curated result is the durable artifact.
-    s1 = hash_join(docs.select_columns([id_col, text_col]), q_ids,
-                   on=(id_col,)).materialize()
+    s1 = docs.select_columns([id_col, text_col]).map_batches(
+        keep_rows, batch_format="pyarrow").materialize()
+    stats["n_quality"] = s1.count()
 
     # ---- S2 exact dedup (md5 content hash, keeper = min id) --------------
     e_keep = _ids_only(
