@@ -1562,3 +1562,192 @@ def _assoc_oracle_sqls(pdir: str) -> dict:
                 PARTITION BY dst_host ORDER BY salience DESC, anchor) <= 3
         """,
     }
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 4: KG temporal/consistency + windowed top-k
+# --------------------------------------------------------------------------
+
+def q_entity_timeline(sf_dir: str):
+    """Entity TEMPORAL footprint — first/last capture and page spread per
+    canonical entity: distinct (url, canonical) mention pairs joined to the
+    page capture timestamps (partitioned hash_join on url — pages never
+    broadcast), then Min/Max/Count per entity. The KG freshness signal
+    (stale entities get recrawled first, the entity-level sibling of
+    crawl_frontier's host staleness)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    ents = {
+        r["surface"]: r["canonical"]
+        for r in _gold(sf_dir, "gold_entities").take_all()
+    }
+    eref = ray.put(ents)
+
+    def url_ents(t: pa.Table) -> pd.DataFrame:
+        m = ray.get(eref)
+        df = pa.Table.from_arrays(
+            [t.column("url"), t.column("surface")],
+            names=["url", "surface"]).to_pandas()
+        df["canonical"] = df["surface"].map(m)
+        return (df.dropna(subset=["canonical"])[["url", "canonical"]]
+                .drop_duplicates().assign(one=np.int64(1)))
+
+    pairs = grouped_aggregate(
+        _gold(sf_dir, "gold_mentions", ["url", "surface"]).map_batches(
+            url_ents, batch_format="pyarrow"),
+        ["url", "canonical"],
+        Sum("one", alias_name="one"),
+    ).drop_columns(["one"])
+
+    pages = ray.data.read_parquet(
+        sorted(__import__("glob").glob(os.path.join(pdir, "pages-*.parquet"))),
+        columns=["url", "warc_ts"],
+    ).map_batches(
+        lambda t: pa.table(
+            {"url": t.column("url"),
+             "ts_us": pc.cast(pc.cast(t.column("warc_ts"),
+                                      pa.timestamp("us")), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(pairs, pages, on=["url"])
+    out = grouped_aggregate(
+        joined.map_batches(
+            lambda df: df[["canonical", "ts_us"]].assign(
+                ts_us=df["ts_us"].astype("int64")),
+            batch_format="pandas"),
+        ["canonical"],
+        Min("ts_us", alias_name="first_ts"),
+        Max("ts_us", alias_name="last_ts"),
+        Count(alias_name="n_pages"),
+    )
+    return out.map_batches(
+        lambda df: df.astype({"first_ts": "int64", "last_ts": "int64",
+                              "n_pages": "int64"}),
+        batch_format="pandas",
+    ).sort("canonical")
+
+
+def q_triple_conflicts(sf_dir: str):
+    """KG CONSISTENCY audit — functional-predicate violations: subjects
+    whose ``born_in`` (one birthplace per person) carries MORE THAN ONE
+    distinct object, with the conflict cardinality. The contradiction
+    detector every KG ingest runs before accepting a batch. Two
+    vocabulary-sized aggregates: distinct (subj, obj) under the predicate,
+    then per-subject counts filtered to >1."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+
+    tr = _gold(sf_dir, "gold_triples", ["subj", "pred", "obj"])
+
+    def dist_partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df[df["pred"] == "born_in"]
+        return (df[["subj", "obj"]].drop_duplicates()
+                .assign(one=np.int64(1)))
+
+    dist = grouped_aggregate(
+        tr.map_batches(dist_partial, batch_format="pyarrow"),
+        ["subj", "obj"],
+        Sum("one", alias_name="one"),
+    )
+    counts = grouped_aggregate(
+        dist.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("subj"), pa.array(np.ones(t.num_rows, np.int64))],
+                names=["subj", "n_objects"]),
+            batch_format="pyarrow"),
+        ["subj"],
+        Sum("n_objects", alias_name="n_objects"),
+    )
+    out = counts.map_batches(
+        lambda t: t.filter(pc.greater(pc.cast(t.column("n_objects"),
+                                              pa.int64()), 1)),
+        batch_format="pyarrow",
+    )
+    return out.sort("subj")
+
+
+def q_hourly_topk_types(sf_dir: str):
+    """Windowed GROUPED TOP-K — top-3 event types per calendar DAY by count
+    (ties: type asc): the trending-now aggregation, combining the tumbling
+    window with per-window ranking. Per-batch (day, type) partials → one
+    bucketed Sum → day-bucketed row-local top-k (day cardinality is
+    timeline-bounded, never data-bounded)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = t.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"day": days,
+                           "event_type": t.column("event_type").to_pylist()})
+        return (df.groupby(["day", "event_type"], sort=False).size()
+                .reset_index(name="n"))
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day", "event_type"],
+        Sum("n", alias_name="n"),
+    )
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_b=(df["day"].astype("int64") % 16))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["day", "n", "event_type"],
+                            ascending=[True, False, True], kind="mergesort")
+        return (df.groupby("day", sort=False).head(3)
+                [["day", "event_type", "n"]])
+
+    out = (
+        counts.map_batches(bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(topk, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda df: df.astype({"day": "int64", "n": "int64"}),
+        batch_format="pandas",
+    ).sort(["day", "n", "event_type"], descending=[False, True, False])
+
+
+def _batch4_oracle_sqls(pdir: str) -> dict:
+    """DuckDB oracles for batch 4 (entity_timeline / triple_conflicts read
+    the planted gold tables; hourly_topk_types reads the events view)."""
+    gm = f"read_parquet('{pdir}/gold_mentions.parquet')"
+    ge = f"read_parquet('{pdir}/gold_entities.parquet')"
+    gt = f"read_parquet('{pdir}/gold_triples.parquet')"
+    pg = f"read_parquet('{pdir}/pages-*.parquet')"
+    return {
+        "entity_timeline": f"""
+            WITH p AS (
+                SELECT DISTINCT m.url, e.canonical
+                FROM {gm} m JOIN {ge} e USING (surface))
+            SELECT p.canonical,
+                   CAST(MIN(epoch_us(g.warc_ts)) AS BIGINT) AS first_ts,
+                   CAST(MAX(epoch_us(g.warc_ts)) AS BIGINT) AS last_ts,
+                   COUNT(*) AS n_pages
+            FROM p JOIN {pg} g ON p.url = g.url
+            GROUP BY 1
+        """,
+        "triple_conflicts": f"""
+            SELECT subj, COUNT(DISTINCT obj) AS n_objects
+            FROM {gt} WHERE pred = 'born_in'
+            GROUP BY subj HAVING COUNT(DISTINCT obj) > 1
+        """,
+        "hourly_topk_types": """
+            SELECT day, event_type, n FROM (
+                SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+                       event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY day ORDER BY n DESC, event_type) <= 3
+        """,
+    }

@@ -101,6 +101,8 @@ from .q_web import (
     q_url_inlink_topk, q_link_graph_diff, q_budget_allocation,
     q_politeness_slots, q_entity_degree, _assoc_oracle_sqls,
     q_entity_lift, q_host_spam_features, q_anchor_salience,
+    _batch4_oracle_sqls, q_entity_timeline, q_triple_conflicts,
+    q_hourly_topk_types,
 )
 from .q_stream import (
     _ACTIVE_WINDOW_S, _DEBOUNCE_S, _EVENT_TYPES, _FUNNEL_STEPS, _PATH_GAP_US,
@@ -455,6 +457,10 @@ def queries() -> dict:
         "entity_lift": q_entity_lift,
         "host_spam_features": q_host_spam_features,
         "anchor_salience": q_anchor_salience,
+        # batch 4: KG temporal/consistency + windowed top-k
+        "entity_timeline": q_entity_timeline,
+        "triple_conflicts": q_triple_conflicts,
+        "hourly_topk_types": q_hourly_topk_types,
     }
 
 
@@ -738,12 +744,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     kg = _kg_oracle_sqls(pdir)
     crawlops = _crawlops_oracle_sqls(pdir)
     assoc = _assoc_oracle_sqls(pdir)
+    batch4 = _batch4_oracle_sqls(pdir)
 
     return {
         **web,
         **kg,
         **crawlops,
         **assoc,
+        **batch4,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
