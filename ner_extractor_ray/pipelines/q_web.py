@@ -1751,3 +1751,69 @@ def _batch4_oracle_sqls(pdir: str) -> dict:
                 PARTITION BY day ORDER BY n DESC, event_type) <= 3
         """,
     }
+
+
+def q_entity_host_spread(sf_dir: str):
+    """Entity AUTHORITY BREADTH — per canonical entity, the number of
+    DISTINCT hosts whose pages mention it plus total mentions: broad-spread
+    entities are corroborated across independent sources, single-host
+    entities are candidate noise (the KG trust prior). Distinct
+    (host, canonical) pair aggregate + per-entity count; mention totals
+    ride the same partials."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.weblinks import host_of
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    ents = {
+        r["surface"]: r["canonical"]
+        for r in _gold(sf_dir, "gold_entities").take_all()
+    }
+    eref = ray.put(ents)
+
+    def host_rows(t: pa.Table) -> pd.DataFrame:
+        m = ray.get(eref)
+        df = pa.Table.from_arrays(
+            [t.column("url"), t.column("surface")],
+            names=["url", "surface"]).to_pandas()
+        df["canonical"] = df["surface"].map(m)
+        df = df.dropna(subset=["canonical"])
+        df["host"] = df["url"].map(host_of)
+        g = (df.groupby(["host", "canonical"], sort=False).size()
+             .reset_index(name="n_mentions"))
+        return g
+
+    pairs = grouped_aggregate(
+        _gold(sf_dir, "gold_mentions", ["url", "surface"]).map_batches(
+            host_rows, batch_format="pyarrow"),
+        ["host", "canonical"],
+        Sum("n_mentions", alias_name="n_mentions"),
+    )
+    out = grouped_aggregate(
+        pairs.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("canonical"),
+                 pa.array(np.ones(t.num_rows, np.int64)),
+                 pc.cast(t.column("n_mentions"), pa.int64())],
+                names=["canonical", "n_hosts", "n_mentions"]),
+            batch_format="pyarrow"),
+        ["canonical"],
+        Sum("n_hosts", alias_name="n_hosts"),
+        Sum("n_mentions", alias_name="n_mentions"),
+    )
+    return out.sort("canonical")
+
+
+def _spread_oracle_sql(pdir: str) -> dict:
+    gm = f"read_parquet('{pdir}/gold_mentions.parquet')"
+    ge = f"read_parquet('{pdir}/gold_entities.parquet')"
+    return {
+        "entity_host_spread": f"""
+            SELECT e.canonical,
+                   COUNT(DISTINCT split_part(m.url, '/', 3)) AS n_hosts,
+                   COUNT(*) AS n_mentions
+            FROM {gm} m JOIN {ge} e USING (surface)
+            GROUP BY 1
+        """,
+    }

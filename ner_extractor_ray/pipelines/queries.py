@@ -102,7 +102,7 @@ from .q_web import (
     q_politeness_slots, q_entity_degree, _assoc_oracle_sqls,
     q_entity_lift, q_host_spam_features, q_anchor_salience,
     _batch4_oracle_sqls, q_entity_timeline, q_triple_conflicts,
-    q_hourly_topk_types,
+    q_hourly_topk_types, _spread_oracle_sql, q_entity_host_spread,
 )
 from .q_stream import (
     _ACTIVE_WINDOW_S, _DEBOUNCE_S, _EVENT_TYPES, _FUNNEL_STEPS, _PATH_GAP_US,
@@ -461,6 +461,7 @@ def queries() -> dict:
         "entity_timeline": q_entity_timeline,
         "triple_conflicts": q_triple_conflicts,
         "hourly_topk_types": q_hourly_topk_types,
+        "entity_host_spread": q_entity_host_spread,
     }
 
 
@@ -745,6 +746,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     crawlops = _crawlops_oracle_sqls(pdir)
     assoc = _assoc_oracle_sqls(pdir)
     batch4 = _batch4_oracle_sqls(pdir)
+    spread = _spread_oracle_sql(pdir)
 
     return {
         **web,
@@ -752,6 +754,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         **crawlops,
         **assoc,
         **batch4,
+        **spread,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
