@@ -103,9 +103,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         # canonical-URL variant dedup
         "host_link_graph", "url_canonical_dedup",
         # round-4 additions: the curation flagship (gate → dedup →
-        # keep-longest → span-rewrite composition) and the composed web op
-        # (pagerank × staleness full-outer frontier scoring)
-        "curation_pipeline", "crawl_frontier",
+        # keep-longest → span-rewrite composition), the composed web op
+        # (pagerank × staleness full-outer frontier scoring), and the
+        # KG-analytics marquee (sentence-bucketed entity co-occurrence)
+        "curation_pipeline", "crawl_frontier", "entity_cooccurrence",
     ]
     if os.environ.get("GRAFT_BENCH_KG_ONLY"):
         suite = []
