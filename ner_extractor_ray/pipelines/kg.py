@@ -67,7 +67,7 @@ def tag_sentences(
     pages: "ray.data.Dataset",
     *,
     tagger_concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 1024,
+    batch_size: int = 2048,
     lang_filter: str | None = "en",
     use_actors: bool = False,
     include_subwords: bool = False,
@@ -159,7 +159,7 @@ def run_kg(
     out_dir: str | None = None,
     *,
     tagger_concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 1024,
+    batch_size: int = 2048,
     n_partitions: int = 16,
     broadcast_limit: int = 2_000_000,
     resume: bool = True,

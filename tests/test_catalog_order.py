@@ -30,11 +30,11 @@ def test_driver_window_is_stable():
 
 def test_catalog_size_never_shrinks():
     qs = queries()
-    assert len(qs) >= 239
+    assert len(qs) >= 261
     # every oracle key has a queries() entry (the driver joins on the key)
     assert set(oracle_sql()) <= set(qs)
-    # round-4 floor: at least 227 externally hash-checked entries
-    assert len(oracle_sql()) >= 227
+    # round-4 floor: at least 249 externally hash-checked entries
+    assert len(oracle_sql()) >= 249
 
 
 def test_family_modules_cover_catalog():
