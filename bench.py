@@ -5,6 +5,9 @@
     python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
                                  # processes + scaling efficiency (the
                                  # sandbox-feasible N→4N-node evidence)
+    python bench.py --scaling-web  # host_link_graph (html parse → host
+                                   # pair aggregate) over a 3.2M-page
+                                   # link-planted corpus, 8 vs 32 CPUs
 
 Headline metric: end-to-end KG-construction seconds over the deterministic
 synthetic pages corpus (FIXTURES.md bench scale), plus per-query seconds for
@@ -138,6 +141,53 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling-web" in sys.argv:
+        import subprocess
+
+        corpus = "/tmp/ner_ray_linkpages_3200k"
+        if not os.path.exists(os.path.join(corpus, "gold_links.parquet")):
+            # one-time generation (~10 min single-process); cached afterwards
+            from ner_extractor_ray.sources.pages import write_pages
+
+            write_pages(corpus, 3_200_000, seed=42, n_files=64)
+
+        prog = f"""
+import ray, sys, time, json
+ncpu = int(sys.argv[1])
+ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+ctx = DataContext.get_current(); ctx.enable_progress_bars = False
+ctx.min_parallelism = ncpu * 2; ctx.read_op_min_num_blocks = ncpu * 2
+from ner_extractor_ray.functions.weblinks import host_link_graph
+from ner_extractor_ray.pipelines.kg import pages_dataset
+pages_dataset({corpus!r}).count()
+reps = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    host_link_graph(pages_dataset({corpus!r})).count()
+    reps.append(round(time.perf_counter() - t0, 2))
+print(json.dumps({{"reps": reps, "min": min(reps)}}))
+ray.shutdown()
+"""
+
+        def runweb(ncpu: int) -> dict:
+            out = subprocess.run([sys.executable, "-c", prog, str(ncpu)],
+                                 capture_output=True, text=True, check=True).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = runweb(8), runweb(32)
+        print(json.dumps({
+            "metric": "host_link_graph scaling 8→32 cpus",
+            "pages": 3_200_000,
+            "pages_per_sec_8": round(3_200_000 / lo["min"], 1),
+            "pages_per_sec_32": round(3_200_000 / hi["min"], 1),
+            "scaling_efficiency": round((lo["min"] / hi["min"]) / 4, 3),
+            "repeats_sec_8": lo["reps"],
+            "repeats_sec_32": hi["reps"],
+        }))
+        return
 
     if "--scaling" in sys.argv:
         import subprocess
