@@ -737,3 +737,45 @@ def _snm_sql(w: int = _SNM_WINDOW) -> str:
         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
         FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < {w}
     """
+
+
+def q_neardup_cluster_hist(sf_dir: str):
+    """Near-dup CLUSTER SIZE HISTOGRAM — the dedup-audit report (how much
+    of the corpus sits in 2-doc pairs vs 50-doc pile-ups decides whether a
+    keep-one policy is safe): LSH pairs → distributed connected components
+    → per-component doc counts → (cluster_size, n_clusters). Composes the
+    SAME verified machinery as q_neardup_keep (so the SQL oracle reuses its
+    recursive-CC replication) with two vocabulary-sized count aggregates on
+    top. Singleton docs count as size-1 clusters — the histogram covers the
+    WHOLE corpus and Σ(size × n_clusters) == n_docs."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import lsh_near_dup_pairs, near_dup_keep_ids
+    from ..stages.canonicalize import grouped_aggregate
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = lsh_near_dup_pairs(ds, "text", "doc_id",
+                               shingle="word3", threshold=0.8)
+    labels = near_dup_keep_ids(pairs, ds.select_columns(["doc_id"]), "doc_id")
+
+    sizes = grouped_aggregate(
+        labels.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.cast(t.column("keep_id"), pa.int64()),
+                 pa.array(np.ones(t.num_rows, np.int64))],
+                names=["keep_id", "cluster_size"]),
+            batch_format="pyarrow"),
+        ["keep_id"],
+        Sum("cluster_size", alias_name="cluster_size"),
+    )
+    hist = grouped_aggregate(
+        sizes.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.cast(t.column("cluster_size"), pa.int64()),
+                 pa.array(np.ones(t.num_rows, np.int64))],
+                names=["cluster_size", "n_clusters"]),
+            batch_format="pyarrow"),
+        ["cluster_size"],
+        Sum("n_clusters", alias_name="n_clusters"),
+    )
+    return hist.sort("cluster_size")

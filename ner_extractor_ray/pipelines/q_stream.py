@@ -1805,3 +1805,47 @@ def q_merge_upsert(sf_dir: str):
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def q_session_duration_quantiles(sf_dir: str):
+    """Session-duration p50/p90/p99 — the SESSIONIZE × SKETCH composition:
+    gap-based sessions (1h, the q_user_sessions convention) reduced to
+    whole-second durations, folded through the mergeable HDR quantile
+    sketch (functions/sketches.py — bucket counts are Sum-mergeable and
+    bit-identical to the SQL replication, so the composed pipeline stays
+    hash-checked end to end). Durations are (max_us − min_us) // 10⁶
+    integers; per-user sessionization runs inside coarse user-hash buckets
+    exactly like q_user_sessions."""
+    from ..functions.sketches import hdr_quantiles
+    from ..stages.canonicalize import _compact_blocks
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    P = _compact_blocks()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(uid % P, pa.int64()))
+
+    def part_durations(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        # explicit µs unit: pandas preserves arrow timestamp[us] as
+        # datetime64[us] today, but an astype("int64") would silently
+        # become ns if the unit ever changed — pin it
+        us = pd.Series(g["ts"].values.astype("datetime64[us]").astype("int64"),
+                       index=g.index)
+        gap = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        new_sess = (gap > 3600) | gap.isna()
+        sid = new_sess.cumsum()
+        d = (pd.DataFrame({"user_id": g["user_id"], "sid": sid, "us": us})
+             .groupby(["user_id", "sid"], sort=False)["us"]
+             .agg(["min", "max"]))
+        dur = ((d["max"] - d["min"]) // 1_000_000).astype("int64")
+        return pd.DataFrame({"duration_s": dur.to_numpy()})
+
+    durations = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_durations, batch_format="pandas")
+    )
+    out = hdr_quantiles(durations, "duration_s")
+    return out.rename_columns(["q_pct", "est_s", "n_rows"])

@@ -69,7 +69,7 @@ from .q_dedup import (
     q_image_phash_neardup, q_meta_blocking, q_minhash_neardup,
     q_neardup_keep, q_neardup_keep_best, q_ngram_jaccard_neardup,
     q_normalized_dedup, q_paragraph_dedup, q_setsim_neardup, q_simhash,
-    q_sorted_neighborhood,
+    q_sorted_neighborhood,    q_neardup_cluster_hist,
 )
 from .q_text import (
     _BM25_K, _BM25_TERMS, _CHUNK_K, _DSIR_BUCKETS, _FH_DIMS, _INV_DF_CAP,
@@ -118,7 +118,7 @@ from .q_stream import (
     q_top_event_per_user, q_top_session_paths, q_user_active_seconds,
     q_user_event_seq, q_user_event_stats, q_user_funnel, q_user_pareto,
     q_user_retention, q_user_sessions, q_user_streaks,
-    q_user_time_weighted_value,
+    q_user_time_weighted_value,    q_session_duration_quantiles,
 )
 from .q_stats import (
     _HQ_BIN_CENTS, _KT_BUCKETS, _value_hist, q_customer_p90_spend,
@@ -462,6 +462,8 @@ def queries() -> dict:
         "triple_conflicts": q_triple_conflicts,
         "hourly_topk_types": q_hourly_topk_types,
         "entity_host_spread": q_entity_host_spread,
+        "neardup_cluster_hist": q_neardup_cluster_hist,
+        "session_duration_quantiles": q_session_duration_quantiles,
     }
 
 
@@ -3928,6 +3930,63 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             WHERE (p_brand = 'Brand#13' AND l_quantity <= 10)
                OR (p_size >= 30 AND l_quantity > 10 AND l_quantity <= 25)
                OR (p_type LIKE 'STANDARD%' AND l_quantity > 25)
+        """,
+        "neardup_cluster_hist": f"""
+            WITH RECURSIVE pairs AS ({_lsh_oracle_sql(_WORD3_SHINGLES, 0.8)}),
+            docs AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+            s AS (SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst
+                  FROM pairs
+                  UNION
+                  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM pairs),
+            reach(node, lbl) AS (
+                SELECT DISTINCT src, src FROM s
+                UNION
+                SELECT s2.dst, r.lbl FROM reach r JOIN s s2 ON s2.src = r.node
+            ),
+            comp AS (SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node),
+            lab AS (
+                SELECT d.id AS doc_id, CAST(COALESCE(c.rep, d.id) AS BIGINT) AS comp
+                FROM docs d LEFT JOIN comp c ON c.node = d.id),
+            sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM lab GROUP BY comp)
+            SELECT cluster_size, COUNT(*) AS n_clusters
+            FROM sizes GROUP BY cluster_size
+        """,
+        "session_duration_quantiles": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            flags AS (
+                SELECT user_id, us,
+                       CASE WHEN us - LAG(us) OVER (
+                                PARTITION BY user_id ORDER BY us)
+                                > 3600000000
+                              OR LAG(us) OVER (
+                                PARTITION BY user_id ORDER BY us) IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e),
+            sess AS (
+                SELECT user_id, us,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flags),
+            durs AS (
+                SELECT CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS c
+                FROM sess GROUP BY user_id, sid),
+            b AS (SELECT CASE WHEN c < 32 THEN c
+                              ELSE (16 + ((c >> (LENGTH(BIN(c)) - 5)) & 15))
+                                   << (LENGTH(BIN(c)) - 5) END AS bucket
+                  FROM durs),
+            g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM b GROUP BY 1),
+            c1 AS (SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum
+                   FROM g),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
+            q AS (SELECT * FROM (VALUES (50), (90), (99)) AS qq(q_pct))
+            SELECT CAST(q.q_pct AS BIGINT) AS q_pct,
+                   CAST(MIN(c1.bucket) AS BIGINT) AS est_s,
+                   t.tot AS n_rows
+            FROM q, t, c1
+            WHERE 100 * c1.cum >= q.q_pct * t.tot
+            GROUP BY 1, 3
         """,
         "idle_customers_by_segment": """
             WITH cents_t AS (
