@@ -770,9 +770,12 @@ def crawl_frontier(pages_ds, *, n_iters: int = 3):
     return joined.map_batches(score, batch_format="pandas")
 
 
-def host_pagerank(pages_ds, *, n_iters: int = 3):
+def host_pagerank(pages_ds, *, n_iters: int = 3, weighted: bool = False):
     """PageRank over the host link graph → (host, pr) with the integer-exact
-    power iteration from functions/graph.py.
+    power iteration from functions/graph.py. With ``weighted=True`` the
+    link COUNTS become edge weights (functions/graph.pagerank_weighted —
+    per-edge floor shares ∝ n_links): a host linking another 500 times
+    endorses it more than one footer link.
 
     Host → node id via ``stable_hash64 % 2^62`` (no distinct pass; 62 bits
     keep ids positive int64 and put the birthday-collision expectation at
@@ -784,7 +787,7 @@ def host_pagerank(pages_ds, *, n_iters: int = 3):
     attach is one more hash_join. Uses the engine's (symmetrized,
     integer-exact) power iteration, so scores reflect undirected link
     mass — identical convention to ``q_graph_pagerank``."""
-    from .graph import pagerank
+    from .graph import pagerank, pagerank_weighted
     from ..stages.joins import hash_join
 
     g = host_link_graph(pages_ds, include_self=False).materialize()
@@ -792,12 +795,14 @@ def host_pagerank(pages_ds, *, n_iters: int = 3):
     def to_edges(t: pa.Table) -> pa.Table:
         su = [stable_hash64("host:" + s) % (1 << 62) for s in t.column("src_host").to_pylist()]
         du = [stable_hash64("host:" + s) % (1 << 62) for s in t.column("dst_host").to_pylist()]
-        return pa.table(
-            {"u": pa.array(su, pa.int64()), "v": pa.array(du, pa.int64())}
-        )
+        cols = {"u": pa.array(su, pa.int64()), "v": pa.array(du, pa.int64())}
+        if weighted:
+            cols["w"] = pc.cast(t.column("n_links"), pa.int64())
+        return pa.table(cols)
 
     edges = g.map_batches(to_edges, batch_format="pyarrow")
-    pr = pagerank(edges, n_iters=n_iters)
+    pr = (pagerank_weighted(edges, n_iters=n_iters) if weighted
+          else pagerank(edges, n_iters=n_iters))
 
     def names(t: pa.Table) -> pa.Table:
         hosts = sorted(

@@ -1817,3 +1817,54 @@ def _spread_oracle_sql(pdir: str) -> dict:
             GROUP BY 1
         """,
     }
+
+
+def q_host_pagerank_weighted(sf_dir: str):
+    """EDGE-WEIGHTED host PageRank — link counts as endorsement strength
+    (functions/graph.pagerank_weighted: per-edge floor shares ∝ n_links,
+    integer-exact and SQL-replicable; forced-distributed parity pinned in
+    tests/test_graph.py). Oracle: the weighted unrolled CTE over gold_links
+    pair counts."""
+    from ..functions.weblinks import host_pagerank
+    from .kg import pages_dataset
+
+    pdir = _synthetic_pages_dir(sf_dir)
+    pr = host_pagerank(pages_dataset(pdir), n_iters=3, weighted=True)
+    return pr.sort(["pr", "host"], descending=[True, False])
+
+
+def _wpr_oracle_sql(pdir: str) -> dict:
+    gl = f"read_parquet('{pdir}/gold_links.parquet')"
+    scale = 10**12
+    n_iters = 3
+    parts = [f"""
+        e AS (SELECT src_host AS u, dst_host AS v, COUNT(*) AS w FROM (
+                SELECT split_part(src_url, '/', 3) AS src_host,
+                       split_part(dst_url, '/', 3) AS dst_host
+                FROM {gl}) l
+              WHERE u <> v GROUP BY 1, 2),
+        s AS (SELECT u AS src, v AS dst, w FROM e
+              UNION ALL SELECT v AS src, u AS dst, w FROM e),
+        d AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS wdeg
+              FROM s GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM d),
+        p0 AS (SELECT d.node, d.wdeg,
+                      CAST({scale} // nn.n AS BIGINT) AS pr
+               FROM d CROSS JOIN nn)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+        p{i} AS (SELECT d.node, d.wdeg,
+                        CAST((15 * ({scale} // nn.n)) // 100
+                             + (85 * c{i}.contrib) // 100 AS BIGINT) AS pr
+                 FROM d CROSS JOIN nn
+                 JOIN (SELECT s2.dst AS node,
+                              SUM((p.pr * s2.w) // p.wdeg) AS contrib
+                       FROM p{i - 1} p JOIN s s2 ON s2.src = p.node
+                       GROUP BY s2.dst) c{i} ON c{i}.node = d.node)""")
+    cte = "".join(parts)
+    return {
+        "host_pagerank_weighted": f"""
+            WITH {cte}
+            SELECT node AS host, pr FROM p{n_iters}
+        """,
+    }

@@ -103,6 +103,7 @@ from .q_web import (
     q_entity_lift, q_host_spam_features, q_anchor_salience,
     _batch4_oracle_sqls, q_entity_timeline, q_triple_conflicts,
     q_hourly_topk_types, _spread_oracle_sql, q_entity_host_spread,
+    _wpr_oracle_sql, q_host_pagerank_weighted,
 )
 from .q_stream import (
     _ACTIVE_WINDOW_S, _DEBOUNCE_S, _EVENT_TYPES, _FUNNEL_STEPS, _PATH_GAP_US,
@@ -464,6 +465,7 @@ def queries() -> dict:
         "entity_host_spread": q_entity_host_spread,
         "neardup_cluster_hist": q_neardup_cluster_hist,
         "session_duration_quantiles": q_session_duration_quantiles,
+        "host_pagerank_weighted": q_host_pagerank_weighted,
     }
 
 
@@ -749,6 +751,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     assoc = _assoc_oracle_sqls(pdir)
     batch4 = _batch4_oracle_sqls(pdir)
     spread = _spread_oracle_sql(pdir)
+    wpr = _wpr_oracle_sql(pdir)
 
     return {
         **web,
@@ -757,6 +760,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         **assoc,
         **batch4,
         **spread,
+        **wpr,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,

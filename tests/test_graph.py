@@ -311,3 +311,40 @@ def test_pagerank_driver_gate_matches_distributed():
                              driver_threshold=0))
         pd.testing.assert_frame_equal(drv, dist)
         assert (drv["pr"] >= 0).all() and drv["pr"].sum() > 0
+
+
+def test_pagerank_weighted_driver_gate_matches_distributed():
+    """Weighted pagerank: forced-distributed (driver_threshold=0) must be
+    bit-identical to the local plan, and weight=1 must equal unweighted on
+    a multiplicty-free edge list; oversized/nonpositive weights raise."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from ner_extractor_ray.functions.graph import pagerank, pagerank_weighted
+
+    rows = [{"u": u, "v": v, "w": w} for (u, v, w) in
+            [(1, 2, 5), (2, 3, 1), (3, 1, 2), (3, 4, 7), (4, 5, 1),
+             (5, 6, 3), (6, 4, 1), (2, 6, 4)]]
+    edges = rd.from_items(rows)
+
+    def norm(ds):
+        return (ds.to_pandas().sort_values("node").reset_index(drop=True)
+                .astype({"node": "int64", "pr": "int64"}))
+
+    drv = norm(pagerank_weighted(edges, n_iters=4))
+    dist = norm(pagerank_weighted(edges, n_iters=4, driver_threshold=0))
+    pd.testing.assert_frame_equal(drv, dist)
+
+    ones = rd.from_items([{**r, "w": 1} for r in rows])
+    plain = rd.from_items([{"u": r["u"], "v": r["v"]} for r in rows])
+    pd.testing.assert_frame_equal(
+        norm(pagerank_weighted(ones, n_iters=3)),
+        norm(pagerank(plain, n_iters=3)))
+
+    # the guard fires inside a Ray task — surfaces wrapped in RayTaskError
+    with _pytest.raises(Exception, match="max_weight"):
+        pagerank_weighted(
+            rd.from_items([{"u": 1, "v": 2, "w": 10_000_000}])).count()
+    with _pytest.raises(Exception, match="positive"):
+        pagerank_weighted(rd.from_items([{"u": 1, "v": 2, "w": 0}])).count()
