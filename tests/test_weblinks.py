@@ -779,3 +779,64 @@ def test_update_link_graph_rejects_in_place_and_never_noops(small_pages_dir, tmp
     second = read_graph(out_ab)
     pd.testing.assert_frame_equal(first, second)
     assert int(second["n_links"].sum()) > int(read_graph(out_a)["n_links"].sum())
+
+
+def test_extract_links_adversarial_shapes():
+    """Round-4 adversarial sweep of the regex extractor: uppercase tags,
+    entity-encoded hrefs, whitespace around '=', multiline anchors, invalid
+    utf-8 bytes (crash-safety), and the two DOCUMENTED divergences behaving
+    exactly as documented (nested <a>; '>' inside a quoted attribute before
+    href)."""
+    from ner_extractor_ray.functions.weblinks import extract_links
+
+    base = "https://h.example.com/article-1"
+    # uppercase tag + attribute names are legal HTML
+    assert extract_links(b"<A HREF='https://a.b/up'>U</A>", base) == [
+        ("https://a.b/up", "U")]
+    # entity-encoded ampersand inside href must unescape BEFORE resolution
+    assert extract_links(
+        b"<a href='https://a.b/p?x=1&amp;y=2'>q</a>", base
+    ) == [("https://a.b/p?x=1&y=2", "q")]
+    # whitespace around '=' and around the value
+    assert extract_links(
+        b"<a href = 'https://a.b/s'>s</a>", base
+    ) == [("https://a.b/s", "s")]
+    # multiline anchor spanning elements and newlines
+    assert extract_links(
+        b"<a href='https://a.b/m'>\n  line1 <i>em</i>\n  line2\n</a>", base
+    ) == [("https://a.b/m", "line1 em line2")]
+    # invalid utf-8 must never crash (errors='replace' path)
+    assert extract_links(b"\xff\xfe<a href='https://a.b/z'>z</a>\xff", base) == [
+        ("https://a.b/z", "z")]
+    # documented divergence 1: nested <a> yields ONE link to the outer href
+    got = extract_links(
+        b"<a href='https://a.b/outer'>o <a href='https://a.b/inner'>i</a></a>",
+        base)
+    assert got[0][0] == "https://a.b/outer" and len(got) >= 1
+    # documented divergence 2: '>' inside a quoted attribute BEFORE href
+    # terminates the scan early — the anchor is dropped, never mis-parsed
+    got = extract_links(b'<a title="a>b" href="https://a.b/t">t</a>', base)
+    assert ("https://a.b/t", "t") not in got
+    # protocol-relative href inherits the base scheme
+    assert extract_links(b"<a href='//cdn.example/x'>c</a>", base) == [
+        ("https://cdn.example/x", "c")]
+
+
+def test_host_pagerank_weighted_orders_by_endorsement(small_pages_dir):
+    """Weighted host pagerank must run over the real crawl and respond to
+    link multiplicity: total mass conserved within rounding, every score
+    positive, and the result deterministic across two runs."""
+    import pandas as pd
+
+    from ner_extractor_ray.functions.weblinks import host_pagerank
+    from ner_extractor_ray.pipelines.kg import pages_dataset
+
+    a = (host_pagerank(pages_dataset(small_pages_dir), weighted=True)
+         .to_pandas().sort_values("host").reset_index(drop=True))
+    b = (host_pagerank(pages_dataset(small_pages_dir), weighted=True)
+         .to_pandas().sort_values("host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["pr"] > 0).all()
+    # floor-division loses < 1 unit per node per round: mass stays within
+    # n_nodes × n_rounds of the scale
+    assert abs(int(a["pr"].sum()) - 10**12) < len(a) * 4 * 100
