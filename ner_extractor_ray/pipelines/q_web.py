@@ -1868,3 +1868,77 @@ def _wpr_oracle_sql(pdir: str) -> dict:
             SELECT node AS host, pr FROM p{n_iters}
         """,
     }
+
+
+def q_pred_cardinality_profile(sf_dir: str):
+    """Predicate CARDINALITY PROFILE — the KG schema-statistics report that
+    decides which predicates deserve functional constraints (born_in:
+    subjects ≈ triples ⇒ near-functional; visited: many-to-many): per
+    predicate — distinct triples, distinct subjects, distinct objects, and
+    the integer functionality ratio ⌊10⁶·n_subjects/n_triples⌋. Three
+    distinct-chains over the triple vocabulary + two hash_joins, every
+    exchange predicate- or entity-vocabulary sized."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import grouped_aggregate
+    from ..stages.joins import hash_join
+
+    tr = _gold(sf_dir, "gold_triples", ["subj", "pred", "obj"])
+
+    dist = grouped_aggregate(
+        tr.map_batches(
+            lambda t: t.to_pandas().drop_duplicates().assign(one=np.int64(1)),
+            batch_format="pyarrow"),
+        ["subj", "pred", "obj"],
+        Sum("one", alias_name="one"),
+    ).drop_columns(["one"]).materialize()
+
+    def chain(cols: list, out: str):
+        pairs = grouped_aggregate(
+            dist.map_batches(
+                lambda t, c=cols: (t.select(c).to_pandas().drop_duplicates()
+                                   .assign(one=np.int64(1))),
+                batch_format="pyarrow"),
+            cols,
+            Sum("one", alias_name="one"),
+        )
+        return grouped_aggregate(
+            pairs.map_batches(
+                lambda t, o=out: pa.Table.from_arrays(
+                    [t.column("pred"),
+                     pa.array(np.ones(t.num_rows, np.int64))],
+                    names=["pred", o]),
+                batch_format="pyarrow"),
+            ["pred"],
+            Sum(out, alias_name=out),
+        )
+
+    n_tr = chain(["pred", "subj", "obj"], "n_triples")
+    n_su = chain(["pred", "subj"], "n_subjects")
+    n_ob = chain(["pred", "obj"], "n_objects")
+    out = hash_join(hash_join(n_tr, n_su, on=["pred"]), n_ob, on=["pred"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["n_triples"].astype("int64")
+        ns = df["n_subjects"].astype("int64")
+        return pd.DataFrame(
+            {"pred": df["pred"], "n_triples": nt, "n_subjects": ns,
+             "n_objects": df["n_objects"].astype("int64"),
+             "functionality_ppm": (1_000_000 * ns) // nt})
+
+    return out.map_batches(finish, batch_format="pandas").sort("pred")
+
+
+def _predprof_oracle_sql(pdir: str) -> dict:
+    gt = f"read_parquet('{pdir}/gold_triples.parquet')"
+    return {
+        "pred_cardinality_profile": f"""
+            WITH d AS (SELECT DISTINCT subj, pred, obj FROM {gt})
+            SELECT pred, COUNT(*) AS n_triples,
+                   COUNT(DISTINCT subj) AS n_subjects,
+                   COUNT(DISTINCT obj) AS n_objects,
+                   CAST((1000000 * COUNT(DISTINCT subj)) // COUNT(*)
+                        AS BIGINT) AS functionality_ppm
+            FROM d GROUP BY pred
+        """,
+    }

@@ -104,6 +104,7 @@ from .q_web import (
     _batch4_oracle_sqls, q_entity_timeline, q_triple_conflicts,
     q_hourly_topk_types, _spread_oracle_sql, q_entity_host_spread,
     _wpr_oracle_sql, q_host_pagerank_weighted,
+    _predprof_oracle_sql, q_pred_cardinality_profile,
 )
 from .q_stream import (
     _ACTIVE_WINDOW_S, _DEBOUNCE_S, _EVENT_TYPES, _FUNNEL_STEPS, _PATH_GAP_US,
@@ -466,6 +467,7 @@ def queries() -> dict:
         "neardup_cluster_hist": q_neardup_cluster_hist,
         "session_duration_quantiles": q_session_duration_quantiles,
         "host_pagerank_weighted": q_host_pagerank_weighted,
+        "pred_cardinality_profile": q_pred_cardinality_profile,
     }
 
 
@@ -752,6 +754,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     batch4 = _batch4_oracle_sqls(pdir)
     spread = _spread_oracle_sql(pdir)
     wpr = _wpr_oracle_sql(pdir)
+    predprof = _predprof_oracle_sql(pdir)
 
     return {
         **web,
@@ -761,6 +764,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         **batch4,
         **spread,
         **wpr,
+        **predprof,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
