@@ -988,11 +988,13 @@ def pagerank(
     deg = degree_table(edges_ds)  # symmetric graph: outdeg == degree
     n_nodes = deg.count()
     if n_nodes == 0:
-        return deg.map_batches(
-            lambda t: pa.table({"node": pa.array([], pa.int64()),
-                                "pr": pa.array([], pa.int64())}),
-            batch_format="pyarrow",
-        )
+        # from_arrow, NOT a map over the empty dataset: an empty input can
+        # yield ZERO blocks, losing the (node, pr) schema downstream (the
+        # all-empty to_pandas hazard _qcommon._nonempty_or_empty_table
+        # documents).
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "pr": pa.array([], pa.int64())}))
     if personalize_seed is None:
         base = (15 * (PR_SCALE // n_nodes)) // 100
         init = PR_SCALE // n_nodes
@@ -1274,11 +1276,10 @@ def pagerank_weighted(
     sym = edges_ds.map_batches(_sym, batch_format="pyarrow").materialize()
     n_edges = sym.count()
     if n_edges == 0:
-        return sym.map_batches(
-            lambda t: pa.table({"node": pa.array([], pa.int64()),
-                                "pr": pa.array([], pa.int64())}),
-            batch_format="pyarrow",
-        )
+        # concrete-schema empty result (see pagerank's empty-edge note).
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "pr": pa.array([], pa.int64())}))
 
     if n_edges <= driver_threshold:
         chunks = [b for b in sym.iter_batches(batch_size=65536,

@@ -40,17 +40,20 @@ from .hashing import stable_hash64
 # href first attribute-parsed, then the anchor's inner markup. DOTALL: anchors
 # may wrap elements / newlines. Double-quoted, single-quoted AND unquoted
 # attribute values accepted (unquoted is legal HTML and common in the wild).
-# Known divergences from a tree parser (both asserted against html.parser on
-# the synthetic corpus's markup shapes in tests/test_weblinks.py; real-HTML
-# consumers should know the limits):
+# Known divergences from a tree parser (asserted against html.parser on the
+# synthetic corpus's markup shapes in tests/test_weblinks.py; real-HTML
+# consumers should know the limit):
 #   - nested <a> inside <a> yields one link (the regex consumes to the first
-#     </a>), not two;
-#   - an attribute BEFORE href whose quoted value contains '>' (e.g.
-#     <a title="a>b" href="/x">) terminates the [^>]*? scan early, so that
-#     anchor is silently dropped — '>' inside quoted attribute values is
-#     rare in crawl html but legal.
+#     </a>), not two.
+# The attribute scans on either side of href skip QUOTED attribute values
+# ((?:[^>"']|"[^"]*"|'[^']*')*?), so a '>' inside a quoted value (e.g.
+# <a title="a>b" href="/x">) no longer terminates the tag early and drops
+# the anchor — legal, if rare, in crawl html.
+_ATTRS = r"(?:[^>\"']|\"[^\"]*\"|'[^']*')"
 _A_RE = re.compile(
-    r"<a\b[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'=<>`]+))[^>]*>(.*?)</a>",
+    r"<a\b" + _ATTRS + r"*?href\s*=\s*"
+    r"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'=<>`]+))"
+    + _ATTRS + r"*>(.*?)</a>",
     re.DOTALL | re.IGNORECASE,
 )
 _TAG_RE = re.compile(r"<[^>]+>")

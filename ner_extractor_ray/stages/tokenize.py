@@ -17,8 +17,13 @@ from .. import IGNORE_LABEL_ID  # noqa: F401  (documented constant; −1 used in
 from ..functions.textfns import subword_id, subword_tokenize
 from ..functions.wordpiece import default_vocab, wordpiece_tokenize
 
-# (use_hash_vocab, word) → subword ids; shared across calls in one worker
+# (use_hash_vocab, word) → subword ids; shared across calls in one worker.
+# Valid only for ONE default-vocab object: default_vocab() is lru_cached so it
+# normally returns the same dict for the process lifetime, but if the cache is
+# ever cleared / the packaged vocab becomes configurable, the identity check
+# below invalidates _WP_CACHE instead of silently serving stale piece ids.
 _WP_CACHE: dict = {}
+_WP_CACHE_VOCAB: dict | None = None  # the default-vocab object _WP_CACHE maps
 
 
 def tokenize_batch(
@@ -48,6 +53,11 @@ def tokenize_batch(
     # alias entries across different vocabularies.
     cacheable = use_hash_vocab or default
     cache = _WP_CACHE if cacheable else None
+    if default:
+        global _WP_CACHE_VOCAB
+        if _WP_CACHE_VOCAB is not vocab:  # new default-vocab object → stale
+            _WP_CACHE.clear()
+            _WP_CACHE_VOCAB = vocab
     tokens_col = batch.column("tokens").to_pylist()
     ids_out, wids_out = [], []
     for words in tokens_col:

@@ -813,10 +813,14 @@ def test_extract_links_adversarial_shapes():
         b"<a href='https://a.b/outer'>o <a href='https://a.b/inner'>i</a></a>",
         base)
     assert got[0][0] == "https://a.b/outer" and len(got) >= 1
-    # documented divergence 2: '>' inside a quoted attribute BEFORE href
-    # terminates the scan early — the anchor is dropped, never mis-parsed
-    got = extract_links(b'<a title="a>b" href="https://a.b/t">t</a>', base)
-    assert ("https://a.b/t", "t") not in got
+    # round-5 fix: '>' inside a QUOTED attribute value no longer terminates
+    # the tag scan — the anchor is extracted, on either side of href
+    assert extract_links(
+        b'<a title="a>b" href="https://a.b/t">t</a>', base
+    ) == [("https://a.b/t", "t")]
+    assert extract_links(
+        b'<a href="https://a.b/t2" data-x="c>d">t2</a>', base
+    ) == [("https://a.b/t2", "t2")]
     # protocol-relative href inherits the base scheme
     assert extract_links(b"<a href='//cdn.example/x'>c</a>", base) == [
         ("https://cdn.example/x", "c")]
