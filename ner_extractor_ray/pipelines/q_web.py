@@ -495,40 +495,90 @@ def _gold(sf_dir: str, name: str, columns=None):
         os.path.join(pdir, f"{name}.parquet"), columns=columns)
 
 
-def q_entity_cooccurrence(sf_dir: str):
+#: Driver-side broadcast bound for the gold_entities gazetteer — matches
+#: run_kg's ``broadcast_limit`` default (pipelines/kg.py:164): below this the
+#: surface→canonical map ships once via ray.put; above it the same resolution
+#: runs as a partitioned hash_join so a 10⁸-surface real assignment table
+#: never lands on the driver.
+GOLD_BROADCAST_LIMIT = 2_000_000
+
+
+def _canon_surfaces(ds, sf_dir: str, mapping, *, broadcast_limit=None):
+    """Alias-resolve surface columns of ``ds`` against the ``gold_entities``
+    gazetteer with the kg.py S7b broadcast-vs-hash-join gate (kg.py:346).
+
+    ``mapping`` = [(src_col, dst_col), ...]: each src column resolves to its
+    canonical entity in dst_col; rows whose src has NO gazetteer entry are
+    DROPPED (inner semantics — every KG-analytics call site filters unknown
+    surfaces). Below the gate the dict is broadcast and applied vectorized
+    (pandas ``.map``, one C-level dict probe per row); above it each column
+    resolves through a partitioned hash_join against the gazetteer dataset.
+    Both plans produce the same multiset of rows (order differs — every
+    caller aggregates or sorts downstream); the forced-join parity test is
+    tests/test_scale_gates.py.
+    """
+    from ..stages.joins import hash_join
+
+    limit = GOLD_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    ge = _gold(sf_dir, "gold_entities", ["surface", "canonical"])
+    if ge.count() <= limit:
+        m: dict = {}
+        for b in ge.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            m.update(zip(b.column("surface").to_pylist(),
+                         b.column("canonical").to_pylist()))
+        mref = ray.put(m)
+
+        def apply(df: pd.DataFrame, _mapping=tuple(mapping)) -> pd.DataFrame:
+            mm = ray.get(mref)
+            for src, dst in _mapping:
+                df = df.assign(**{dst: df[src].map(mm)})
+                df = df.dropna(subset=[dst])
+            return df
+
+        return ds.map_batches(apply, batch_format="pandas")
+
+    out = ds
+    for src, dst in mapping:
+        side = ge.map_batches(
+            lambda t, s=src, d=dst: pa.table(
+                {s: t.column("surface"), d: t.column("canonical")}),
+            batch_format="pyarrow")
+        out = hash_join(out, side, on=[src])
+    return out
+
+
+def q_entity_cooccurrence(sf_dir: str, *, broadcast_limit=None):
     """Sentence-level entity CO-OCCURRENCE network from the mentions table —
     the classic KG signal feeding relatedness ranking and link prediction:
     for every unordered pair of DISTINCT canonical entities mentioned in the
     same sentence, the number of co-mentioning sentences.
 
-    Plan: canonicalization is a broadcast dict lookup (gold_entities is
-    gazetteer-sized — ray.put once); sentences are co-located by ONE
-    bucketed groupby on hash(url, sent_id) (a sentence's mentions must meet
-    — per-batch pairing would split sentences across batch boundaries);
-    pair rows are per-group partials into one bucketed Sum. Pair traffic ∝
-    Σ m² per sentence with m ≤ a dozen — never corpus-scaled."""
+    Plan: canonicalization through the gated ``_canon_surfaces`` helper
+    (broadcast dict below GOLD_BROADCAST_LIMIT, partitioned hash_join
+    above); sentences are co-located by ONE bucketed groupby on
+    hash(url, sent_id) (a sentence's mentions must meet — per-batch pairing
+    would split sentences across batch boundaries); pair rows are per-group
+    partials into one bucketed Sum. Pair traffic ∝ Σ m² per sentence with
+    m ≤ a dozen — never corpus-scaled."""
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import stable_hash64
     from ..stages.canonicalize import grouped_aggregate
 
-    ents = {
-        r["surface"]: r["canonical"]
-        for r in _gold(sf_dir, "gold_entities").take_all()
-    }
-    eref = ray.put(ents)
+    mentions = _gold(sf_dir, "gold_mentions", ["url", "sent_id", "surface"])
+    canon = _canon_surfaces(mentions, sf_dir, [("surface", "canonical")],
+                            broadcast_limit=broadcast_limit)
 
-    def bucket(t: pa.Table) -> pa.Table:
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
         b = [stable_hash64(f"coo:{u}:{s}") % 64
-             for u, s in zip(t.column("url").to_pylist(),
-                             pc.cast(t.column("sent_id"), pa.int64()).to_pylist())]
-        return t.append_column("_b", pa.array(b, pa.int64()))
+             for u, s in zip(df["url"], df["sent_id"].astype("int64"))]
+        return df[["url", "sent_id", "canonical"]].assign(
+            _b=np.asarray(b, np.int64))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(eref)
         out: dict[tuple[str, str], int] = {}
         for (_, _), grp in df.groupby(["url", "sent_id"], sort=False):
-            es = sorted({m[s] for s in grp["surface"] if s in m})
+            es = sorted(set(grp["canonical"]))
             for i in range(len(es)):
                 for j in range(i + 1, len(es)):
                     k = (es[i], es[j])
@@ -538,9 +588,8 @@ def q_entity_cooccurrence(sf_dir: str):
              "n_sents": list(out.values())}
         )
 
-    mentions = _gold(sf_dir, "gold_mentions", ["url", "sent_id", "surface"])
     partial = (
-        mentions.map_batches(bucket, batch_format="pyarrow")
+        canon.map_batches(bucket, batch_format="pandas")
         .groupby("_b")
         .map_groups(pairs, batch_format="pandas")
     )
@@ -659,54 +708,38 @@ def q_kg_two_hop(sf_dir: str):
     return out.sort(["p1", "p2"])
 
 
-def q_alias_mention_counts(sf_dir: str):
+def q_alias_mention_counts(sf_dir: str, *, broadcast_limit=None):
     """Entity-linking ROLLUP: mention counts per CANONICAL entity after alias
     resolution (the gazetteer's alias groups collapse 'Big Blue' into the
-    same canonical id as 'IBM'). The alias map is gazetteer-sized —
-    broadcast once; counting is per-batch partials into one bucketed Sum.
-    Output: (canonical, n_mentions, n_surfaces)."""
+    same canonical id as 'IBM'). Alias resolution through the gated
+    ``_canon_surfaces`` helper; counting is per-batch partials into one
+    bucketed Sum. Output: (canonical, n_mentions, n_surfaces)."""
     from ray.data.aggregate import Sum
 
     from ..stages.canonicalize import grouped_aggregate
 
-    ents = {
-        r["surface"]: r["canonical"]
-        for r in _gold(sf_dir, "gold_entities").take_all()
-    }
-    eref = ray.put(ents)
+    canon = _canon_surfaces(
+        _gold(sf_dir, "gold_mentions", ["surface"]), sf_dir,
+        [("surface", "canonical")], broadcast_limit=broadcast_limit)
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        m = ray.get(eref)
-        surf = t.column("surface").to_pylist()
-        df = pd.DataFrame({
-            "canonical": [m.get(s, "") for s in surf],
-            "surface": surf,
-        })
-        df = df[df["canonical"] != ""]
-        g = df.groupby("canonical", sort=False).agg(
-            n_mentions=("surface", "size"))
-        return g.reset_index()
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("canonical", sort=False)
+                .agg(n_mentions=("surface", "size")).reset_index())
 
     counts = grouped_aggregate(
-        _gold(sf_dir, "gold_mentions", ["surface"]).map_batches(
-            partial, batch_format="pyarrow"),
+        canon.map_batches(partial, batch_format="pandas"),
         ["canonical"],
         Sum("n_mentions", alias_name="n_mentions"),
     )
     # distinct surfaces OBSERVED in the corpus per canonical: dedup
     # (canonical, surface) first, then count — same two-aggregate shape as
     # q_triple_support's distinct-url branch
-    def surf_rows(t: pa.Table) -> pd.DataFrame:
-        m = ray.get(eref)
-        surf = t.column("surface").to_pylist()
-        df = pd.DataFrame({
-            "canonical": [m.get(s, "") for s in surf], "surface": surf})
-        return df[df["canonical"] != ""].drop_duplicates().assign(
-            one=np.int64(1))
+    def surf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["canonical", "surface"]].drop_duplicates()
+                .assign(one=np.int64(1)))
 
     dsurf = grouped_aggregate(
-        _gold(sf_dir, "gold_mentions", ["surface"]).map_batches(
-            surf_rows, batch_format="pyarrow"),
+        canon.map_batches(surf_rows, batch_format="pandas"),
         ["canonical", "surface"],
         Sum("one", alias_name="one"),
     )
@@ -1127,35 +1160,30 @@ def q_politeness_slots(sf_dir: str):
     )
 
 
-def q_entity_degree(sf_dir: str):
+def q_entity_degree(sf_dir: str, *, broadcast_limit=None):
     """Canonical-entity DEGREE in the triple graph — the KG hub report:
     distinct neighbors per canonical entity over alias-resolved distinct
     (subj, obj) pairs, direction-free (symmetric explode + distinct-pair
     aggregate + per-entity count — the graph_degree shape on string
-    entities)."""
+    entities). Alias resolution via the gated ``_canon_surfaces``; rows
+    where either endpoint is unknown drop (the old dropna semantics)."""
     from ray.data.aggregate import Sum
 
     from ..stages.canonicalize import grouped_aggregate
 
-    ents = {
-        r["surface"]: r["canonical"]
-        for r in _gold(sf_dir, "gold_entities").take_all()
-    }
-    eref = ray.put(ents)
+    canon = _canon_surfaces(
+        _gold(sf_dir, "gold_triples", ["subj", "obj"]), sf_dir,
+        [("subj", "a"), ("obj", "b")], broadcast_limit=broadcast_limit)
 
-    def sym_pairs(t: pa.Table) -> pd.DataFrame:
-        m = ray.get(eref)
-        a = [m.get(s) for s in t.column("subj").to_pylist()]
-        b = [m.get(s) for s in t.column("obj").to_pylist()]
-        df = pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
+    def sym_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["a", "b"]].drop_duplicates()
         sym = pd.concat(
             [df, df.rename(columns={"a": "b", "b": "a"})], ignore_index=True
         ).drop_duplicates()
         return sym.assign(one=np.int64(1))
 
     dist = grouped_aggregate(
-        _gold(sf_dir, "gold_triples", ["subj", "obj"]).map_batches(
-            sym_pairs, batch_format="pyarrow"),
+        canon.map_batches(sym_pairs, batch_format="pandas"),
         ["a", "b"],
         Sum("one", alias_name="one"),
     )
@@ -1255,40 +1283,32 @@ def _crawlops_oracle_sqls(pdir: str) -> dict:
 # Round-4 batch 3: association-strength + host-profile operators
 # --------------------------------------------------------------------------
 
-def q_entity_lift(sf_dir: str):
+def q_entity_lift(sf_dir: str, *, broadcast_limit=None):
     """Entity association LIFT — integer-exact PMI surrogate ranking: for
     every co-occurring canonical pair, lift_ppm = ⌊10⁶ · n_ab · N /
     (n_a · n_b)⌋ over sentence counts (N = distinct sentences with ≥1
     mention). Same ORDERING as PMI (log is monotone) with none of the
     float-log parity risk. Plan: the co-occurrence pair table (bucketed
-    sentence groupby) + a per-entity sentence-count aggregate joined back —
-    entity vocabulary is gazetteer-sized, broadcast; N is one driver
+    sentence groupby) + a per-entity sentence-count aggregate attached
+    back — broadcast dict below the ``_canon_surfaces`` gate, two
+    partitioned hash_joins (on ent_a, ent_b) above it; N is one driver
     scalar."""
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import stable_hash64
     from ..stages.canonicalize import grouped_aggregate
 
-    ents = {
-        r["surface"]: r["canonical"]
-        for r in _gold(sf_dir, "gold_entities").take_all()
-    }
-    eref = ray.put(ents)
     mentions = _gold(sf_dir, "gold_mentions", ["url", "sent_id", "surface"])
+    canon = _canon_surfaces(mentions, sf_dir, [("surface", "canonical")],
+                            broadcast_limit=broadcast_limit)
 
-    def sent_rows(t: pa.Table) -> pd.DataFrame:
-        m = ray.get(eref)
-        df = pa.Table.from_arrays(
-            [t.column("url"), pc.cast(t.column("sent_id"), pa.int64()),
-             t.column("surface")],
-            names=["url", "sent_id", "surface"]).to_pandas()
-        df["canonical"] = df["surface"].map(m)
-        df = df.dropna(subset=["canonical"])
+    def sent_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(sent_id=df["sent_id"].astype("int64"))
         return (df[["url", "sent_id", "canonical"]].drop_duplicates()
                 .assign(one=np.int64(1)))
 
     sent_ents = grouped_aggregate(
-        mentions.map_batches(sent_rows, batch_format="pyarrow"),
+        canon.map_batches(sent_rows, batch_format="pandas"),
         ["url", "sent_id", "canonical"],
         Sum("one", alias_name="one"),
     ).drop_columns(["one"]).materialize()
@@ -1305,20 +1325,16 @@ def q_entity_lift(sf_dir: str):
             ["url", "sent_id"],
             Sum("one", alias_name="one"),
         ).count())
-    ent_counts = {
-        r["canonical"]: int(r["n"])
-        for r in grouped_aggregate(
-            sent_ents.map_batches(
-                lambda t: pa.Table.from_arrays(
-                    [t.column("canonical"),
-                     pa.array(np.ones(t.num_rows, np.int64))],
-                    names=["canonical", "n"]),
-                batch_format="pyarrow"),
-            ["canonical"],
-            Sum("n", alias_name="n"),
-        ).take_all()
-    }
-    cref = ray.put(ent_counts)
+    counts_ds = grouped_aggregate(
+        sent_ents.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("canonical"),
+                 pa.array(np.ones(t.num_rows, np.int64))],
+                names=["canonical", "n"]),
+            batch_format="pyarrow"),
+        ["canonical"],
+        Sum("n", alias_name="n"),
+    ).materialize()
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         b = [stable_hash64(f"lift:{u}:{s}") % 64
@@ -1344,17 +1360,54 @@ def q_entity_lift(sf_dir: str):
         Sum("n_ab", alias_name="n_ab"),
     )
 
-    def lift(df: pd.DataFrame) -> pd.DataFrame:
-        cnt = ray.get(cref)
-        na = df["ent_a"].map(cnt).astype("int64")
-        nb = df["ent_b"].map(cnt).astype("int64")
+    limit = (GOLD_BROADCAST_LIMIT if broadcast_limit is None
+             else broadcast_limit)
+    if counts_ds.count() <= limit:
+        ent_counts: dict = {}
+        for b in counts_ds.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow"):
+            ent_counts.update(zip(b.column("canonical").to_pylist(),
+                                  (int(x) for x in b.column("n").to_pylist())))
+        cref = ray.put(ent_counts)
+
+        def lift(df: pd.DataFrame) -> pd.DataFrame:
+            cnt = ray.get(cref)
+            na = df["ent_a"].map(cnt).astype("int64")
+            nb = df["ent_b"].map(cnt).astype("int64")
+            nab = df["n_ab"].astype("int64")
+            return pd.DataFrame(
+                {"ent_a": df["ent_a"], "ent_b": df["ent_b"], "n_ab": nab,
+                 "n_a": na, "n_b": nb,
+                 "lift_ppm": (1_000_000 * nab * n_total) // (na * nb)})
+
+        return pair_counts.map_batches(lift, batch_format="pandas").sort(
+            ["ent_a", "ent_b"])
+
+    # above the gate: attach per-entity counts via two partitioned
+    # hash_joins instead of a driver-sized dict
+    from ..stages.joins import hash_join
+
+    ca = counts_ds.map_batches(
+        lambda t: pa.table({"ent_a": t.column("canonical"),
+                            "n_a": pc.cast(t.column("n"), pa.int64())}),
+        batch_format="pyarrow")
+    cb = counts_ds.map_batches(
+        lambda t: pa.table({"ent_b": t.column("canonical"),
+                            "n_b": pc.cast(t.column("n"), pa.int64())}),
+        batch_format="pyarrow")
+    joined = hash_join(hash_join(pair_counts, ca, on=["ent_a"]),
+                       cb, on=["ent_b"])
+
+    def lift_join(df: pd.DataFrame) -> pd.DataFrame:
+        na = df["n_a"].astype("int64")
+        nb = df["n_b"].astype("int64")
         nab = df["n_ab"].astype("int64")
         return pd.DataFrame(
             {"ent_a": df["ent_a"], "ent_b": df["ent_b"], "n_ab": nab,
              "n_a": na, "n_b": nb,
              "lift_ppm": (1_000_000 * nab * n_total) // (na * nb)})
 
-    return pair_counts.map_batches(lift, batch_format="pandas").sort(
+    return joined.map_batches(lift_join, batch_format="pandas").sort(
         ["ent_a", "ent_b"])
 
 
@@ -1568,37 +1621,30 @@ def _assoc_oracle_sqls(pdir: str) -> dict:
 # Round-4 batch 4: KG temporal/consistency + windowed top-k
 # --------------------------------------------------------------------------
 
-def q_entity_timeline(sf_dir: str):
+def q_entity_timeline(sf_dir: str, *, broadcast_limit=None):
     """Entity TEMPORAL footprint — first/last capture and page spread per
     canonical entity: distinct (url, canonical) mention pairs joined to the
     page capture timestamps (partitioned hash_join on url — pages never
     broadcast), then Min/Max/Count per entity. The KG freshness signal
     (stale entities get recrawled first, the entity-level sibling of
-    crawl_frontier's host staleness)."""
+    crawl_frontier's host staleness). Alias resolution via the gated
+    ``_canon_surfaces``."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
     from ..stages.canonicalize import grouped_aggregate
     from ..stages.joins import hash_join
 
     pdir = _synthetic_pages_dir(sf_dir)
-    ents = {
-        r["surface"]: r["canonical"]
-        for r in _gold(sf_dir, "gold_entities").take_all()
-    }
-    eref = ray.put(ents)
+    canon = _canon_surfaces(
+        _gold(sf_dir, "gold_mentions", ["url", "surface"]), sf_dir,
+        [("surface", "canonical")], broadcast_limit=broadcast_limit)
 
-    def url_ents(t: pa.Table) -> pd.DataFrame:
-        m = ray.get(eref)
-        df = pa.Table.from_arrays(
-            [t.column("url"), t.column("surface")],
-            names=["url", "surface"]).to_pandas()
-        df["canonical"] = df["surface"].map(m)
-        return (df.dropna(subset=["canonical"])[["url", "canonical"]]
-                .drop_duplicates().assign(one=np.int64(1)))
+    def url_ents(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["url", "canonical"]].drop_duplicates()
+                .assign(one=np.int64(1)))
 
     pairs = grouped_aggregate(
-        _gold(sf_dir, "gold_mentions", ["url", "surface"]).map_batches(
-            url_ents, batch_format="pyarrow"),
+        canon.map_batches(url_ents, batch_format="pandas"),
         ["url", "canonical"],
         Sum("one", alias_name="one"),
     ).drop_columns(["one"])
@@ -1753,7 +1799,7 @@ def _batch4_oracle_sqls(pdir: str) -> dict:
     }
 
 
-def q_entity_host_spread(sf_dir: str):
+def q_entity_host_spread(sf_dir: str, *, broadcast_limit=None):
     """Entity AUTHORITY BREADTH — per canonical entity, the number of
     DISTINCT hosts whose pages mention it plus total mentions: broad-spread
     entities are corroborated across independent sources, single-host
@@ -1766,27 +1812,17 @@ def q_entity_host_spread(sf_dir: str):
     from ..stages.canonicalize import grouped_aggregate
     from ..stages.joins import hash_join
 
-    ents = {
-        r["surface"]: r["canonical"]
-        for r in _gold(sf_dir, "gold_entities").take_all()
-    }
-    eref = ray.put(ents)
+    canon = _canon_surfaces(
+        _gold(sf_dir, "gold_mentions", ["url", "surface"]), sf_dir,
+        [("surface", "canonical")], broadcast_limit=broadcast_limit)
 
-    def host_rows(t: pa.Table) -> pd.DataFrame:
-        m = ray.get(eref)
-        df = pa.Table.from_arrays(
-            [t.column("url"), t.column("surface")],
-            names=["url", "surface"]).to_pandas()
-        df["canonical"] = df["surface"].map(m)
-        df = df.dropna(subset=["canonical"])
-        df["host"] = df["url"].map(host_of)
-        g = (df.groupby(["host", "canonical"], sort=False).size()
-             .reset_index(name="n_mentions"))
-        return g
+    def host_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(host=df["url"].map(host_of))
+        return (df.groupby(["host", "canonical"], sort=False).size()
+                .reset_index(name="n_mentions"))
 
     pairs = grouped_aggregate(
-        _gold(sf_dir, "gold_mentions", ["url", "surface"]).map_batches(
-            host_rows, batch_format="pyarrow"),
+        canon.map_batches(host_rows, batch_format="pandas"),
         ["host", "canonical"],
         Sum("n_mentions", alias_name="n_mentions"),
     )

@@ -314,3 +314,22 @@ def test_idle_customers_join_path_matches_broadcast():
         q_idle_customers_by_segment(SF_DIR, broadcast_limit=0).to_pandas())
     pd.testing.assert_frame_equal(bc, at_scale)
     assert len(bc) > 0 and int(bc["n_customers"].sum()) > 0
+
+
+def test_kg_gold_broadcast_gate_join_path_matches_broadcast():
+    """Round-5 directive: the q_web KG-analytics gold-dict broadcasts are
+    gated through _canon_surfaces — broadcast_limit=0 forces the partitioned
+    hash_join plan on every alias-resolution site (including entity_lift's
+    per-entity count attach, its second gated broadcast). Both plans must be
+    value-identical."""
+    from ner_extractor_ray.pipelines.queries import (
+        q_entity_cooccurrence,
+        q_entity_degree,
+        q_entity_lift,
+    )
+
+    for fn in (q_entity_cooccurrence, q_entity_lift, q_entity_degree):
+        bc = _norm(fn(SF_DIR))
+        at_scale = _norm(fn(SF_DIR, broadcast_limit=0))
+        pd.testing.assert_frame_equal(bc, at_scale)
+        assert len(bc) > 0
