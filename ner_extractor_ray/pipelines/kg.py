@@ -139,18 +139,47 @@ def _triple_nodes(batch: pa.Table, alias: dict) -> pa.Table:
     )
 
 
+def _kv_arrays(assignments: "ray.data.Dataset") -> tuple[pa.Array, pa.Array]:
+    """Collect the (node, entity_id) assignment table as two parallel Arrow
+    string arrays — the broadcast payload for :class:`_IdLookup`. Only called
+    below ``broadcast_limit`` (the S7b gate); never builds a Python dict, so
+    the driver cost is two contiguous string buffers, not 2M dict entries."""
+    chunks = list(assignments.select_columns(["node", "entity_id"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"))
+    if not chunks:
+        empty = pa.array([], pa.string())
+        return empty, empty
+    tbl = pa.concat_tables(chunks)
+    return (pc.cast(tbl.column("node"), pa.string()).combine_chunks(),
+            pc.cast(tbl.column("entity_id"), pa.string()).combine_chunks())
+
+
 class _IdLookup:
-    """Broadcast node→entity_id lookup for one or more key columns."""
+    """Broadcast node→entity_id lookup for one or more key columns.
+
+    Vectorized Arrow plan (round-5): the broadcast side is a (keys, values)
+    pair of parallel string arrays shipped via ONE ``ray.put``; per batch,
+    ``pc.index_in(batch[src], keys)`` + ``pc.take(values, idx)`` resolves the
+    whole column in C — a missing key yields a null index and so a null id,
+    the old ``m.get(None)`` semantics. A legacy dict payload (kg_update
+    round-trip tests) is converted once in ``__init__``. A/B vs the per-row
+    dict loop at 800k pages recorded in BASELINE.md.
+    """
 
     def __init__(self, map_ref, cols: list[tuple[str, str]]):
-        self.mapping = ray.get(map_ref) if isinstance(map_ref, ray.ObjectRef) else map_ref
+        kv = ray.get(map_ref) if isinstance(map_ref, ray.ObjectRef) else map_ref
+        if isinstance(kv, dict):
+            self.keys = pa.array(list(kv.keys()), pa.string())
+            self.vals = pa.array(list(kv.values()), pa.string())
+        else:
+            self.keys, self.vals = kv
         self.cols = cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = self.mapping
         for src, dst in self.cols:
-            vals = [m.get(k) for k in batch.column(src).to_pylist()]
-            batch = batch.append_column(dst, pa.array(vals, pa.string()))
+            idx = pc.index_in(pc.cast(batch.column(src), pa.string()),
+                              value_set=self.keys)
+            batch = batch.append_column(dst, pc.take(self.vals, idx))
         return batch
 
 
@@ -344,14 +373,7 @@ def run_kg(
     # ---- S7b: resolve mentions/triples to entity ids (broadcast or hash join)
     n_assign = assignments.count()
     if n_assign <= broadcast_limit:
-        id_map = {
-            r["node"]: r["entity_id"]
-            for b in assignments.select_columns(["node", "entity_id"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"
-            )
-            for r in b.to_pylist()
-        }
-        map_ref = ray.put(id_map)
+        map_ref = ray.put(_kv_arrays(assignments))
         mentions_linked = mentions.map_batches(
             _IdLookup(map_ref, [("node", "entity_id")]), batch_format="pyarrow"
         )

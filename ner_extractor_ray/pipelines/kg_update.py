@@ -53,7 +53,7 @@ from ..stages.canonicalize import (
 from ..stages.joins import hash_join
 from ..stages.materialize import build_nodes, dedup_edges, write_partitioned
 from ..state.manifest import table_complete
-from .kg import _IdLookup, default_tagger_concurrency, tag_sentences
+from .kg import _IdLookup, _kv_arrays, default_tagger_concurrency, tag_sentences
 
 ASSIGN_COLS = ["node", "entity_id", "canonical_name", "type", "n_mentions"]
 
@@ -236,13 +236,7 @@ def update_kg(
     # ---- resolve NEW mentions/triples to ids (same size switch as run_kg)
     n_assign = assignments.count()
     if n_assign <= broadcast_limit:
-        id_map = {
-            r["node"]: r["entity_id"]
-            for b in assignments.select_columns(["node", "entity_id"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow")
-            for r in b.to_pylist()
-        }
-        map_ref = ray.put(id_map)
+        map_ref = ray.put(_kv_arrays(assignments))
         mentions_linked = mentions.map_batches(
             _IdLookup(map_ref, [("node", "entity_id")]), batch_format="pyarrow")
         triples_ids = triples.map_batches(
