@@ -121,6 +121,45 @@ def clustering_homogeneity(assigned_ds, cluster_col: str, label_col: str) -> flo
     return 1.0 - h_cond / h_label
 
 
+def clustering_homogeneity_gini_ppm(assigned_ds, cluster_col: str,
+                                    label_col: str) -> int:
+    """A9, integer-exact variant — GINI-impurity homogeneity in parts-per-
+    million: h_ppm = 10⁶ − ⌊C·N / (N² − Σ_c L_c²)⌋ with
+    C = Σ_k ⌊10⁶·(S_k² − Σ_c n_{k,c}²) / S_k⌋, where N is the row count,
+    L_c the label counts, S_k the cluster sizes and n_{k,c} the
+    cluster-label counts. Same ORDERING intuition as the entropy form
+    (pure clusters → 10⁶) with none of the float-log parity risk — every
+    op is arbitrary-precision integer on the driver and HUGEINT in the
+    DuckDB oracle (queries.py), so the result is bit-reproducible at any
+    parallelism. All intermediate terms are non-negative, so truncating
+    division == floor on both sides. Driver working set is the
+    (cluster × label)-vocabulary count table, never the corpus."""
+    from ..stages.canonicalize import pre_aggregated_count
+
+    rows = pre_aggregated_count(
+        assigned_ds.select_columns([cluster_col, label_col]),
+        [cluster_col, label_col],
+        "n",
+    ).take_all()
+    total = sum(int(r["n"]) for r in rows)
+    if total == 0:
+        return 1_000_000
+    by_label: dict = {}
+    by_cluster: dict = {}
+    for r in rows:
+        n = int(r["n"])
+        by_label[r[label_col]] = by_label.get(r[label_col], 0) + n
+        by_cluster.setdefault(r[cluster_col], []).append(n)
+    tot = total * total - sum(c * c for c in by_label.values())
+    if tot == 0:  # one label: conditional impurity is 0 everywhere
+        return 1_000_000
+    cond = 0
+    for members in by_cluster.values():
+        s = sum(members)
+        cond += (1_000_000 * (s * s - sum(n * n for n in members))) // s
+    return 1_000_000 - (cond * total) // tot
+
+
 def span_prf_distributed(pred_ds, gold_ds, keys: list[str]) -> PRF:
     """Same metric over Datasets: dedup both sides (pre-aggregated), inner
     hash join, three counts. Use when pred/gold don't fit on the driver."""

@@ -155,17 +155,31 @@ def q_audio_chunks(sf_dir: str):
 
 
 def q_cluster_homogeneity(sf_dir: str):
-    """A9 — clustering quality: homogeneity of deterministic IVF clusters vs
-    the embeddings table's labels (the KMeans-homogeneity analog,
-    scripts/visualize_embeddings.py:217-247). Single-row result, rows-only."""
-    from ..functions.metrics import clustering_homogeneity
-    from ..functions.similarity import ivf_assign, ivf_build_centroids
+    """A9 — clustering quality: integer-exact GINI homogeneity (ppm) of the
+    deterministic kmeans_fixed clusters vs the embeddings table's labels
+    (the KMeans-homogeneity analog, scripts/visualize_embeddings.py:217-247).
+
+    Round-5 integerization: the cluster source is the oracle-replicable
+    integer kmeans (same k/n_iters as the ``kmeans_fixed`` entry, unrolled
+    CTEs in _kmeans_oracle_sql) and the metric is the Gini-impurity
+    polynomial form in ppm (functions/metrics.py
+    clustering_homogeneity_gini_ppm) — no float entropy, so the single-row
+    result is hash-checked against DuckDB instead of rows-only. The float
+    entropy variant remains available as
+    functions.metrics.clustering_homogeneity."""
+    from ..functions.kmeans import kmeans_fixed
+    from ..functions.metrics import clustering_homogeneity_gini_ppm
+    from ..stages.joins import hash_join
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    cent = ivf_build_centroids(ds, n_centroids=10, refine_rounds=2)
-    assigned = ivf_assign(ds, cent)
-    h = clustering_homogeneity(assigned, "ivf_bucket", "label")
-    return pa.table({"homogeneity": pa.array([round(h, 9)], pa.float64())})
+    assigned = kmeans_fixed(ds, k=8, n_iters=3)
+    labels = _rp(sf_dir, "embeddings", ["vec_id", "label"]).map_batches(
+        lambda t: pa.table({"vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+                            "label": t.column("label")}),
+        batch_format="pyarrow")
+    joined = hash_join(assigned, labels, on=["vec_id"])
+    h = clustering_homogeneity_gini_ppm(joined, "cluster", "label")
+    return pa.table({"homogeneity_ppm": pa.array([h], pa.int64())})
 
 
 def q_embedding_dim_stats(sf_dir: str):

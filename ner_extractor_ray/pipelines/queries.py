@@ -2092,6 +2092,42 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             ) s ON d.doc_id = s.doc_id
         """,
         "kmeans_fixed": _kmeans_oracle_sql(k=8, n_iters=3),
+        # round-5 integerizations (former rows-only entries, now hash-gated)
+        # cluster_homogeneity: the Gini-ppm polynomial over the unrolled
+        # integer-kmeans assignment — HUGEINT keeps N² · 10⁶ exact; every
+        # term is non-negative so // truncation == floor on both sides
+        # (mirrors functions/metrics.py clustering_homogeneity_gini_ppm).
+        "cluster_homogeneity": f"""
+            WITH asg AS ({_kmeans_oracle_sql(k=8, n_iters=3)}),
+            j AS (SELECT a.cluster AS cl, e.label AS lb
+                  FROM asg a JOIN embeddings e USING (vec_id)),
+            cl_lab AS (SELECT cl, lb, CAST(COUNT(*) AS HUGEINT) AS n
+                       FROM j GROUP BY 1, 2),
+            cl_sz AS (SELECT cl, SUM(n) AS s, SUM(n * n) AS nn
+                      FROM cl_lab GROUP BY 1),
+            cond AS (SELECT SUM((1000000 * (s * s - nn)) // s) AS c
+                     FROM cl_sz),
+            lab AS (SELECT lb, CAST(COUNT(*) AS HUGEINT) AS ln
+                    FROM j GROUP BY 1),
+            tot AS (SELECT SUM(ln) AS nt, SUM(ln * ln) AS l2 FROM lab)
+            SELECT CAST(CASE WHEN nt * nt - l2 = 0 THEN 1000000
+                        ELSE 1000000 - (c * nt) // (nt * nt - l2) END
+                        AS BIGINT) AS homogeneity_ppm
+            FROM cond, tot
+        """,
+        # mention_confusion: the pipeline's span+type EXACT parity with the
+        # planted gold (P/R = 1.0, tests/test_oracle_parity.py) makes the
+        # gold self-join the oracle — any extraction regression surfaces an
+        # off-diagonal cell / count drift and fails the hash gate, which is
+        # strictly stronger than the old rows-only check.
+        "mention_confusion": f"""
+            SELECT type AS gold_label, type AS pred_label,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM read_parquet('{pdir}/gold_mentions.parquet')
+            GROUP BY 1, 2
+            ORDER BY n DESC, gold_label, pred_label
+            LIMIT 10
+        """,
         "user_funnel": """
             WITH f AS (
                 SELECT user_id,

@@ -59,6 +59,24 @@ def test_homogeneity_bounds():
     assert clustering_homogeneity(mixed, "c", "lab") < 0.01
 
 
+def test_homogeneity_gini_ppm_bounds():
+    """Round-5 integer variant: pure clusters → exactly 10⁶ ppm; a single
+    mixed cluster → 0 (the cluster partition adds no information); one-label
+    degenerate input → 10⁶ by definition."""
+    from ner_extractor_ray.functions.metrics import (
+        clustering_homogeneity_gini_ppm,
+    )
+
+    perfect = ray.data.from_items(
+        [{"c": i % 3, "lab": i % 3} for i in range(90)]
+    )
+    assert clustering_homogeneity_gini_ppm(perfect, "c", "lab") == 1_000_000
+    mixed = ray.data.from_items([{"c": 0, "lab": i % 3} for i in range(90)])
+    assert clustering_homogeneity_gini_ppm(mixed, "c", "lab") == 0
+    one_label = ray.data.from_items([{"c": i % 5, "lab": 7} for i in range(40)])
+    assert clustering_homogeneity_gini_ppm(one_label, "c", "lab") == 1_000_000
+
+
 def _payload_ds(n=10):
     return ray.data.from_items(
         [{"id": i, "payload": f"binary-image-{i}".encode() * 50} for i in range(n)]
