@@ -1,0 +1,148 @@
+"""Round-5 skew stress: pathological corpora through the dedup / curation /
+web-graph flagships — ONE near-dup cluster holding 40% of all documents, and
+ONE host absorbing >50% of all links.
+
+The skew defenses under test (sorted-chain bucket caps in
+functions/dedup.py:178-198 / stages/canonicalize.py:280-292, per-batch
+partial pair counts in functions/weblinks.py) exist precisely for these
+shapes; until this module nothing FED them a pathological corpus. Each test
+asserts (a) completion, (b) EXACT output against an independently-planted
+expectation, and (c) that the pair/edge traffic stays near-linear — the
+bounded-per-task-memory evidence (an uncapped plan would emit ~719k pairs
+for the 1200-member cluster; the chain plan emits O(members × bands)).
+
+The at-scale wall-time companion (200k docs, same 40% skew) is
+tools/skew_bench.py; measured numbers live in BASELINE.md.
+"""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+N_DOCS = 3000
+N_GIANT = 1200  # 40% of the corpus in ONE near-dup cluster
+WINNER = 7      # the one member with extra tokens (keep-longest target)
+
+BASE_WORDS = [f"w{i}" for i in range(100)]
+BASE_TEXT = " ".join(BASE_WORDS)
+
+
+def _skew_docs() -> pa.Table:
+    """40% of docs are copies of BASE_TEXT (doc WINNER gets 5 extra words →
+    word3-shingle Jaccard ≈ 98/103 ≈ 0.95, comfortably ≥ 0.8); the rest are
+    pairwise-disjoint unique texts."""
+    ids, texts = [], []
+    for i in range(N_GIANT):
+        ids.append(i)
+        if i == WINNER:
+            texts.append(BASE_TEXT + " extraa extrab extrac extrad extrae")
+        else:
+            texts.append(BASE_TEXT)
+    for i in range(N_GIANT, N_DOCS):
+        ids.append(i)
+        texts.append(" ".join(f"u{i}w{j}" for j in range(40)))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(["s0"] * N_DOCS, pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def skew_ds():
+    return ray.data.from_arrow(_skew_docs())
+
+
+def test_giant_cluster_keep_best_exact_and_bounded(skew_ds):
+    """neardup_keep_best on the 40%-giant-cluster corpus: every member maps
+    to the single longest doc, uniques map to themselves, and the candidate
+    pair count stays O(members × bands), not O(members²)."""
+    from ner_extractor_ray.functions.dedup import (
+        lsh_near_dup_pairs,
+        near_dup_keep_best_ids,
+    )
+
+    pairs = lsh_near_dup_pairs(
+        skew_ds, "text", "doc_id", shingle="word3", threshold=0.8
+    ).materialize()
+    n_pairs = pairs.count()
+    # all-pairs would be 1200*1199/2 = 719,400; the sorted-chain cap must
+    # keep this to a small multiple of members × bands (16 bands)
+    assert 0 < n_pairs < N_GIANT * 32, n_pairs
+
+    out = near_dup_keep_best_ids(pairs, skew_ds, "doc_id", "text").to_pandas()
+    keep = dict(zip(out["doc_id"].astype(int), out["keep_id"].astype(int)))
+    assert len(keep) == N_DOCS
+    for i in range(N_GIANT):
+        assert keep[i] == WINNER, (i, keep[i])
+    for i in range(N_GIANT, N_DOCS):
+        assert keep[i] == i, (i, keep[i])
+
+
+def test_curation_pipeline_on_giant_cluster(skew_ds, tmp_path):
+    """run_curation end-to-end on the skewed corpus: the giant cluster
+    collapses to exactly its longest member (exact-dup removal keeps the min
+    id, near-dup keep-longest then prefers WINNER), every unique survives."""
+    from ner_extractor_ray.pipelines.curation import run_curation
+
+    res = run_curation(
+        skew_ds, out_dir=str(tmp_path / "cur"), n_partitions=8
+    )
+    curated = res["curated"].to_pandas()
+    survivors = set(curated["doc_id"].astype(int))
+    assert survivors == {WINNER} | set(range(N_GIANT, N_DOCS))
+    # survivors' text is intact (no span got rewritten away: after dedup no
+    # cross-doc shared 8-gram repeats above the rewrite threshold)
+    w = curated[curated["doc_id"] == WINNER].iloc[0]
+    assert int(w["n_tokens"]) == 105
+
+
+def _hot_host_pages() -> tuple[pa.Table, dict]:
+    """200 pages on 20 hosts; every EVEN page sends all 10 of its links to
+    the single hot host → hot.example.com receives ~53% of all inter-host
+    links. Returns (pages table, expected (src_host, dst_host) → n)."""
+    urls, htmls = [], []
+    expected: dict = {}
+    for i in range(200):
+        src_host = f"h{i % 20}.example.com"
+        url = f"https://{src_host}/p{i}"
+        links = []
+        for j in range(10):
+            if i % 2 == 0:
+                dst = f"https://hot.example.com/x{j}"
+                dst_host = "hot.example.com"
+            else:
+                dst_host = f"h{(i * 7 + j) % 20}.example.com"
+                dst = f"https://{dst_host}/q{j}"
+            links.append(f'<a href="{dst}">l{j}</a>')
+            if dst_host != src_host:  # host_link_graph drops intra-host
+                k = (src_host, dst_host)
+                expected[k] = expected.get(k, 0) + 1
+        urls.append(url)
+        htmls.append(f"<html><body>{''.join(links)}</body></html>".encode())
+    tbl = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(htmls, pa.binary()),
+    })
+    return tbl, expected
+
+
+def test_hot_host_link_graph_exact():
+    """host_link_graph on the hot-host corpus: exact pair counts, and the
+    hot host indeed absorbs the majority of inter-host links (the skew the
+    per-batch partial counts must absorb without a hot-key task blowup)."""
+    from ner_extractor_ray.functions.weblinks import host_link_graph
+
+    tbl, expected = _hot_host_pages()
+    got = host_link_graph(ray.data.from_arrow(tbl)).to_pandas()
+    got_map = {
+        (r.src_host, r.dst_host): int(r.n_links)
+        for r in got.itertuples(index=False)
+    }
+    assert got_map == expected
+    hot_in = sum(n for (s, d), n in expected.items()
+                 if d == "hot.example.com")
+    assert hot_in / sum(expected.values()) > 0.5
