@@ -215,8 +215,14 @@ def run_kg(
     useful when tags feed other consumers).
     """
     from ..stages.annotate import Annotator, split_annotations
+    from ..stages.faults import fault_stage
 
     from .. import __version__
+
+    # env-gated fault injection: fail each input block's first attempt to
+    # pin task-retry idempotency of the fused corpus pass (stages/faults.py;
+    # identity no-op in production)
+    pages = fault_stage(pages, "kg_pages")
 
     try:
         input_files = pages.input_files()

@@ -174,6 +174,19 @@ def write_partitioned(
     sk = [sort_key] if isinstance(sort_key, str) else sort_key
     os.makedirs(table_dir, exist_ok=True)
 
+    # driver-side capture: worker envs don't see a driver-set flag, and the
+    # oracle handle must be driver-owned (see stages/faults.py get_oracle)
+    from .faults import (
+        fault_injection_on,
+        fault_remote_args,
+        get_oracle,
+        inject_fault,
+    )
+
+    _inject = fault_injection_on()
+    _retry_args = fault_remote_args()
+    _oracle = get_oracle() if _inject else None
+
     def write_group(t: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
@@ -200,6 +213,12 @@ def write_partitioned(
         tmp = os.path.join(pdir, f".{fname}.tmp")
         pq.write_table(out, tmp)
         os.replace(tmp, os.path.join(pdir, fname))
+        if _inject:
+            # fault injection lands BETWEEN the data-file rename and the
+            # partition manifest — the worst-case kill point; the retried
+            # task must rewrite the file (tmp+rename is idempotent) and
+            # land the manifest exactly once (tests/test_fault_injection.py)
+            inject_fault(("write", table_dir, part), _oracle)
         nbytes = os.path.getsize(os.path.join(pdir, fname))
         write_partition_manifest(pdir, [fname], out.num_rows, nbytes)
         return pa.table({"part": pa.array([part], pa.int32()),
@@ -216,7 +235,7 @@ def write_partitioned(
     (
         ds.map_batches(pack, batch_format="pyarrow", batch_size=None)
         .groupby("part")
-        .map_groups(write_group, batch_format="pyarrow")
+        .map_groups(write_group, batch_format="pyarrow", **_retry_args)
         .count()
     )
     return finalize_table(table_dir, extra={"lineage": lineage} if lineage else None)
