@@ -189,6 +189,71 @@ ray.shutdown()
         }))
         return
 
+    if "--soak" in sys.argv:
+        # Memory-pressure soak (round-5 directive #2): the same 1.6M-page
+        # kg run in two fresh processes — uncapped, then with the object
+        # store capped at 2 GiB so the working set (annotations materialize
+        # + shuffle buffers; ~2.8 GB at this corpus) must spill/stream.
+        # Completion under the cap + identical edge/node hashes evidences
+        # the "stream 100 TB through a fixed object store" premise the
+        # 128 GiB sandbox never tests. Numbers recorded in BASELINE.md.
+        import subprocess
+
+        mult = int(os.environ.get("GRAFT_BENCH_PAGES_MULT", "32"))
+        n_pages = max(500, int(500_000 * _sf_from_dir(sf_dir))) * mult
+        corpus = f"/tmp/ner_ray_bench_pages_{n_pages}"
+        if not os.path.exists(os.path.join(corpus, "gold_triples.parquet")):
+            from ner_extractor_ray.sources.pages import write_pages
+
+            write_pages(corpus, n_pages, seed=42, n_files=32)
+
+        prog = f"""
+import ray, sys, time, json, hashlib, shutil
+cap = int(sys.argv[1])
+kw = dict(address="local", num_cpus={num_cpus}, include_dashboard=False,
+          logging_level="ERROR")
+if cap:
+    kw["object_store_memory"] = cap
+ray.init(**kw)
+from ray.data import DataContext
+ctx = DataContext.get_current(); ctx.enable_progress_bars = False
+ctx.min_parallelism = {num_cpus} * 2
+ctx.read_op_min_num_blocks = {num_cpus} * 2
+from ner_extractor_ray.pipelines.kg import pages_dataset, run_kg
+out_dir = "/tmp/soak_kg_" + str(cap)
+shutil.rmtree(out_dir, ignore_errors=True)
+t0 = time.perf_counter()
+res = run_kg(pages_dataset({corpus!r}), out_dir=out_dir,
+             n_partitions=max(16, min(256, {n_pages} // 12_500)))
+sec = round(time.perf_counter() - t0, 2)
+def h(ds):
+    rows = sorted(tuple(sorted(r.items())) for r in ds.take_all())
+    return hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+print(json.dumps({{"sec": sec, "edges": h(res["edges"]),
+                   "nodes": h(res["nodes"]), "cap": cap}}))
+ray.shutdown()
+"""
+
+        def runsoak(cap: int) -> dict:
+            out = subprocess.run([sys.executable, "-c", prog, str(cap)],
+                                 capture_output=True, text=True, check=True).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        free = runsoak(0)
+        capped = runsoak(2 * 1024 ** 3)
+        assert capped["edges"] == free["edges"], (capped, free)
+        assert capped["nodes"] == free["nodes"], (capped, free)
+        print(json.dumps({
+            "metric": "kg soak under 2GiB object store cap (1.6M pages)",
+            "pages": n_pages,
+            "num_cpus": num_cpus,
+            "sec_uncapped": free["sec"],
+            "sec_capped_2GiB": capped["sec"],
+            "hash_match": True,
+            "edges_hash": free["edges"],
+        }))
+        return
+
     if "--scaling" in sys.argv:
         import subprocess
 
