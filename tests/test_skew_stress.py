@@ -146,3 +146,38 @@ def test_hot_host_link_graph_exact():
     hot_in = sum(n for (s, d), n in expected.items()
                  if d == "hot.example.com")
     assert hot_in / sum(expected.values()) > 0.5
+
+
+def test_hot_entity_kg_edges_exact():
+    """Hot-KEY skew through the kg flagship itself: one entity pair
+    ('Hooli acquired Nvidia') carries 83% of all triples (1000 of 1200).
+    The edge aggregate must stay exact under the hot key — per-batch
+    partials collapse the repeats before the exchange, so the hot group
+    never materializes row-per-occurrence in one task. Exact expectation:
+    exactly two distinct triples with planted counts."""
+    import datetime
+
+    from ner_extractor_ray.pipelines.kg import run_kg
+
+    n_pages, hot_per_page = 400, 5
+    ts = datetime.datetime(2025, 1, 1)
+    urls, texts = [], []
+    for i in range(n_pages):
+        urls.append(f"https://skew.example.com/p{i}")
+        if i % 2 == 0:
+            texts.append("Hooli acquired Nvidia . " * hot_per_page)
+        else:
+            texts.append("Bill Gates founded IBM .")
+    tbl = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([ts] * n_pages, pa.timestamp("us")),
+        "html": pa.array([b""] * n_pages, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n_pages, pa.string()),
+    })
+    res = run_kg(ray.data.from_arrow(tbl), out_dir=None, n_partitions=8)
+    edges = res["edges"].to_pandas()
+    by_pred = edges.groupby("pred")["n_occurrences"].sum().to_dict()
+    assert by_pred == {"acquired": (n_pages // 2) * hot_per_page,
+                       "founded": n_pages // 2}, by_pred
+    assert len(edges) == 2
