@@ -120,3 +120,35 @@ def test_fault_stage_noop_without_flag(monkeypatch):
     monkeypatch.delenv("GRAFT_FAULT_INJECT", raising=False)
     ds = ray.data.range(10)
     assert fault_stage(ds, "x") is ds
+
+
+def test_curation_task_retry_idempotent(tmp_path, monkeypatch):
+    """The curation flagship under the same injection: its three
+    write_partitioned calls hit the write-point fault (rename→manifest gap)
+    automatically; survivors must match the clean run exactly."""
+    import pyarrow as pa
+
+    from ner_extractor_ray.pipelines.curation import run_curation
+    from ner_extractor_ray.stages import faults
+
+    n = 400
+    docs = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(
+            [" ".join(f"d{i}w{j}" for j in range(30)) if i % 3 else
+             " ".join(f"c w{j}" for j in range(30)) for i in range(n)],
+            pa.string()),
+    })
+    ds = ray.data.from_arrow(docs)
+
+    monkeypatch.delenv(faults.FAULT_ENV, raising=False)
+    clean = run_curation(ds, out_dir=str(tmp_path / "c1"), n_partitions=8)
+    c_ids = sorted(clean["curated"].to_pandas()["doc_id"].astype(int))
+
+    monkeypatch.setenv(faults.FAULT_ENV, "1")
+    faults.reset()
+    faulty = run_curation(ds, out_dir=str(tmp_path / "c2"), n_partitions=8)
+    f_ids = sorted(faulty["curated"].to_pandas()["doc_id"].astype(int))
+    assert faults.fired_count() > 0
+    assert f_ids == c_ids and len(c_ids) > 0
+    faults.reset()
