@@ -25,6 +25,20 @@ from ..functions.gazetteer import gazetteer_token_trie
 from ..functions.tagging import emissions_for_sentence
 
 
+# distinct-sentence memo, worker-process lifetime (the _WP_CACHE pattern,
+# stages/tokenize.py): tagging is a PURE function of the token sequence and
+# web corpora repeat boilerplate sentences heavily (nav / footer / template
+# text — measured repeat factor 11× on the bench corpus, ~1.3-2× within one
+# 2048-row batch), so each distinct sentence is scored once per worker.
+# Bounded: inserts stop at the cap (~200k sentences ≈ tens of MB); already-
+# cached entries keep serving. Valid only for the PACKAGED gazetteer trie —
+# gazetteer_token_trie() is lru_cached, so the keyed identity check below
+# invalidates the memo if the trie object ever changes (custom gazetteers).
+_TAG_MEMO: dict = {}
+_TAG_MEMO_CAP = 200_000
+_TAG_MEMO_TRIE = None
+
+
 class DeterministicTagger:
     def __init__(self):
         # once per actor/worker: build the lookup state (the reference loads
@@ -36,34 +50,48 @@ class DeterministicTagger:
 
         from ..functions.viterbi import N_LABELS, viterbi_decode_padded
 
+        global _TAG_MEMO_TRIE
+        if _TAG_MEMO_TRIE is not self.trie:  # new trie object → stale memo
+            _TAG_MEMO.clear()
+            _TAG_MEMO_TRIE = self.trie
+        memo = _TAG_MEMO
+
         tokens_col = batch.column("tokens").to_pylist()
-        n = len(tokens_col)
-        emissions = [
-            emissions_for_sentence(toks, self.trie) if toks else None
-            for toks in tokens_col
-        ]
-        # batched Viterbi in length-sorted chunks: padding cost is O(N × Tmax)
-        # per chunk, so one 192-token straggler must not pad a whole batch of
-        # ~10-token sentences
-        order = sorted(range(n), key=lambda i: len(tokens_col[i]))
-        paths: list = [None] * n
-        CHUNK = 256
-        for c in range(0, n, CHUNK):
-            idx = [i for i in order[c : c + CHUNK] if emissions[i] is not None]
-            if not idx:
-                continue
-            lengths = np.array([emissions[i].shape[0] for i in idx], dtype=np.int64)
-            tmax = int(lengths.max())
-            em = np.zeros((len(idx), tmax, N_LABELS), dtype=np.float64)
-            for j, i in enumerate(idx):
-                em[j, : lengths[j]] = emissions[i]
-            for j, path in zip(idx, viterbi_decode_padded(em, lengths)):
-                paths[j] = path
+        keys = [tuple(t) for t in tokens_col]
+        # score only the FIRST occurrence of each distinct unseen sentence
+        fresh: dict = {}
+        for k in keys:
+            if k and k not in memo and k not in fresh:
+                fresh[k] = None
+        todo = list(fresh)
+        if todo:
+            emissions = [
+                emissions_for_sentence(list(k), self.trie) for k in todo
+            ]
+            # batched Viterbi in length-sorted chunks: padding cost is
+            # O(N × Tmax) per chunk, so one 192-token straggler must not pad
+            # a whole batch of ~10-token sentences
+            order = sorted(range(len(todo)), key=lambda i: len(todo[i]))
+            CHUNK = 256
+            for c in range(0, len(todo), CHUNK):
+                idx = order[c : c + CHUNK]
+                lengths = np.array(
+                    [emissions[i].shape[0] for i in idx], dtype=np.int64)
+                tmax = int(lengths.max())
+                em = np.zeros((len(idx), tmax, N_LABELS), dtype=np.float64)
+                for j, i in enumerate(idx):
+                    em[j, : lengths[j]] = emissions[i]
+                for i, path in zip(idx, viterbi_decode_padded(em, lengths)):
+                    fresh[todo[i]] = [LABELS[k] for k in path]
+            for k, v in fresh.items():
+                if len(memo) < _TAG_MEMO_CAP:
+                    memo[k] = v
         tags_out = [
-            [LABELS[k] for k in paths[i]] if paths[i] is not None else []
-            for i in range(n)
+            ([] if not k else memo[k] if k in memo else fresh[k])
+            for k in keys
         ]
-        return batch.append_column("tags", pa.array(tags_out, pa.list_(pa.string())))
+        return batch.append_column(
+            "tags", pa.array(tags_out, pa.list_(pa.string())))
 
 
 # ---- HFTagger pure parts (importable & testable WITHOUT torch) ------------
