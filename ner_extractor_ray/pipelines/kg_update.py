@@ -100,10 +100,15 @@ def update_kg(
     batch, merged assignments/nodes/edges). ``out_dir`` must differ from
     ``prev_dir`` (snapshots are immutable)."""
     from ..stages.annotate import Annotator, split_annotations
+    from ..stages.faults import fault_stage
     from .. import __version__
 
     if os.path.abspath(prev_dir) == os.path.abspath(out_dir):
         raise ValueError("snapshots are immutable: out_dir must differ from prev_dir")
+
+    # env-gated task-retry fault injection (stages/faults.py; production
+    # no-op) — same coverage as run_kg's corpus pass, on the NEW pages only
+    new_pages = fault_stage(new_pages, "kg_update_pages")
 
     prev_assign = ray.data.read_parquet(
         os.path.join(prev_dir, "assignments"), columns=ASSIGN_COLS)

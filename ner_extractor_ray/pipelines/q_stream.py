@@ -291,7 +291,16 @@ def q_user_funnel(sf_dir: str):
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization (streaming-shaped op, SURVEY.md §2.9 analog):
     events partitioned by user, sorted by ts within the group, new session
-    when the gap exceeds 1h. n_sessions = 1 + count(gap > 1h)."""
+    when the gap exceeds 1h. n_sessions = 1 + count(gap > 1h).
+
+    PER-TASK BOUND (inherent to gap sessions — the full ordered per-user
+    history must meet in one place): one bucket task holds ~corpus/P plus
+    the entirety of its largest user. A user owning 50% of all events
+    completes exactly (tests/test_skew_stress.py hot-user probe) but that
+    task's heap is ∝ that user's volume; the scale remedy for adversarial
+    key mass (bot traffic) is an upstream per-user event cap or a
+    segmented-reduce (chunk-sessionize + boundary-gap merge), not a bigger
+    bucket count."""
     ds = _rp(sf_dir, "events", ["user_id", "ts"])
     from ..stages.canonicalize import _compact_blocks
 

@@ -152,3 +152,37 @@ def test_curation_task_retry_idempotent(tmp_path, monkeypatch):
     assert faults.fired_count() > 0
     assert f_ids == c_ids and len(c_ids) > 0
     faults.reset()
+
+
+def test_update_kg_task_retry_idempotent(tmp_path, monkeypatch):
+    """Incremental update under injection: prev snapshot built clean, then
+    the SAME update run twice (clean vs fault-injected) must produce
+    identical merged edge sets with frozen ids intact."""
+    import glob
+
+    import ray.data as _rd
+
+    from ner_extractor_ray.pipelines.kg import PAGE_COLUMNS, run_kg
+    from ner_extractor_ray.pipelines.kg_update import update_kg
+    from ner_extractor_ray.sources.pages import write_pages
+    from ner_extractor_ray.stages import faults
+
+    base = tmp_path
+    write_pages(str(base / "pages"), 120, n_files=8)
+    files = sorted(glob.glob(str(base / "pages" / "pages-*.parquet")))
+    rd = lambda fs: _rd.read_parquet(fs, columns=PAGE_COLUMNS)
+
+    monkeypatch.delenv(faults.FAULT_ENV, raising=False)
+    run_kg(rd(files[:1]), out_dir=str(base / "prev"), n_partitions=8)
+    clean = update_kg(str(base / "prev"), rd(files[1:]),
+                      str(base / "upd_clean"), n_partitions=8)
+    ce = sorted(tuple(sorted(r.items())) for r in clean["edges"].take_all())
+
+    monkeypatch.setenv(faults.FAULT_ENV, "1")
+    faults.reset()
+    faulty = update_kg(str(base / "prev"), rd(files[1:]),
+                       str(base / "upd_fault"), n_partitions=8)
+    fe = sorted(tuple(sorted(r.items())) for r in faulty["edges"].take_all())
+    assert faults.fired_count() > 0
+    assert fe == ce and len(ce) > 0
+    faults.reset()

@@ -181,3 +181,51 @@ def test_hot_entity_kg_edges_exact():
     assert by_pred == {"acquired": (n_pages // 2) * hot_per_page,
                        "founded": n_pages // 2}, by_pred
     assert len(edges) == 2
+
+
+def test_hot_user_sessions_exact(tmp_path):
+    """Hot-KEY skew through sessionization: ONE user owns 50% of all events.
+    A user's events must meet in one task (gap-based sessions need the full
+    ordered history — the documented per-task bound of the coarse-bucket
+    plan in q_user_sessions), so the hot bucket carries ~50% of the corpus;
+    the op must complete and produce the exactly-planted session counts."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ner_extractor_ray.pipelines.queries import q_user_sessions
+
+    base = datetime.datetime(2025, 3, 1)
+    rows_u, rows_t = [], []
+    # hot user 1: 5000 events, 10-min cadence, a 2h jump every 500 events
+    # → exactly 10 sessions
+    t = base
+    for i in range(5000):
+        if i and i % 500 == 0:
+            t += datetime.timedelta(hours=2)
+        rows_u.append(1)
+        rows_t.append(t)
+        t += datetime.timedelta(minutes=10)
+    # 50 cold users: 100 events each at 2h cadence → every event its own
+    # session (gap 7200s > 3600s) → 100 sessions
+    for u in range(2, 52):
+        t = base + datetime.timedelta(minutes=u)
+        for _ in range(100):
+            rows_u.append(u)
+            rows_t.append(t)
+            t += datetime.timedelta(hours=2)
+    tbl = pa.table({
+        "user_id": pa.array(rows_u, pa.int64()),
+        "ts": pa.array(rows_t, pa.timestamp("us")),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = q_user_sessions(str(tmp_path)).to_pandas()
+    m = {int(r.user_id): (int(r.n_events), int(r.n_sessions))
+         for r in out.itertuples(index=False)}
+    assert m[1] == (5000, 10)
+    for u in range(2, 52):
+        assert m[u] == (100, 100), u
+    hot_share = 5000 / (5000 + 50 * 100)
+    assert hot_share == 0.5
