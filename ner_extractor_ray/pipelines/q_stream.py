@@ -331,6 +331,84 @@ def q_user_sessions(sf_dir: str):
     )
 
 
+def q_user_sessions_segmented(sf_dir: str, *, chunk_s: int = 6 * 3600):
+    """Segmented-reduce sessionization — the BOT-PROOF plan that removes
+    q_user_sessions' per-task bound (one user's full history in one task):
+
+    Phase 1 buckets events by (user_id, ts // chunk_s) — a group is one
+    user's events within ONE 6-hour window, so task heap is bounded by
+    per-user-per-window volume however large the user's lifetime history.
+    Each chunk reduces to one summary row (n_events, internal session
+    count, first/last ts). Phase 2 merges the per-user chunk summaries
+    (time-ordered, one row per ACTIVE chunk — tiny): a session spans a
+    chunk boundary iff next.first_ts − prev.last_ts ≤ 3600 s, so
+    n_sessions = Σ chunk_sessions − #merged_boundaries. Identical result
+    and shared DuckDB oracle with q_user_sessions; equality, hot-user and
+    boundary-merge cases pinned in tests. The classic segmented-scan
+    decomposition of a gap predicate (only the chunk-edge events interact
+    across chunks)."""
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    from ..stages.canonicalize import _compact_blocks
+
+    P = _compact_blocks()
+    gap_us = 3600 * 1_000_000
+    chunk_us = chunk_s * 1_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        ts_us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        chunk = ts_us // chunk_us
+        part = ((uid.astype(np.uint64) * np.uint64(1000003)
+                 + chunk.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "__chunk": pa.array(chunk, pa.int64()),
+            "__ts_us": pa.array(ts_us, pa.int64()),
+            "__part": pa.array(part, pa.int64()),
+        })
+
+    def part_chunks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "__chunk", "__ts_us"])
+        brk = (g.groupby(["user_id", "__chunk"], sort=False)["__ts_us"]
+               .diff() > gap_us)
+        out = (g.assign(__brk=brk)
+               .groupby(["user_id", "__chunk"], as_index=False)
+               .agg(n_events=("__ts_us", "size"), breaks=("__brk", "sum"),
+                    first_ts=("__ts_us", "min"), last_ts=("__ts_us", "max")))
+        out["sessions"] = out["breaks"].astype("int64") + 1
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "__chunk", "n_events", "sessions",
+                    "first_ts", "last_ts"]]
+
+    summaries = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_chunks, batch_format="pandas")
+    )
+
+    def add_upart(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return t.append_column("__part", pa.array(uid % P, pa.int64()))
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "__chunk"])
+        prev_last = g.groupby("user_id", sort=False)["last_ts"].shift()
+        merged = ((g["first_ts"] - prev_last) <= gap_us).fillna(False)
+        out = (g.assign(__m=merged)
+               .groupby("user_id", as_index=False)
+               .agg(n_events=("n_events", "sum"), sess=("sessions", "sum"),
+                    m=("__m", "sum")))
+        out["n_sessions"] = (out["sess"] - out["m"]).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "n_events", "n_sessions"]]
+
+    return (
+        summaries.map_batches(add_upart, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge_user, batch_format="pandas")
+    )
+
+
 def q_events_sliding(sf_dir: str):
     """Hopping (sliding) event-time window: size 2 h, hop 1 h — each event in
     exactly 2 windows (stages/windows.explode_hopping_windows), partials

@@ -119,7 +119,8 @@ from .q_stream import (
     q_sliding_distinct_users, q_snapshot_delta, q_top3_events_per_user,
     q_top_event_per_user, q_top_session_paths, q_user_active_seconds,
     q_user_event_seq, q_user_event_stats, q_user_funnel, q_user_pareto,
-    q_user_retention, q_user_sessions, q_user_streaks,
+    q_user_retention, q_user_sessions, q_user_sessions_segmented,
+    q_user_streaks,
     q_user_time_weighted_value,    q_session_duration_quantiles,
 )
 from .q_stats import (
@@ -468,6 +469,10 @@ def queries() -> dict:
         "session_duration_quantiles": q_session_duration_quantiles,
         "host_pagerank_weighted": q_host_pagerank_weighted,
         "pred_cardinality_profile": q_pred_cardinality_profile,
+        # round-5: segmented-reduce sessionization — q_user_sessions'
+        # result under a bot-proof physical plan (per-task heap bounded by
+        # per-user-per-6h volume, not lifetime history); shares its oracle
+        "user_sessions_segmented": q_user_sessions_segmented,
     }
 
 
@@ -915,6 +920,16 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             GROUP BY 1
         """,
         "user_sessions": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(1 + SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sessions
+            FROM (SELECT user_id, epoch(ts) - lag(epoch(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts) AS gap_s
+                  FROM events)
+            GROUP BY user_id
+        """,
+        # the segmented-reduce plan computes the SAME sessions — one oracle
+        "user_sessions_segmented": """
             SELECT user_id, COUNT(*) AS n_events,
                    CAST(1 + SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_sessions

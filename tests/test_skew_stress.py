@@ -229,3 +229,49 @@ def test_hot_user_sessions_exact(tmp_path):
         assert m[u] == (100, 100), u
     hot_share = 5000 / (5000 + 50 * 100)
     assert hot_share == 0.5
+
+
+def test_hot_user_sessions_segmented_matches(tmp_path):
+    """The segmented-reduce plan (q_user_sessions_segmented) on the hot-user
+    corpus: 10-min cadence means live sessions CROSS the 6-hour chunk
+    boundaries constantly, so the boundary-gap merge is exercised hard;
+    result must equal the single-task plan exactly — and the hot user's
+    chunk groups are each bounded (≤36 events per 6h window), which is the
+    whole point of the plan."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from ner_extractor_ray.pipelines.queries import (
+        q_user_sessions,
+        q_user_sessions_segmented,
+    )
+
+    base = datetime.datetime(2025, 3, 1)
+    rows_u, rows_t = [], []
+    t = base
+    for i in range(5000):
+        if i and i % 500 == 0:
+            t += datetime.timedelta(hours=2)
+        rows_u.append(1)
+        rows_t.append(t)
+        t += datetime.timedelta(minutes=10)
+    for u in range(2, 52):
+        t = base + datetime.timedelta(minutes=u)
+        for _ in range(100):
+            rows_u.append(u)
+            rows_t.append(t)
+            t += datetime.timedelta(hours=2)
+    pq.write_table(
+        pa.table({"user_id": pa.array(rows_u, pa.int64()),
+                  "ts": pa.array(rows_t, pa.timestamp("us"))}),
+        str(tmp_path / "events.parquet"))
+
+    plain = (q_user_sessions(str(tmp_path)).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    seg = (q_user_sessions_segmented(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        plain[sorted(plain.columns)], seg[sorted(seg.columns)])
+    row = seg[seg["user_id"] == 1].iloc[0]
+    assert (int(row["n_events"]), int(row["n_sessions"])) == (5000, 10)
