@@ -110,6 +110,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         # (pagerank × staleness full-outer frontier scoring), and the
         # KG-analytics marquee (sentence-bucketed entity co-occurrence)
         "curation_pipeline", "crawl_frontier", "entity_cooccurrence",
+        # round-5 addition: the bot-proof segmented-reduce sessionization
+        "user_sessions_segmented",
     ]
     if os.environ.get("GRAFT_BENCH_KG_ONLY"):
         suite = []
@@ -183,6 +185,89 @@ ray.shutdown()
             "pages": 3_200_000,
             "pages_per_sec_8": round(3_200_000 / lo["min"], 1),
             "pages_per_sec_32": round(3_200_000 / hi["min"], 1),
+            "scaling_efficiency": round((lo["min"] / hi["min"]) / 4, 3),
+            "repeats_sec_8": lo["reps"],
+            "repeats_sec_32": hi["reps"],
+        }))
+        return
+
+    if "--scaling-cur" in sys.argv:
+        # Curation-flagship scaling pair (round 5): run_curation over a
+        # deterministic 400k-doc corpus (88% unique, 8% exact dups, 4%
+        # near dups — a realistic crawl mix) at 8 vs 32 CPUs in fresh
+        # processes, min-of-3 per level; survivor counts must agree.
+        import subprocess
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        n_docs = int(os.environ.get("GRAFT_CUR_DOCS", "400000"))
+        corpus = f"/tmp/ner_ray_curdocs_{n_docs}"
+        cfile = os.path.join(corpus, "documents.parquet")
+        if not os.path.exists(cfile):
+            os.makedirs(corpus, exist_ok=True)
+            w = None
+            for lo in range(0, n_docs, 50_000):
+                hi = min(lo + 50_000, n_docs)
+                ids, texts = [], []
+                for i in range(lo, hi):
+                    ids.append(i)
+                    if i % 25 == 24:      # near dup of i-1 (one tail word)
+                        base = i - 1
+                        texts.append(" ".join(
+                            f"d{base}w{j}" for j in range(40)) + " vv")
+                    elif i % 12 == 11:    # exact dup of i-1
+                        base = i - 1
+                        texts.append(" ".join(
+                            f"d{base}w{j}" for j in range(40)))
+                    else:
+                        texts.append(" ".join(
+                            f"d{i}w{j}" for j in range(40)))
+                tbl = _pa.table({
+                    "doc_id": _pa.array(ids, _pa.int64()),
+                    "text": _pa.array(texts, _pa.string())})
+                if w is None:
+                    w = _pq.ParquetWriter(cfile, tbl.schema)
+                w.write_table(tbl)
+            w.close()
+
+        prog = f"""
+import ray, sys, time, json, shutil
+ncpu = int(sys.argv[1])
+ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+ctx = DataContext.get_current(); ctx.enable_progress_bars = False
+ctx.min_parallelism = ncpu * 2; ctx.read_op_min_num_blocks = ncpu * 2
+from ner_extractor_ray.pipelines.curation import run_curation
+ds = ray.data.read_parquet({cfile!r})
+ds.count()
+reps, n_cur = [], 0
+for r in range(3):
+    out = "/tmp/cur_scale_" + str(ncpu)
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_curation(ray.data.read_parquet({cfile!r}), out_dir=out,
+                       n_partitions=64)
+    n_cur = res["curated"].count()
+    reps.append(round(time.perf_counter() - t0, 2))
+print(json.dumps({{"reps": reps, "min": min(reps), "n_curated": n_cur}}))
+ray.shutdown()
+"""
+
+        def runcur(ncpu: int) -> dict:
+            out = subprocess.run([sys.executable, "-c", prog, str(ncpu)],
+                                 capture_output=True, text=True, check=True).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = runcur(8), runcur(32)
+        assert lo["n_curated"] == hi["n_curated"], (lo, hi)
+        print(json.dumps({
+            "metric": "curation pipeline scaling 8→32 cpus",
+            "docs": n_docs,
+            "n_curated": hi["n_curated"],
+            "docs_per_sec_8": round(n_docs / lo["min"], 1),
+            "docs_per_sec_32": round(n_docs / hi["min"], 1),
             "scaling_efficiency": round((lo["min"] / hi["min"]) / 4, 3),
             "repeats_sec_8": lo["reps"],
             "repeats_sec_32": hi["reps"],

@@ -315,8 +315,10 @@ def lsh_near_dup_pairs(
         )
 
     if use_broadcast:
+        from ..stages.canonicalize import rows_batched
+
         cid_set = set()
-        for r in cands.take_all():
+        for r in rows_batched(cands):
             cid_set.add(int(r["id_a"]))
             cid_set.add(int(r["id_b"]))
         idref = _ray.put(cid_set)
@@ -330,7 +332,8 @@ def lsh_near_dup_pairs(
 
         text_map = {
             int(r["cid"]): r["txt"]
-            for r in docs.map_batches(pick_texts, batch_format="pyarrow").take_all()
+            for r in rows_batched(
+                docs.map_batches(pick_texts, batch_format="pyarrow"))
         }
         tref = _ray.put(text_map)
 

@@ -175,7 +175,8 @@ def triangle_count(
     n_edges = edges_ds.count()
 
     if n_nodes <= degree_broadcast_threshold:
-        deg = {int(r["node"]): int(r["degree"]) for r in degs.take_all()}
+        from ..stages.canonicalize import rows_batched
+        deg = {int(r["node"]): int(r["degree"]) for r in rows_batched(degs)}
         dref = ray.put(deg)
 
         def orient(t: pa.Table) -> pa.Table:
@@ -368,7 +369,8 @@ def local_triangle_table(
                                         "tri": pa.array([], pa.int64())}))
 
     if n_nodes <= degree_broadcast_threshold:
-        deg = {int(r["node"]): int(r["degree"]) for r in degs.take_all()}
+        from ..stages.canonicalize import rows_batched
+        deg = {int(r["node"]): int(r["degree"]) for r in rows_batched(degs)}
         dref = ray.put(deg)
 
         def orient(t: pa.Table) -> pa.Table:
