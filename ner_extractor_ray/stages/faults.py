@@ -82,11 +82,23 @@ def fired_count() -> int:
 
 
 def reset() -> None:
-    """Kill the oracle so the next run starts with a fresh 'seen' set."""
+    """Kill the oracle so the next run starts with a fresh 'seen' set.
+
+    Waits for the NAME to deregister: ray.kill is asynchronous, and a
+    get_if_exists racing the dying actor would hand the next run a dead
+    handle (observed as a one-off full-suite flake)."""
+    import time
+
     try:
         ray.kill(ray.get_actor(_ORACLE_NAME, namespace=_NS))
     except ValueError:
-        pass
+        return
+    for _ in range(200):
+        try:
+            ray.get_actor(_ORACLE_NAME, namespace=_NS)
+            time.sleep(0.05)
+        except ValueError:
+            return
 
 
 def fault_remote_args() -> dict:
@@ -94,7 +106,10 @@ def fault_remote_args() -> dict:
     injection is off so the production path carries zero overhead."""
     if not fault_injection_on():
         return {}
-    return {"retry_exceptions": True, "max_retries": 8}
+    # worst case a task owns k groups and needs k+1 attempts (one injected
+    # failure per group key) — 16 retries covers any packing of the test
+    # pipelines' ≤8-partition writes with headroom
+    return {"retry_exceptions": True, "max_retries": 16}
 
 
 class _Fault:
