@@ -176,7 +176,13 @@ def grouped_aggregate(
             if g[k].dtype == object:
                 col = res[k].astype(object)
                 res[k] = col.where(pd.notna(col), None)
-        return res[keys + [name for name, _, _ in ops]]
+        # ARROW out (round-5): pandas-backed result blocks cost ~7× more in
+        # every downstream sort-shuffle and ~100× in any row-wise collect
+        # (the take_all pathology, rows_batched docstring) — emitting Arrow
+        # here fixes the whole aggregate family at the source; values and
+        # dtypes are unchanged (object-with-None keys → string-with-null)
+        return pa.Table.from_pandas(
+            res[keys + [name for name, _, _ in ops]], preserve_index=False)
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
