@@ -181,8 +181,11 @@ def grouped_aggregate(
         # (the take_all pathology, rows_batched docstring) — emitting Arrow
         # here fixes the whole aggregate family at the source; values and
         # dtypes are unchanged (object-with-None keys → string-with-null)
+        # strip the pandas schema metadata: Ray's schema-dedup hashes block
+        # schemas and a metadata dict makes that fail (log noise only)
         return pa.Table.from_pandas(
-            res[keys + [name for name, _, _ in ops]], preserve_index=False)
+            res[keys + [name for name, _, _ in ops]],
+            preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
